@@ -1,0 +1,384 @@
+"""BM25 top-k query engine over the sharded posting-list index.
+
+Two physical strategies, both rank-identical (tests assert it):
+
+- **wand** (the fast path): per-shard block-max WAND (Ding & Suel,
+  SIGIR 2011) inside ``applyInPandas`` — a bounded min-heap per shard,
+  lazy per-block posting decode with block skipping, integer quantized
+  scores (bit-deterministic, see operators/scoring.py).  Because the
+  index is document-partitioned, each shard's scores are complete, so
+  the global answer is a k-row merge (``orderBy ... limit k`` =
+  TakeOrderedAndProject over ≤ shards*k rows).
+- **relational** (the oracle-checkable path): decode postings to
+  (doc_id, term, tf, score_q) rows with ``mapInPandas``, then plain
+  DataFrame agg + top-k.  Also serves the degenerate TF-IDF mode
+  (BASELINE.json:north_star last sentence): reference formula
+  tfidf = round4(tf/doc_len * log10(N/df)) per tfidf.go:100-103.
+
+Queries run **batched**: one Spark job scores an arbitrary list of
+queries (each shard task loops over the queries it has postings for) —
+this is what makes q/s scale instead of paying per-query job overhead.
+
+Tie-break everywhere: (score desc, doc_id asc) — SURVEY.md §7
+rank-identity requirement.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.scoring import QUANT, round_half_up
+from . import codec
+from .build import load_manifest
+
+
+class _List:
+    """Cursor over one encoded posting list with lazy block decode."""
+
+    __slots__ = (
+        "firsts", "lasts", "counts", "maxes", "doc_offs", "score_offs",
+        "docs_payload", "scores_payload", "starts", "n", "ub",
+        "_blk", "_pos", "_docs", "_scores", "_exhausted",
+    )
+
+    def __init__(self, row) -> None:
+        self.firsts = np.asarray(row["block_firsts"], dtype=np.int64)
+        self.lasts = np.asarray(row["block_lasts"], dtype=np.int64)
+        self.counts = np.asarray(row["block_counts"], dtype=np.int64)
+        self.maxes = np.asarray(row["block_max_score"], dtype=np.int64)
+        self.doc_offs = np.asarray(row["block_doc_offs"], dtype=np.int64)
+        self.score_offs = np.asarray(row["block_score_offs"], dtype=np.int64)
+        self.docs_payload = row["docs_payload"]
+        self.scores_payload = row["scores_payload"]
+        self.n = int(row["n_docs"])
+        self.ub = int(self.maxes.max()) if len(self.maxes) else 0
+        self._blk = -1
+        self._pos = 0
+        self._docs = None
+        self._scores = None
+        self._exhausted = self.n == 0
+        if not self._exhausted:
+            self._load_block(0)
+
+    def _load_block(self, i: int) -> None:
+        self._blk = i
+        self._pos = 0
+        self._docs = codec.decode_block_docs(
+            self.docs_payload, self.firsts, self.counts, self.doc_offs, i
+        )
+        self._scores = None  # decoded only if the block is actually scored
+
+    @property
+    def exhausted(self) -> bool:
+        return self._exhausted
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self._docs[self._pos])
+
+    @property
+    def cur_block_max(self) -> int:
+        return int(self.maxes[self._blk])
+
+    def cur_score(self) -> int:
+        if self._scores is None:
+            self._scores = codec.decode_block_stream(
+                self.scores_payload, self.counts, self.score_offs, self._blk
+            ).astype(np.int64)
+        return int(self._scores[self._pos])
+
+    def advance(self) -> None:
+        self._pos += 1
+        if self._pos >= len(self._docs):
+            if self._blk + 1 < len(self.counts):
+                self._load_block(self._blk + 1)
+            else:
+                self._exhausted = True
+
+    def next_geq(self, target: int) -> None:
+        """Advance to the first doc >= target (block skip via lasts)."""
+        if self._exhausted:
+            return
+        if target <= self.cur_doc:
+            return
+        if target > int(self.lasts[self._blk]):
+            nxt = int(np.searchsorted(self.lasts, target, side="left"))
+            if nxt >= len(self.lasts):
+                self._exhausted = True
+                return
+            self._load_block(nxt)
+        self._pos += int(np.searchsorted(self._docs[self._pos:], target, side="left"))
+        if self._pos >= len(self._docs):  # defensive; lasts bound should prevent
+            self.advance()
+
+    def block_boundary(self) -> int:
+        """Last doc of the current block (for block-max skip targets)."""
+        return int(self.lasts[self._blk])
+
+
+class _TermCursor:
+    """Groups the sub-shard lists of one term (disjoint doc sets)."""
+
+    __slots__ = ("lists", "ub")
+
+    def __init__(self, lists: list[_List]) -> None:
+        self.lists = lists
+        self.ub = max((l.ub for l in lists), default=0)
+
+    @property
+    def exhausted(self) -> bool:
+        return all(l.exhausted for l in self.lists)
+
+    @property
+    def cur_doc(self) -> int:
+        return min(l.cur_doc for l in self.lists if not l.exhausted)
+
+    def cur_block_max(self) -> int:
+        return max(l.cur_block_max for l in self.lists if not l.exhausted)
+
+    def next_geq(self, target: int) -> None:
+        for l in self.lists:
+            if not l.exhausted:
+                l.next_geq(target)
+
+    def score_and_advance_if_at(self, doc: int) -> int | None:
+        """If positioned at ``doc``, return its score and advance."""
+        s = None
+        for l in self.lists:
+            if not l.exhausted and l.cur_doc == doc:
+                s = l.cur_score()  # sub-lists are disjoint: at most one hit
+                l.advance()
+        return s
+
+
+def wand_top_k(
+    term_rows: dict[str, list], k: int, mode: str = "OR"
+) -> list[tuple[int, int]]:
+    """Block-max WAND (OR) / skipping intersection (AND) over one shard.
+
+    ``term_rows``: term -> list of encoded posting rows (sub-shards).
+    Returns [(doc_id, score_q)] sorted by (score desc, doc asc), ≤ k.
+    """
+    cursors = [
+        _TermCursor([_List(r) for r in rows]) for rows in term_rows.values()
+    ]
+    cursors = [c for c in cursors if not c.exhausted]
+    n_terms = len(term_rows)
+    heap: list[tuple[int, int]] = []  # (score_q, -doc_id) min-heap
+
+    def offer(doc: int, score: int) -> None:
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    if mode == "AND":
+        if len(cursors) < n_terms or n_terms == 0:
+            return []  # some term has no postings in this shard -> no doc can match
+        while all(not c.exhausted for c in cursors):
+            target = max(c.cur_doc for c in cursors)
+            for c in cursors:
+                c.next_geq(target)
+            if any(c.exhausted for c in cursors):
+                break
+            if all(c.cur_doc == target for c in cursors):
+                total = 0
+                for c in cursors:
+                    s = c.score_and_advance_if_at(target)
+                    total += s or 0
+                offer(target, total)
+        out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+        return [(-d, s) for s, d in out]
+
+    # ---- OR: block-max WAND
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc)
+        theta = heap[0][0] if len(heap) >= k else 0
+        full = len(heap) >= k
+        acc = 0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            if not full or acc >= theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # sum of all upper bounds can't reach theta
+        pivot_doc = live[pivot_idx].cur_doc
+        if live[0].cur_doc == pivot_doc:
+            # block-max check: can the actual blocks reach theta?
+            if full:
+                block_ub = 0
+                for c in live[: pivot_idx + 1]:
+                    c.next_geq(pivot_doc)
+                    if not c.exhausted and c.cur_doc == pivot_doc:
+                        block_ub += c.cur_block_max()
+                    elif not c.exhausted:
+                        block_ub += c.ub
+                if block_ub < theta:
+                    # skip past the shallowest block boundary
+                    boundary = min(
+                        (l.block_boundary() for c in live[: pivot_idx + 1]
+                         for l in c.lists if not l.exhausted),
+                        default=pivot_doc,
+                    )
+                    for c in live[: pivot_idx + 1]:
+                        c.next_geq(boundary + 1)
+                    continue
+            total = 0
+            for c in live:
+                if not c.exhausted and c.cur_doc == pivot_doc:
+                    s = c.score_and_advance_if_at(pivot_doc)
+                    total += s or 0
+            offer(pivot_doc, total)
+        else:
+            for c in live[:pivot_idx]:
+                c.next_geq(pivot_doc)
+    out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return [(-d, s) for s, d in out]
+
+
+@dataclass
+class Query:
+    query_id: int
+    terms: list[str]
+    mode: str = "OR"  # OR | AND
+    k: int = 10
+
+
+class InvertedIndex:
+    """Reader over an index directory produced by build.build_index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        m = self.manifest["metrics"]
+        self.n_docs = int(m["total_docs"])
+        self.avgdl = float(m["avgdl"])
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings.parquet"))
+        self.dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary.parquet"))
+        self.docmeta = spark.read.parquet(os.path.join(index_dir, "docmeta.parquet"))
+
+    # ---------- batched WAND path ----------
+
+    def topk_batch(self, queries: Sequence[Query]) -> DataFrame:
+        """One Spark job for all queries → (query_id, doc_id, score_q,
+        score, rank).  Shard tasks run WAND per query; the global merge
+        is a window top-k over ≤ n_shards*k rows per query."""
+        all_terms = sorted({t for q in queries for t in q.terms})
+        if not all_terms:
+            return self._empty_result()
+        qspec = [(q.query_id, list(q.terms), q.mode, q.k) for q in queries]
+        rows = self.postings.filter(F.col("term").isin(all_terms))
+
+        def per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # one group = one doc-partitioned shard -> scores complete here
+            by_term: dict[str, list] = {}
+            for _, r in pdf.iterrows():
+                by_term.setdefault(r["term"], []).append(r)
+            out = []
+            for qid, terms, mode, k in qspec:
+                rows_q = {t: by_term[t] for t in terms if t in by_term}
+                if not rows_q:
+                    continue
+                if mode == "AND" and len(rows_q) < len(set(terms)):
+                    continue
+                for doc, score in wand_top_k(rows_q, k, mode):
+                    out.append((qid, doc, score))
+            return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
+
+        local = rows.groupBy("shard").applyInPandas(
+            per_shard, "query_id int, doc_id long, score_q long"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+        kmap = {q.query_id: q.k for q in queries}
+        kdf = self.spark.createDataFrame(list(kmap.items()), "query_id int, k int")
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(kdf), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select(
+                "query_id", "doc_id", "score_q",
+                (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
+                "rank",
+            )
+        )
+
+    def topk(self, terms: Sequence[str], k: int = 10, mode: str = "OR") -> DataFrame:
+        return self.topk_batch([Query(0, list(terms), mode, k)]).drop("query_id")
+
+    # ---------- relational (oracle-checkable) path ----------
+
+    def decoded(self, terms: Sequence[str] | None = None) -> DataFrame:
+        """(doc_id, term, tf, score_q) rows decoded from postings."""
+        rows = self.postings
+        if terms is not None:
+            rows = rows.filter(F.col("term").isin(list(terms)))
+
+        def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdf_iter:
+                for _, r in pdf.iterrows():
+                    docs, tfs, scores = codec.decode_all(r)
+                    yield pd.DataFrame({
+                        "term": r["term"],
+                        "doc_id": docs,
+                        "tf": tfs,
+                        "score_q": scores,
+                    })
+
+        return rows.mapInPandas(decode, "term string, doc_id long, tf long, score_q long")
+
+    def topk_relational(
+        self, terms: Sequence[str], k: int = 10, mode: str = "OR"
+    ) -> DataFrame:
+        """Same answer as WAND via plain DataFrame ops (the correctness
+        mirror; also the ANSI-SQL-expressible formulation)."""
+        uniq = sorted(set(terms))
+        d = self.decoded(uniq)
+        agg = d.groupBy("doc_id").agg(
+            F.sum("score_q").alias("score_q"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+        if mode == "AND":
+            agg = agg.filter(F.col("n_terms") == len(uniq))
+        return (
+            agg.orderBy(F.desc("score_q"), F.asc("doc_id"))
+            .limit(k)
+            .select(
+                "doc_id", "score_q",
+                (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
+            )
+        )
+
+    def tfidf_scores(self, terms: Sequence[str] | None = None) -> DataFrame:
+        """Degenerate TF-IDF mode: reference formula (tfidf.go:100-103)
+        over decoded postings — reproduces wikitfidf rankings."""
+        d = self.decoded(terms)
+        joined = (
+            d.join(F.broadcast(self.dictionary.select("term", "df")), "term")
+            .join(self.docmeta.select("doc_id", "doc_len"), "doc_id")
+        )
+        raw = (F.col("tf").cast("double") / F.col("doc_len").cast("double")) * F.log10(
+            F.lit(float(self.n_docs)) / F.col("df").cast("double")
+        )
+        return joined.select("doc_id", "term", "tf", round_half_up(raw, 4).alias("tfidf"))
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "query_id int, doc_id long, score_q long, score double, rank int"
+        )

@@ -1,0 +1,109 @@
+"""The shared deterministic tokenizer.
+
+The reference tokenizes with spaCy/NLTK inside an embedded Cython
+program (``/root/reference/internal/textnormalizer/textnormalizer.pyx:275-349``):
+alpha tokens, lowercased/lemmatized, stopword-dropped, length-filtered to
+``[MIN_WORD_LENGTH, 33]`` with MIN=3 for non-CJK
+(``textnormalizer.pyx:103-109,170-176``).
+
+For the source-code corpus (BASELINE.json:input_hint) we keep the same
+*shape* — lowercase, alpha-ish identifiers, length filter [3, 33] — with a
+deterministic identifier grammar instead of NLP:
+
+    token := [a-z_][a-z0-9_]{2,32}   over lower(content)
+
+Three implementations, proven equal by tests/test_tokenize.py:
+
+1. :func:`tokens_col` — JVM-side ``regexp_extract_all`` (whole-stage
+   codegen; used by the oracle-checkable relational queries).
+2. :func:`tf_map_in_pandas` — Arrow-vectorized fused tokenize+count
+   (the index-build hot path: emits per-doc term frequencies directly,
+   shrinking shuffle input; "vectorized pandas UDF, no per-row Python"
+   per BASELINE.json:north_star).
+3. :func:`tokenize_py` — pure-Python oracle for golden tests.
+
+The same regex runs in DuckDB (``regexp_extract_all``) for the driver's
+SQL oracles; Java regex, RE2 (DuckDB) and Python ``re`` agree on this
+pattern (greedy, non-overlapping, left-to-right).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Length bounds mirror the reference: MIN_WORD_LENGTH=3, max 33
+# (textnormalizer.pyx:170-176; topwordspageextractor.pyx:27-33).
+MIN_TOKEN_LEN = 3
+MAX_TOKEN_LEN = 33
+
+# {2,32} repetitions after the first char -> total length in [3, 33].
+TOKEN_REGEX = r"[a-z_][a-z0-9_]{2,32}"
+
+_TOKEN_RE = re.compile(TOKEN_REGEX)
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Array-of-tokens column, entirely JVM-side (codegen'd, no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_REGEX), 0)
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Pure-Python oracle tokenizer (identical semantics)."""
+    return _TOKEN_RE.findall(text.lower()) if text else []
+
+
+def term_counts_py(text: str) -> dict[str, int]:
+    return dict(Counter(tokenize_py(text)))
+
+
+def tf_map_in_pandas(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "content",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fused tokenize + per-doc term-frequency count as ``mapInPandas``.
+
+    Mirrors reference stages S7 (textnormalizer.pyx:275-349) + S9
+    (wordmapperbypage.go:17-30) in one Arrow pass: each input row is one
+    document; output rows are ``(doc_id, [extra_cols...], term, tf)``.
+
+    Counting *inside* the Arrow batch (pandas ``str.findall`` → explode →
+    groupby) means the shuffle that follows carries per-doc aggregated
+    rows, not raw token streams — at 10^12-file scale this is the
+    difference between shuffling O(tokens) and O(distinct terms per doc).
+    """
+    carried = [doc_id, *extra_cols]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema if f.name in carried]
+        + ["term string", "tf long"]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = pdf[text].fillna("").str.lower().str.findall(TOKEN_REGEX)
+            exploded = pd.DataFrame({
+                "_row": pdf.index.repeat(toks.str.len()),
+                "term": [t for lst in toks for t in lst],
+            })
+            if len(exploded) == 0:
+                continue
+            counts = (
+                exploded.groupby(["_row", "term"], sort=False).size().rename("tf").reset_index()
+            )
+            out = counts.merge(
+                pdf[carried].rename_axis("_row").reset_index(), on="_row", how="left"
+            )[carried + ["term", "tf"]]
+            yield out
+
+    return docs.select(*carried, text).mapInPandas(fn, out_schema)
