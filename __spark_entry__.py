@@ -1,38 +1,722 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the pipeline extensions) over the driver's parquet tables; each entry
+has an ANSI-SQL oracle in ``oracle_sql()`` computing the same result in
+DuckDB.  Determinism rules shared by both sides (see
+wikitfidf_spark/operators/scoring.py):
+
+- tokenization = the one regex ``[a-z_][a-z0-9_]{2,32}`` over lower(text)
+- round-half-up is spelled ``floor(x*10^d + 0.5)/10^d`` (Go math.Round
+  semantics, identical IEEE ops in both engines)
+- any distributed sum that feeds a compared value is an *integer* sum of
+  quantized terms (float addition is order-dependent; int addition isn't)
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wikitfidf_spark.tokenize import TOKEN_REGEX
+from wikitfidf_spark.operators import termstats, topk, badwords as bw, stemdict, filters
+from wikitfidf_spark.operators import dedup, similarity, textstats
+from wikitfidf_spark.operators.scoring import QUANT, round_half_up
+from wikitfidf_spark.streaming import jobs as stream_jobs
+
+# ---------------------------------------------------------------- fixtures
+
+FLAGGED = ["slow", "error", "legacy"]          # badwords-analogue list
+BM25_OR_TERMS = ["join", "hash", "dup"]        # hot+hot+rare: exercises WAND
+BM25_AND_TERMS = ["dup", "join"]               # rare ∧ hot conjunction
+TFIDF_TERM = "dup"                             # degenerate single-term mode
+K1, B = 1.2, 0.75
+TOPK = 20
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tf(spark, sf_dir) -> DataFrame:
+    return termstats.term_frequencies(_t(spark, sf_dir, "documents"), text="text")
+
+
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY 1, 2)
+"""
+
+_BM25_CTE = (
+    "WITH " + _TOK_CTE + f""",
+dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1),
+st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1),
+tot AS (SELECT count(*)::bigint AS n, sum(doc_len)::bigint AS s FROM dl),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         floor(
+           ln(1 + (tot.n - st.df + 0.5) / (st.df + 0.5))
+           * (tf.tf * {K1 + 1.0})
+           / (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len::double / (tot.s::double / tot.n))))
+           * {QUANT} + 0.5
+         )::bigint AS score_q
+  FROM tf JOIN st USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  WHERE tf.term IN (%(terms)s)
+)
+"""
+)
+
+
+def _bm25_scores_df(spark, sf_dir, terms: list[str]) -> DataFrame:
+    """Quantized per-(doc,term) BM25 impacts via the engine operators,
+    with totals carried as a broadcast singleton (no driver collect)."""
+    tf = _tf(spark, sf_dir)
+    dl = termstats.doc_lengths(tf)
+    st = termstats.global_term_stats(tf)
+    tot = dl.agg(F.count("*").alias("n"), F.sum("doc_len").alias("s"))
+    j = (
+        tf.filter(F.col("term").isin(terms))
+        .join(F.broadcast(st.select("term", "df")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+    )
+    tf_d = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n").cast("double") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = tf_d + F.lit(K1) * (
+        F.lit(1.0 - B)
+        + F.lit(B) * (F.col("doc_len").cast("double") / (F.col("s").cast("double") / F.col("n").cast("double")))
+    )
+    score = idf * (tf_d * F.lit(K1 + 1.0)) / denom
+    return j.select(
+        "doc_id", "term",
+        F.floor(score * F.lit(float(QUANT)) + F.lit(0.5)).cast("long").alias("score_q"),
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_term_frequency(spark, sf_dir):
+    """S9 (wordmapperbypage.go:17-30): per-doc term frequencies."""
+    return _tf(spark, sf_dir)
+
+
+def q_doc_lengths(spark, sf_dir):
+    """S12 (pagemapaggregator.go:16-23): Tot per doc."""
+    return termstats.doc_lengths(_tf(spark, sf_dir))
+
+
+def q_global_term_stats(spark, sf_dir):
+    """S10 (globalwordmapper.go:49-65): cf ('a') and df ('i') per term,
+    via the salted two-phase aggregation (skew path)."""
+    return termstats.global_term_stats(_tf(spark, sf_dir), n_salts=8)
+
+
+def q_global_top_terms(spark, sf_dir):
+    """S18 (topwordspageextractor.pyx:102-122): global top-N by cf."""
+    return topk.top_n_global_terms(termstats.global_term_stats(_tf(spark, sf_dir)), 25)
+
+
+def q_tfidf_topn_per_doc(spark, sf_dir):
+    """S13+S17 (tfidf.go:100-103, topwordspageextractor.pyx:54-99):
+    reference-exact tfidf, top-10 per doc, (tfidf desc, term asc)."""
+    tf = _tf(spark, sf_dir)
+    dl = termstats.doc_lengths(tf)
+    st = termstats.global_term_stats(tf)
+    tot = dl.agg(F.count("*").alias("n"))
+    j = tf.join(F.broadcast(st.select("term", "df")), "term").join(dl, "doc_id").crossJoin(F.broadcast(tot))
+    raw = (F.col("tf").cast("double") / F.col("doc_len").cast("double")) * F.log10(
+        F.col("n").cast("double") / F.col("df").cast("double")
+    )
+    scored = j.select("doc_id", "term", "tf", round_half_up(raw, 4).alias("tfidf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+def q_tfidf_single_term(spark, sf_dir):
+    """Degenerate single-term TF-IDF ranking (north_star backward-compat
+    mode): rank all docs containing TFIDF_TERM by reference tfidf."""
+    tf = _tf(spark, sf_dir)
+    dl = termstats.doc_lengths(tf)
+    st = termstats.global_term_stats(tf)
+    tot = dl.agg(F.count("*").alias("n"))
+    j = (
+        tf.filter(F.col("term") == TFIDF_TERM)
+        .join(F.broadcast(st.select("term", "df")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+    )
+    raw = (F.col("tf").cast("double") / F.col("doc_len").cast("double")) * F.log10(
+        F.col("n").cast("double") / F.col("df").cast("double")
+    )
+    return (
+        j.select("doc_id", round_half_up(raw, 4).alias("tfidf"))
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
+def q_topic_term_doc_counts(spark, sf_dir):
+    """S15 (topicwords.go:106-198): docs-in-topic containing term
+    (distinct semantics preserved); topic = lang."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = termstats.term_frequencies(docs, text="text", extra_cols=("lang",))
+    return termstats.topic_term_doc_counts(tf, topic="lang")
+
+
+def q_topic_top_terms(spark, sf_dir):
+    """S19 (topwordspageextractor.pyx:125-173): top-5 terms per topic."""
+    return topk.top_n_terms_per_topic(q_topic_term_doc_counts(spark, sf_dir), 5, topic="lang")
+
+
+def q_badwords_report(spark, sf_dir):
+    """S16 (badwords.go:69-189): distinct flagged terms per doc, rel =
+    abs/doc_len; clean docs drop out (inner-join semantics)."""
+    tf = _tf(spark, sf_dir)
+    return bw.badwords_report(tf, termstats.doc_lengths(tf), FLAGGED)
+
+
+def q_stem_dict(spark, sf_dir):
+    """S8/S11 (stemrevaggregator.go:53-61): stem -> shortest original,
+    deterministic (len, word) tie-break."""
+    terms = termstats.global_term_stats(_tf(spark, sf_dir)).select("term")
+    return stemdict.stem_dict(terms)
+
+
+def q_destem_terms(spark, sf_dir):
+    """S14 (destemmer.pyx:45-82): broadcast left join, coalesce pass-through."""
+    st = termstats.global_term_stats(_tf(spark, sf_dir))
+    d = stemdict.stem_dict(st.select("term"))
+    return stemdict.destem(st.select("term", "cf"), d).withColumnRenamed("term", "destemmed")
+
+
+def q_semi_filter(spark, sf_dir):
+    """S2 (filter.go:15-30): keep rows whose key is in a given list."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return filters.semi_filter(docs, "lang", ["en", "zh"])
+
+
+def q_range_filter(spark, sf_dir):
+    """S3 (filter.go:32-49): strict ts range predicate, pushed to scan."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    return filters.range_filter(ev, "ts", "2024-01-08 00:00:00", "2024-01-22 00:00:00")
+
+
+def q_topn_recent(spark, sf_dir):
+    """S4 (dumpreducer.go:44-60): 3 most-recent events per user
+    (intended semantics; reference's heap quirk documented in SURVEY §2)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    return topk.top_n_recent_per_group(ev, "user_id", "ts", 3, tiebreak_col="event_id")
+
+
+def q_bm25_or_topk(spark, sf_dir):
+    """North-rule disjunctive BM25 top-k (relational formulation; the
+    index/WAND path is rank-identical — q_index_wand_topk)."""
+    sc = _bm25_scores_df(spark, sf_dir, BM25_OR_TERMS)
+    agg = sc.groupBy("doc_id").agg(F.sum("score_q").alias("score_q"))
+    return agg.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(TOPK)
+
+
+def q_bm25_and_topk(spark, sf_dir):
+    """Conjunctive BM25 top-k: doc must contain every query term."""
+    sc = _bm25_scores_df(spark, sf_dir, BM25_AND_TERMS)
+    agg = sc.groupBy("doc_id").agg(
+        F.sum("score_q").alias("score_q"), F.countDistinct("term").alias("nt")
+    )
+    return (
+        agg.filter(F.col("nt") == len(set(BM25_AND_TERMS)))
+        .select("doc_id", "score_q")
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
+def q_index_wand_topk(spark, sf_dir):
+    """The actual engine: build (cached) posting-list index over the
+    documents table, answer BM25_OR_TERMS via block-max WAND.  Oracle =
+    the same SQL as q_bm25_or_topk — rank-identity is the whole point."""
+    from wikitfidf_spark.index.build import build_index, IndexConfig
+    from wikitfidf_spark.index.query import InvertedIndex, Query
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
+    cfg = IndexConfig(n_shards=8, n_salts=4, id_cols=(), topic_col="lang")
+    import hashlib as _hl
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg_tag = _hl.md5(str(sorted(cfg.to_json().items())).encode()).hexdigest()[:8]
+    idx_dir = f"/tmp/wikitfidf_idx_cache/{tag}-{cfg_tag}"
+    build_index(spark, docs, idx_dir, cfg)  # resumes instantly if built
+    idx = InvertedIndex(spark, idx_dir)
+    out = idx.topk_batch([Query(0, BM25_OR_TERMS, "OR", TOPK)])
+    return out.select("doc_id", "score_q")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups: md5(text) -> representative + group size."""
+    return dedup.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_candidates(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (8 hashes, 4 bands)."""
+    return dedup.minhash_candidates(_tf(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Candidate-then-verify: exact token-set Jaccard on LSH candidates,
+    thresholded at 0.5."""
+    tf = _tf(spark, sf_dir)
+    pairs = dedup.minhash_candidates(tf)
+    return dedup.jaccard_on_pairs(pairs, tf).filter(F.col("jaccard") >= 0.5).select(
+        "a", "b", "inter", "size_a", "size_b",
+        round_half_up(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """tf-weighted 16-bit SimHash fingerprints (near-dup banding key)."""
+    return dedup.simhash(_tf(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 to vec_id=0 (quantized int dot sums)."""
+    return similarity.cosine_topk_bruteforce(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_events_windowed(spark, sf_dir):
+    """Hourly tumbling windows (same transformation runs as a streaming
+    job with watermark — wikitfidf_spark/streaming/jobs.py)."""
+    return stream_jobs.windowed_counts(_t(spark, sf_dir, "events"), "1 hour")
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + running sum)."""
+    return stream_jobs.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H-Q1-shaped agg (partial+final hash agg; quantized int sums
+    keep double aggregation deterministic across engines)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    qty_q = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    rev_q = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_q).alias("sum_qty_q"),
+            F.sum(rev_q).alias("sum_rev_q"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_broadcast_join_agg(spark, sf_dir):
+    """Broadcast-dim join (reference's build-side-in-memory pattern,
+    tfidf.go:45): revenue per part brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev_q = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev_q).alias("rev_q"), F.count("*").alias("n_items"))
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    """Rollup aggregation (grouping-set coverage)."""
+    o = _t(spark, sf_dir, "orders")
+    price_q = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(price_q).alias("total_q"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "term_frequency": q_term_frequency,
+        "doc_lengths": q_doc_lengths,
+        "global_term_stats": q_global_term_stats,
+        "global_top_terms": q_global_top_terms,
+        "tfidf_topn_per_doc": q_tfidf_topn_per_doc,
+        "tfidf_single_term": q_tfidf_single_term,
+        "topic_term_doc_counts": q_topic_term_doc_counts,
+        "topic_top_terms": q_topic_top_terms,
+        "badwords_report": q_badwords_report,
+        "stem_dict": q_stem_dict,
+        "destem_terms": q_destem_terms,
+        "semi_filter": q_semi_filter,
+        "range_filter": q_range_filter,
+        "topn_recent": q_topn_recent,
+        "bm25_or_topk": q_bm25_or_topk,
+        "bm25_and_topk": q_bm25_and_topk,
+        "index_wand_topk": q_index_wand_topk,
+        "dedup_exact": q_dedup_exact,
+        "minhash_candidates": q_minhash_candidates,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "events_windowed": q_events_windowed,
+        "sessionize": q_sessionize,
+        "lineitem_pricing": q_lineitem_pricing,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "rollup_orders": q_rollup_orders,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+_MARK_SQL = ", ".join(f"'{m}'" for m in textstats.EN_MARKERS)
+_FLAG_SQL = ", ".join(f"'{w}'" for w in FLAGGED)
+_OR_SQL = ", ".join(f"'{t}'" for t in BM25_OR_TERMS)
+_AND_SQL = ", ".join(f"'{t}'" for t in BM25_AND_TERMS)
+
+_BM25_OR_BODY = _BM25_CTE % {"terms": _OR_SQL} + f"""
+SELECT doc_id, sum(score_q)::bigint AS score_q
+FROM sc GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "term_frequency": f"WITH {_TOK_CTE} SELECT doc_id, term, tf FROM tf",
+        "doc_lengths": f"WITH {_TOK_CTE} SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1",
+        "global_term_stats": f"WITH {_TOK_CTE} SELECT term, sum(tf)::bigint AS cf, count(*)::bigint AS df FROM tf GROUP BY 1",
+        "global_top_terms": f"""
+            WITH {_TOK_CTE}
+            SELECT term, sum(tf)::bigint AS cf, count(*)::bigint AS df FROM tf GROUP BY 1
+            ORDER BY cf DESC, term ASC LIMIT 25
+        """,
+        "tfidf_topn_per_doc": f"""
+            WITH {_TOK_CTE},
+            dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1),
+            st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1),
+            tot AS (SELECT count(*)::bigint AS n FROM dl),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     floor((tf.tf::double / dl.doc_len::double)
+                           * log10(tot.n::double / st.df::double) * 10000 + 0.5) / 10000 AS tfidf
+              FROM tf JOIN dl USING (doc_id) JOIN st USING (term) CROSS JOIN tot
+            )
+            SELECT * FROM (
+              SELECT doc_id, term, tf, tfidf,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)::int AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "tfidf_single_term": f"""
+            WITH {_TOK_CTE},
+            dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1),
+            st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1),
+            tot AS (SELECT count(*)::bigint AS n FROM dl)
+            SELECT tf.doc_id,
+                   floor((tf.tf::double / dl.doc_len::double)
+                         * log10(tot.n::double / st.df::double) * 10000 + 0.5) / 10000 AS tfidf
+            FROM tf JOIN dl USING (doc_id) JOIN st USING (term) CROSS JOIN tot
+            WHERE tf.term = '{TFIDF_TERM}'
+            ORDER BY tfidf DESC, doc_id ASC LIMIT {TOPK}
+        """,
+        "topic_term_doc_counts": f"""
+            WITH tok AS (
+              SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, lang, term FROM tok GROUP BY 1, 2, 3)
+            SELECT lang, term, count(*)::bigint AS n_docs FROM tf GROUP BY 1, 2
+        """,
+        "topic_top_terms": f"""
+            WITH tok AS (
+              SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, lang, term FROM tok GROUP BY 1, 2, 3),
+            cnt AS (SELECT lang, term, count(*)::bigint AS n_docs FROM tf GROUP BY 1, 2)
+            SELECT * FROM (
+              SELECT lang, term, n_docs,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_docs DESC, term ASC)::int AS rank
+              FROM cnt
+            ) WHERE rank <= 5
+        """,
+        "badwords_report": f"""
+            WITH {_TOK_CTE},
+            dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1)
+            SELECT tf.doc_id, count(*)::bigint AS abs,
+                   count(*)::double / any_value(dl.doc_len)::double AS rel
+            FROM tf JOIN dl USING (doc_id)
+            WHERE tf.term IN ({_FLAG_SQL})
+            GROUP BY tf.doc_id
+        """,
+        "stem_dict": f"""
+            WITH {_TOK_CTE},
+            terms AS (SELECT DISTINCT term FROM tf),
+            stems AS (SELECT regexp_replace(term, '[0-9]+$', '') AS stem, term AS original FROM terms)
+            SELECT stem, original FROM (
+              SELECT stem, original,
+                     row_number() OVER (PARTITION BY stem ORDER BY length(original), original) AS rn
+              FROM stems
+            ) WHERE rn = 1
+        """,
+        "destem_terms": f"""
+            WITH {_TOK_CTE},
+            st AS (SELECT term, sum(tf)::bigint AS cf FROM tf GROUP BY 1),
+            stems AS (SELECT regexp_replace(term, '[0-9]+$', '') AS stem, term AS original FROM st),
+            dict AS (
+              SELECT stem, original FROM (
+                SELECT stem, original,
+                       row_number() OVER (PARTITION BY stem ORDER BY length(original), original) AS rn
+                FROM stems
+              ) WHERE rn = 1
+            )
+            SELECT coalesce(dict.original, st.term) AS destemmed, st.cf
+            FROM st LEFT JOIN dict ON st.term = dict.stem
+        """,
+        "semi_filter": "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('en', 'zh')",
+        "range_filter": """
+            SELECT event_id, ts, user_id, event_type FROM events
+            WHERE ts > TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        """,
+        "topn_recent": """
+            SELECT user_id, event_id, ts, event_type FROM (
+              SELECT user_id, event_id, ts, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "bm25_or_topk": _BM25_OR_BODY,
+        "bm25_and_topk": _BM25_CTE % {"terms": _AND_SQL} + f"""
+            SELECT doc_id, score_q FROM (
+              SELECT doc_id, sum(score_q)::bigint AS score_q, count(DISTINCT term) AS nt
+              FROM sc GROUP BY doc_id
+            ) WHERE nt = {len(set(BM25_AND_TERMS))}
+            ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
+        """,
+        "index_wand_topk": _BM25_OR_BODY,  # the engine must be rank-identical
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*)::bigint AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "minhash_candidates": f"""
+            WITH {_TOK_CTE},
+            terms AS (SELECT DISTINCT doc_id, term FROM tf),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || term)) AS s0, min(md5('1:' || term)) AS s1,
+                     min(md5('2:' || term)) AS s2, min(md5('3:' || term)) AS s3,
+                     min(md5('4:' || term)) AS s4, min(md5('5:' || term)) AS s5,
+                     min(md5('6:' || term)) AS s6, min(md5('7:' || term)) AS s7
+              FROM terms GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band FROM sig UNION ALL
+              SELECT doc_id, 1, s2 || '|' || s3 FROM sig UNION ALL
+              SELECT doc_id, 2, s4 || '|' || s5 FROM sig UNION ALL
+              SELECT doc_id, 3, s6 || '|' || s7 FROM sig
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band = r.band
+            WHERE l.doc_id < r.doc_id
+        """,
+        "jaccard_pairs": f"""
+            WITH {_TOK_CTE},
+            terms AS (SELECT DISTINCT doc_id, term FROM tf),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || term)) AS s0, min(md5('1:' || term)) AS s1,
+                     min(md5('2:' || term)) AS s2, min(md5('3:' || term)) AS s3,
+                     min(md5('4:' || term)) AS s4, min(md5('5:' || term)) AS s5,
+                     min(md5('6:' || term)) AS s6, min(md5('7:' || term)) AS s7
+              FROM terms GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band FROM sig UNION ALL
+              SELECT doc_id, 1, s2 || '|' || s3 FROM sig UNION ALL
+              SELECT doc_id, 2, s4 || '|' || s5 FROM sig UNION ALL
+              SELECT doc_id, 3, s6 || '|' || s7 FROM sig
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band = r.band
+              WHERE l.doc_id < r.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*)::bigint AS sz FROM terms GROUP BY 1),
+            inter AS (
+              SELECT p.a, p.b, count(*)::bigint AS inter
+              FROM pairs p
+              JOIN terms ta ON ta.doc_id = p.a
+              JOIN terms tb ON tb.doc_id = p.b AND tb.term = ta.term
+              GROUP BY p.a, p.b
+            )
+            SELECT i.a, i.b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+                   floor(i.inter::double / (sa.sz + sb.sz - i.inter)::double * 1000000 + 0.5) / 1000000 AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+            WHERE i.inter::double / (sa.sz + sb.sz - i.inter)::double >= 0.5
+        """,
+        "simhash": f"""
+            WITH {_TOK_CTE},
+            h AS (
+              SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::bigint AS h
+              FROM tf
+            ),
+            bits AS (
+              SELECT doc_id, r.r,
+                     sum(tf * (((h >> r.r) & 1) * 2 - 1))::bigint AS s
+              FROM h CROSS JOIN (SELECT unnest(range(16)) AS r) r
+              GROUP BY doc_id, r.r
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::bigint << r) ELSE 0 END)::bigint AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT unnest(embedding)::double AS qx, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings WHERE vec_id = 0
+            ),
+            v AS (
+              SELECT vec_id, unnest(embedding)::double AS x, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            stats AS (
+              SELECT v.vec_id,
+                     sum(floor(v.x * q.qx * 1000000000 + 0.5)::bigint)::bigint AS dot_q,
+                     sum(floor(v.x * v.x * 1000000000 + 0.5)::bigint)::bigint AS norm2_q
+              FROM v JOIN q USING (pos) GROUP BY v.vec_id
+            ),
+            qn AS (SELECT norm2_q AS qnorm2_q FROM stats WHERE vec_id = 0)
+            SELECT vec_id,
+                   floor(dot_q::double / (sqrt(norm2_q::double) * sqrt(qnorm2_q::double)) * 1e6 + 0.5) / 1e6 AS cos
+            FROM stats CROSS JOIN qn
+            WHERE vec_id != 0
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))::bigint AS n_tokens,
+                   len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_REGEX}')))::bigint AS n_distinct_terms
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     length(text)::bigint AS n_chars,
+                     regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS toks,
+                     length(regexp_replace(lower(text), '[^a-z0-9_]', '', 'g'))::bigint AS alpha_chars
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, n_chars, len(toks)::bigint AS n_tokens,
+                     alpha_chars::double / greatest(n_chars, 1)::double AS alpha_ratio,
+                     len(list_filter(toks, t -> t IN ({_STOP_SQL})))::double
+                       / greatest(len(toks), 1)::double AS stopword_ratio,
+                     list_sum(list_transform(toks, t -> length(t)))::double
+                       / greatest(len(toks), 1)::double AS mean_token_len
+              FROM base
+            )
+            SELECT doc_id, n_chars, n_tokens, alpha_ratio, stopword_ratio, mean_token_len,
+                   round(least(1.0, alpha_ratio * 0.5 + least(n_tokens::double / 100.0, 1.0) * 0.5), 6) AS quality
+            FROM feat
+        """,
+        "lang_id": f"""
+            WITH base AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     len(list_filter(toks, t -> t IN ({_MARK_SQL})))::double
+                       / greatest(len(toks), 1)::double AS ratio
+              FROM base
+            )
+            SELECT doc_id, round(ratio, 6) AS marker_ratio,
+                   CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_guess
+            FROM r
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                   count(*)::bigint AS n,
+                   sum(floor(value * 1000000 + 0.5)::bigint)::double / 1e6 AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sid AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)::bigint AS session_id
+              FROM marked
+            )
+            SELECT user_id, session_id, count(*)::bigint AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM sid GROUP BY 1, 2
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(floor(l_quantity * 100 + 0.5)::bigint)::bigint AS sum_qty_q,
+                   sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::bigint)::bigint AS sum_rev_q,
+                   count(*)::bigint AS n_rows
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "broadcast_join_agg": """
+            SELECT p_brand,
+                   sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::bigint)::bigint AS rev_q,
+                   count(*)::bigint AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::bigint AS n,
+                   sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint AS total_q
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+    }
+    return sql
+
+
+# ---------------------------------------------------------------- entry
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: build the posting-list index over sf0.001 documents and
+    answer the hot+rare disjunctive BM25 top-k via block-max WAND."""
+    return q_index_wand_topk(spark, "/root/testdata/sf0.001")

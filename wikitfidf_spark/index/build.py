@@ -71,6 +71,8 @@ class IndexConfig:
     hot_df_threshold: int = 262144  # per-shard df above which a term splits
     text_col: str = "content"
     topic_col: str = "lang"
+    # natural-key columns hashed into the stable doc_id; empty tuple =
+    # the input already carries a unique ``doc_id`` column (used as-is)
     id_cols: tuple[str, ...] = ("repo", "path", "commit")
 
     def to_json(self) -> dict:
@@ -133,9 +135,8 @@ def build_index(
     post_path = os.path.join(index_dir, "postings.parquet")
     lineage_path = os.path.join(index_dir, "lineage.parquet")
 
-    base = docs.withColumn("doc_id", F.xxhash64(*cfg.id_cols)).withColumn(
-        "content_sha256", F.sha2(F.col(cfg.text_col), 256)
-    )
+    base = docs if not cfg.id_cols else docs.withColumn("doc_id", F.xxhash64(*cfg.id_cols))
+    base = base.withColumn("content_sha256", F.sha2(F.col(cfg.text_col), 256))
 
     # ---- phase 1: per-doc term frequencies (Arrow fused tokenize+count)
     if not _phase_done(manifest, "tf", tf_path):

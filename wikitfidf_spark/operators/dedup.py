@@ -1,0 +1,155 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+No reference counterpart (wikitfidf never dedups); these are the
+training-data-pipeline extensions the engine needs at 100 TB.  All
+paths are pure DataFrame ops (JVM codegen, shuffle-minimal) and are
+expressible in ANSI SQL for oracle checking.
+
+- exact:    hash-groupBy on md5(text) — one shuffle on a uniform key.
+- minhash:  k independent MinHash signatures from md5(seed || term)
+            over the distinct token set, banded LSH → candidate pairs
+            via an equi-join on (band_idx, band); only docs sharing a
+            band ever meet, so the join is linear-ish in practice
+            instead of O(n²).
+- jaccard:  exact token-set Jaccard verified on the LSH candidates
+            (the classic candidate-then-verify split: cheap recall
+            stage + exact precision stage).
+- simhash:  tf-weighted 16-bit SimHash via a bit-position explode —
+            still pure SQL (md5 hex → int bucket), groupable for
+            near-dup banding.
+
+Determinism: every hash is md5-of-string (identical across Spark,
+DuckDB, Python); tie-breaks keep the smallest doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 16
+
+
+def exact_dup_groups(docs: DataFrame, *, doc_id: str = "doc_id", text: str = "text") -> DataFrame:
+    """(text_md5, keep_id, n_dups): canonical representative = min id."""
+    return (
+        docs.select(F.md5(F.col(text)).alias("text_md5"), F.col(doc_id))
+        .groupBy("text_md5")
+        .agg(F.min(doc_id).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def dedup_exact(docs: DataFrame, *, doc_id: str = "doc_id", text: str = "text") -> DataFrame:
+    """Docs minus exact duplicates (keeps min doc_id per content hash)."""
+    keep = exact_dup_groups(docs, doc_id=doc_id, text=text).select(
+        F.col("keep_id").alias(doc_id)
+    )
+    return docs.join(keep, doc_id, "left_semi")
+
+
+def _minhash_sig(tf: DataFrame, n_hashes: int, doc_id: str) -> DataFrame:
+    """One row per doc with n_hashes MinHash columns s0..s{n-1}.
+    h_i(term) = md5('<i>:' || term); signature = min per doc."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"s{i}")
+        for i in range(n_hashes)
+    ]
+    return tf.select(doc_id, "term").distinct().groupBy(doc_id).agg(*aggs)
+
+
+def minhash_bands(
+    tf: DataFrame, *, doc_id: str = "doc_id", n_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_id, band_idx, band) — LSH bucketing of MinHash signatures."""
+    sig = _minhash_sig(tf, n_hashes, doc_id)
+    n_bands = n_hashes // rows_per_band
+    parts = []
+    for j in range(n_bands):
+        cols = [F.col(f"s{j * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sig.select(
+                F.col(doc_id),
+                F.lit(j).alias("band_idx"),
+                F.concat_ws("|", *cols).alias("band"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidates(
+    tf: DataFrame, *, doc_id: str = "doc_id", n_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band."""
+    b = minhash_bands(tf, doc_id=doc_id, n_hashes=n_hashes, rows_per_band=rows_per_band)
+    left = b.select(F.col("band_idx"), F.col("band"), F.col(doc_id).alias("a"))
+    right = b.select(F.col("band_idx"), F.col("band"), F.col(doc_id).alias("b"))
+    return (
+        left.join(right, ["band_idx", "band"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, tf: DataFrame, *, doc_id: str = "doc_id"
+) -> DataFrame:
+    """(a, b, inter, size_a, size_b, jaccard) — exact token-set Jaccard
+    for given candidate pairs.  Joins are on doc ids (uniform keys)."""
+    terms = tf.select(F.col(doc_id), "term").distinct()
+    sizes = terms.groupBy(doc_id).agg(F.count("*").alias("sz"))
+    ta = terms.select(F.col(doc_id).alias("a"), "term")
+    tb = terms.select(F.col(doc_id).alias("b"), "term")
+    inter = (
+        pairs.join(ta, "a").join(tb, ["b", "term"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(doc_id).alias("a"), F.col("sz").alias("size_a")), "a")
+        .join(sizes.select(F.col(doc_id).alias("b"), F.col("sz").alias("size_b")), "b")
+        .select(
+            "a", "b", "inter", "size_a", "size_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def term_hash60(term: F.Column | str) -> F.Column:
+    """First 15 hex chars of md5 as a bigint (fits in 60 bits) —
+    identical in Spark (conv) and DuckDB ('0x…'::bigint)."""
+    c = F.col(term) if isinstance(term, str) else term
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash(tf: DataFrame, *, doc_id: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash over ``bits`` low bits of
+    the term hash.  Bit-position explode keeps it pure SQL: each (doc,
+    term) row fans out ``bits`` rows; the per-(doc,bit) signed sum's
+    sign is the output bit."""
+    h = tf.select(
+        F.col(doc_id), F.col("tf"), term_hash60("term").alias("h")
+    ).select(
+        doc_id, "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("r")
+    )
+    signed = h.select(
+        F.col(doc_id),
+        "r",
+        (F.col("tf") * (F.expr("shiftright(h, cast(r as int)) & 1") * 2 - 1)).alias("c"),
+    )
+    return (
+        signed.groupBy(doc_id, "r")
+        .agg(F.sum("c").alias("s"))
+        .groupBy(doc_id)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(r as int))")).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+Pipeline extension (no reference counterpart).  Two strategies:
+
+- brute-force cosine top-k: the exact baseline.  Deterministic across
+  engines via the quantized-integer-sum trick (operators/scoring.py):
+  per-element products are quantized to int64 *before* the distributed
+  sum, so dot products are bit-identical at any parallelism and match
+  the DuckDB oracle.  Positional explode + broadcast join on position
+  keeps it pure JVM SQL; an Arrow/numpy variant is provided for speed.
+- LSH-bucketed (random-hyperplane signs): the scale path — docs are
+  bucketed by a deterministic sign signature; candidates only compare
+  within a bucket (same candidate/verify split as dedup.minhash).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOT_QUANT = 1_000_000_000  # 1e9: per-element product quantization
+
+
+def _quantized_pos_products(vecs: DataFrame, qvec: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, dot_q, norm2_q) vs the single-row query vector, via
+    posexplode + broadcast position join; all sums are exact int64."""
+    v = vecs.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    q = qvec.select(F.posexplode(F.col(vec_col)).alias("pos", "qx")).withColumn(
+        "qx", F.col("qx").cast("double")
+    )
+    joined = v.join(F.broadcast(q), "pos")
+    return joined.groupBy(id_col).agg(
+        F.sum(F.floor(F.col("x") * F.col("qx") * F.lit(float(DOT_QUANT)) + F.lit(0.5)).cast("long")).alias("dot_q"),
+        F.sum(F.floor(F.col("x") * F.col("x") * F.lit(float(DOT_QUANT)) + F.lit(0.5)).cast("long")).alias("norm2_q"),
+    )
+
+
+def cosine_topk_bruteforce(
+    vecs: DataFrame,
+    query_id: int,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to the vector with ``query_id``; excludes
+    the query row; (cos desc, id asc) tie-break, cos rounded to 6."""
+    qvec = vecs.filter(F.col(id_col) == query_id)
+    stats = _quantized_pos_products(vecs, qvec, id_col, vec_col)
+    qn = stats.filter(F.col(id_col) == query_id).select(
+        F.col("norm2_q").alias("qnorm2_q")
+    )
+    cos = (
+        stats.crossJoin(F.broadcast(qn))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            (
+                F.floor(
+                    F.col("dot_q").cast("double")
+                    / (F.sqrt(F.col("norm2_q").cast("double")) * F.sqrt(F.col("qnorm2_q").cast("double")))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("cos"),
+        )
+    )
+    return cos.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def cosine_topk_arrow(
+    vecs: DataFrame,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy brute-force: per-partition top-k (mapInPandas with a
+    matrix product) then a global TakeOrderedAndProject — the shape that
+    survives 10^9 vectors (no explode, no shuffle before the cut)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            dots = np.floor(m * q * DOT_QUANT + 0.5).sum(axis=1)
+            norms = np.floor(m * m * DOT_QUANT + 0.5).sum(axis=1)
+            cos = dots / (np.sqrt(norms) * np.sqrt(np.floor(q * q * DOT_QUANT + 0.5).sum()))
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            out = pd.DataFrame({id_col: pdf[id_col], "cos": cos})
+            yield out.nlargest(k, "cos")  # per-partition cut
+
+    local = vecs.select(id_col, vec_col).mapInPandas(score, f"{id_col} long, cos double")
+    return local.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_signature(
+    vecs: DataFrame, n_planes: int = 8, *, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7
+) -> DataFrame:
+    """(id, sig) deterministic random-hyperplane LSH signature.  Planes
+    are seeded numpy normals broadcast in the closure; vectorized
+    matrix product per Arrow batch."""
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if planes is None:
+                planes = np.random.RandomState(seed).randn(m.shape[1], n_planes)
+            bits = (m @ planes) > 0
+            sig = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+
+    return vecs.select(id_col, vec_col).mapInPandas(make, f"{id_col} long, sig long")
+
+
+def cosine_topk_lsh(
+    vecs: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: restrict brute force to the query's LSH bucket.
+    Approximate (recall < 1); exactness tests use the brute-force op."""
+    sig = hyperplane_signature(vecs, n_planes, id_col=id_col, vec_col=vec_col)
+    qsig = sig.filter(F.col(id_col) == query_id).select(F.col("sig").alias("qsig"))
+    bucket_ids = (
+        sig.crossJoin(F.broadcast(qsig)).filter(F.col("sig") == F.col("qsig")).select(id_col)
+    )
+    bucket = vecs.join(bucket_ids, id_col, "left_semi")
+    return cosine_topk_bruteforce(bucket, query_id, k, id_col=id_col, vec_col=vec_col)
