@@ -1,0 +1,160 @@
+"""Golden end-to-end: synthetic corpus → index build → WAND/relational
+queries vs a transparent pure-Python BM25 oracle (SURVEY.md §5 c/d/e/f):
+rank-identity, degenerate TF-IDF mode, sha256 invariance, resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikitfidf_spark.index.build import IndexConfig, build_index, load_manifest
+from wikitfidf_spark.index.query import InvertedIndex, Query
+from wikitfidf_spark.operators.scoring import bm25_quantized_py, tfidf_py
+from wikitfidf_spark.tokenize import tokenize_py
+
+IDX_DIR = "/tmp/wikitfidf_test_idx"
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus):
+    shutil.rmtree(IDX_DIR, ignore_errors=True)
+    cfg = IndexConfig(n_shards=4, n_salts=4)
+    res = build_index(spark, corpus, IDX_DIR, cfg)
+    return res
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, corpus):
+    rows = corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).select(
+        "doc_id", "content"
+    ).collect()
+    tfs = {r["doc_id"]: Counter(tokenize_py(r["content"])) for r in rows}
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    n = len(tfs)
+    avgdl = sum(dls.values()) / n
+    dfc = Counter()
+    for c in tfs.values():
+        dfc.update(c.keys())
+    return tfs, dls, dfc, n, avgdl
+
+
+def _oracle_topk(oracle, terms, k, mode):
+    tfs, dls, dfc, n, avgdl = oracle
+    out = {}
+    uniq = set(terms)
+    for d, c in tfs.items():
+        present = [t for t in uniq if t in c]
+        if not present or (mode == "AND" and len(present) < len(uniq)):
+            continue
+        out[d] = sum(bm25_quantized_py(c[t], dls[d], dfc[t], n, avgdl) for t in present)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+QUERIES = [
+    Query(1, ["get_set"], "OR", 10),
+    Query(2, ["rare_conjunct_alpha", "rare_conjunct_beta"], "AND", 10),
+    Query(3, ["rare_conjunct_alpha", "todo_hack"], "OR", 25),
+    Query(4, ["absent_term_xyz"], "OR", 5),
+]
+
+
+def test_build_metrics(built):
+    m = built.metrics
+    assert m["total_docs"] == 300
+    assert m["n_postings"] > 0 and m["payload_bytes"] > 0
+    assert m["skew_ratio"] > 1.0  # Zipfian vocabulary must show skew
+    assert m["postings_per_sec"] > 0
+
+
+def test_wand_rank_identity(spark, built, oracle):
+    idx = InvertedIndex(spark, IDX_DIR)
+    # add hot-head queries from the actual corpus
+    _, _, dfc, _, _ = oracle
+    hot = sorted(dfc, key=lambda t: (-dfc[t], t))[:3]
+    rare = sorted(dfc, key=lambda t: (dfc[t], t))[0]
+    qs = QUERIES + [Query(5, hot, "OR", 10), Query(6, [hot[0], rare], "AND", 10)]
+    got = idx.topk_batch(qs).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score_q"]))
+    for q in qs:
+        assert by_q.get(q.query_id, []) == _oracle_topk(oracle, q.terms, q.k, q.mode), q
+
+
+def test_relational_equals_wand(spark, built, oracle):
+    idx = InvertedIndex(spark, IDX_DIR)
+    for q in QUERIES[:3]:
+        wand = [(r["doc_id"], r["score_q"]) for r in idx.topk(q.terms, q.k, q.mode).orderBy(F.desc("score_q"), "doc_id").collect()]
+        rel = [(r["doc_id"], r["score_q"]) for r in idx.topk_relational(q.terms, q.k, q.mode).collect()]
+        assert wand == rel, q
+
+
+def test_degenerate_tfidf_mode(spark, built, oracle):
+    """north_star: single-term query reproduces reference TF-IDF ranks."""
+    tfs, dls, dfc, n, _ = oracle
+    idx = InvertedIndex(spark, IDX_DIR)
+    term = "todo_hack"
+    got = {
+        (r["doc_id"]): r["tfidf"]
+        for r in idx.tfidf_scores([term]).collect()
+    }
+    exp = {
+        d: tfidf_py(c[term], dls[d], dfc[term], n)
+        for d, c in tfs.items()
+        if term in c
+    }
+    assert got == exp
+
+
+def test_sha256_invariance(spark, built, corpus):
+    """BASELINE.json:input_hint: content sha256 preserved end-to-end."""
+    import hashlib
+
+    idx = InvertedIndex(spark, IDX_DIR)
+    meta = {r["doc_id"]: r["content_sha256"] for r in idx.docmeta.collect()}
+    src = corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).collect()
+    for r in src:
+        assert meta[r["doc_id"]] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_doc_id_no_collisions(spark, corpus):
+    n = corpus.count()
+    assert corpus.select(F.xxhash64("repo", "path", "commit")).distinct().count() == n
+
+
+def test_resume_after_partial_build(spark, corpus):
+    """Kill after phase 2, rerun, identical final index (SURVEY §5 f)."""
+    d2 = "/tmp/wikitfidf_test_idx_resume"
+    shutil.rmtree(d2, ignore_errors=True)
+    cfg = IndexConfig(n_shards=4, n_salts=4)
+    build_index(spark, corpus, d2, cfg)
+    full = load_manifest(d2)
+    # simulate a crash: drop the postings + dictionary phases
+    shutil.rmtree(os.path.join(d2, "postings.parquet"))
+    m = load_manifest(d2)
+    del m["phases"]["postings"], m["phases"]["dictionary"]
+    with open(os.path.join(d2, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    res = build_index(spark, corpus, d2, cfg)  # resume
+    m2 = load_manifest(d2)
+    assert m2["phases"].keys() == full["phases"].keys()
+    assert res.metrics["n_postings"] == full["metrics"]["n_postings"]
+    assert res.metrics["payload_bytes"] == full["metrics"]["payload_bytes"]
+    # resumed index answers identically
+    idx = InvertedIndex(spark, d2)
+    idx0 = InvertedIndex(spark, IDX_DIR)
+    a = [(r["doc_id"], r["score_q"]) for r in idx.topk(["get_set"], 10).collect()]
+    b = [(r["doc_id"], r["score_q"]) for r in idx0.topk(["get_set"], 10).collect()]
+    assert a == b
+
+
+def test_empty_and_missing_terms(spark, built):
+    idx = InvertedIndex(spark, IDX_DIR)
+    assert idx.topk_batch([]).count() == 0
+    assert idx.topk(["absent_term_xyz"], 5).count() == 0
+    assert idx.topk(["absent_term_xyz", "get_set"], 5, "AND").count() == 0

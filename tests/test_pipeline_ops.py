@@ -1,0 +1,122 @@
+"""Dedup / similarity / textstats / multimodal / streaming operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wikitfidf_spark.operators import dedup, similarity, multimodal
+from wikitfidf_spark.operators.termstats import term_frequencies
+from wikitfidf_spark.streaming import jobs as stream_jobs
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rows = [
+        (1, "alpha beta gamma delta common tokens here"),
+        (2, "alpha beta gamma delta common tokens here"),     # exact dup of 1
+        (3, "alpha beta gamma delta common tokens nearby"),   # near dup
+        (4, "totally different content words appear once"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    groups = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dup_groups(docs_with_dups).collect()}
+    assert groups == {1: 2, 3: 1, 4: 1}
+    kept = {r["doc_id"] for r in dedup.dedup_exact(docs_with_dups).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_minhash_finds_near_dups(spark, docs_with_dups):
+    tf = term_frequencies(docs_with_dups, text="text")
+    pairs = {(r["a"], r["b"]) for r in dedup.minhash_candidates(tf).collect()}
+    assert (1, 2) in pairs  # identical token sets share every band
+    j = dedup.jaccard_on_pairs(
+        spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "a long, b long"), tf
+    ).collect()
+    by_pair = {(r["a"], r["b"]): r for r in j}
+    assert by_pair[(1, 2)]["jaccard"] == 1.0
+    assert 0.5 < by_pair[(1, 3)]["jaccard"] < 1.0
+    assert (1, 4) not in by_pair  # zero shared terms -> drops out (jaccard 0)
+
+
+def test_simhash_similarity(spark, docs_with_dups):
+    tf = term_frequencies(docs_with_dups, text="text")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(tf).collect()}
+    assert sh[1] == sh[2]  # identical docs -> identical fingerprint
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near <= ham_far
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16)
+    base[1] = base[0] + 0.01 * rng.randn(16)  # vec 1 ~ vec 0
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_bruteforce_vs_numpy(spark, vectors):
+    got = [(r["vec_id"], r["cos"]) for r in similarity.cosine_topk_bruteforce(vectors, 0, 5).collect()]
+    m = np.array([r["embedding"] for r in vectors.orderBy("vec_id").collect()])
+    q = m[0]
+    dots = np.floor(m * q * similarity.DOT_QUANT + 0.5).sum(axis=1)
+    norms = np.floor(m * m * similarity.DOT_QUANT + 0.5).sum(axis=1)
+    cos = dots / (np.sqrt(norms) * np.sqrt(norms[0]))
+    cos = np.floor(cos * 1e6 + 0.5) / 1e6
+    order = sorted(((c, i) for i, c in enumerate(cos) if i != 0), key=lambda t: (-t[0], t[1]))[:5]
+    assert got == [(i, c) for c, i in order]
+    assert got[0][0] == 1  # the planted neighbour wins
+
+
+def test_cosine_arrow_matches_bruteforce(spark, vectors):
+    q = np.array(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    arrow = [(r["vec_id"], r["cos"]) for r in similarity.cosine_topk_arrow(vectors.filter("vec_id != 0"), q, 5).collect()]
+    brute = [(r["vec_id"], r["cos"]) for r in similarity.cosine_topk_bruteforce(vectors, 0, 5).collect()]
+    assert arrow == brute
+
+
+def test_lsh_bucket_contains_self_neighbour(spark, vectors):
+    got = [r["vec_id"] for r in similarity.cosine_topk_lsh(vectors, 0, 5).collect()]
+    assert 1 in got  # near-identical vector lands in the same bucket
+
+
+def test_multimodal_plumbing(spark, docs_with_dups):
+    media = multimodal.attach_binary_payload(docs_with_dups)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 4
+    for r in feats:
+        src = [x for x in docs_with_dups.collect() if x["doc_id"] == r["doc_id"]][0]
+        payload = src["text"].encode()
+        assert r["n_bytes"] == len(payload)
+        assert r["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
+
+
+def test_streaming_parity_with_batch(spark, tmp_path):
+    """readStream + availableNow + memory sink == batch plan."""
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in stream_jobs.windowed_counts(batch).collect()
+    }
+    # streaming parquet source requires a directory
+    import shutil
+
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet")
+    sdf = stream_jobs.stream_windowed_counts(spark, str(src_dir))
+    out = stream_jobs.run_stream_to_memory(spark, sdf, "t_win")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert got == expected

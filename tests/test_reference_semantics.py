@@ -1,0 +1,106 @@
+"""Unit tests replicating the reference's own test fixtures
+(SURVEY.md §5): TF counting (wordmapperbypage_test.go:10-24), doc length
+(pagemapaggregator_test.go:10-28), plus the operator quirks documented
+in SURVEY.md §2 (distinct-counting S15/S16, min-by-length S8/S11)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from wikitfidf_spark.operators import termstats, topk, stemdict
+from wikitfidf_spark.operators.badwords import badwords_report
+from wikitfidf_spark.operators.scoring import round_half_up_py, tfidf_py
+
+
+def test_tf_counting_reference_fixture(spark):
+    """wordmapperbypage_test.go:18-19: ["go","go","gopher","lang","code",
+    "gopher"] -> {go:2, gopher:2, lang:1, code:1}.  Our tokenizer drops
+    words < 3 chars ("go") by the reference's own MIN_WORD_LENGTH=3
+    filter (textnormalizer.pyx:170-176), so feed tokens post-filter."""
+    docs = spark.createDataFrame(
+        [(12345, "gopher golang code gopher lang code")], "doc_id long, content string"
+    )
+    tf = termstats.term_frequencies(docs)
+    got = {r["term"]: r["tf"] for r in tf.collect()}
+    assert got == {"gopher": 2, "golang": 1, "code": 2, "lang": 1}
+
+
+def test_doc_length_reference_fixture(spark):
+    """pagemapaggregator_test.go:11-23: freqs {10,50,1,15} -> Tot 76."""
+    tf = spark.createDataFrame(
+        [(1, "abc", 10), (1, "def", 50), (1, "ghi", 1), (1, "lmn", 15)],
+        "doc_id long, term string, tf long",
+    )
+    assert termstats.doc_lengths(tf).collect()[0]["doc_len"] == 76
+
+
+def test_global_stats_sentinel_totals(spark):
+    """globalwordmapper.go:62-65 sentinels: '@Total Word' = grand token
+    count, '@Total Page' = number of docs."""
+    tf = spark.createDataFrame(
+        [(1, "aaa", 2), (1, "bbb", 3), (2, "aaa", 5)],
+        "doc_id long, term string, tf long",
+    )
+    total_tokens, total_docs = termstats.totals(tf)
+    assert (total_tokens, total_docs) == (10, 2)
+    stats = {r["term"]: (r["cf"], r["df"]) for r in termstats.global_term_stats(tf).collect()}
+    assert stats == {"aaa": (7, 2), "bbb": (3, 1)}
+
+
+def test_salted_agg_equals_plain(spark, corpus):
+    tf = termstats.term_frequencies(corpus)
+    plain = {r["term"]: (r["cf"], r["df"]) for r in termstats.global_term_stats(tf).collect()}
+    salted = {r["term"]: (r["cf"], r["df"]) for r in termstats.global_term_stats(tf, n_salts=7).collect()}
+    assert plain == salted
+
+
+def test_tfidf_reference_formula():
+    """tfidf.go:100-103: tf=freq/Tot, idf=log10(N/df), round half-up 4."""
+    assert tfidf_py(2, 10, 1, 100) == round_half_up_py(0.2 * math.log10(100.0), 4)
+    assert tfidf_py(1, 4, 2, 8) == round_half_up_py(0.25 * math.log10(4.0), 4)
+    # Go math.Round semantics: 0.00005 -> 0.0001 (half away from zero)
+    assert round_half_up_py(0.00005, 4) == 0.0001
+
+
+def test_badwords_distinct_semantics(spark):
+    """badwords.go:136-144 iterates map keys: abs counts DISTINCT
+    flagged terms, not occurrences; clean docs drop out."""
+    tf = spark.createDataFrame(
+        [(1, "bad1", 9), (1, "ok", 1), (2, "ok", 5)],
+        "doc_id long, term string, tf long",
+    )
+    dl = termstats.doc_lengths(tf)
+    rep = badwords_report(tf, dl, ["bad1", "bad2"]).collect()
+    assert len(rep) == 1
+    assert rep[0]["doc_id"] == 1 and rep[0]["abs"] == 1  # tf=9 but distinct=1
+    assert rep[0]["rel"] == 1 / 10
+
+
+def test_stem_dict_min_by_length(spark):
+    """stemrevaggregator.go:53-61: strictly-shorter wins; our total
+    tie-break (len, word)."""
+    terms = spark.createDataFrame(
+        [("walk9",), ("walk12",), ("walk7",)], "term string"
+    )
+    d = {r["stem"]: r["original"] for r in stemdict.stem_dict(terms).collect()}
+    assert d == {"walk": "walk7"}  # shortest, then lexicographic
+
+
+def test_topn_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "bbb", 0.5), (1, "aaa", 0.5), (1, "ccc", 0.9)],
+        "doc_id long, term string, tfidf double",
+    )
+    rows = topk.top_n_words_per_doc(df, 2).orderBy("rank").collect()
+    assert [r["term"] for r in rows] == ["ccc", "aaa"]  # tie: term asc
+
+
+def test_topn_recent(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00"), (1, 11, "2024-01-03 00:00:00"), (1, 12, "2024-01-02 00:00:00")],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_id"] for r in topk.top_n_recent_per_group(ev, "user_id", "ts", 2, "event_id").collect()}
+    assert got == {11, 12}

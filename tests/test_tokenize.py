@@ -1,0 +1,50 @@
+"""Tokenizer equality across all implementations + length-filter parity
+with the reference (textnormalizer.pyx:170-176)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+
+from wikitfidf_spark.operators import termstats
+from wikitfidf_spark.tokenize import TOKEN_REGEX, tf_map_in_pandas, tokenize_py
+
+
+def test_length_bounds():
+    assert tokenize_py("ab abc " + "x" * 33 + " " + "y" * 34) == ["abc", "x" * 33, ("y" * 34)[:33]]
+    # 34-char identifier: greedy match takes 33, remainder 'y' too short
+    assert tokenize_py("_ _a _ab") == ["_ab"]
+
+
+def test_case_and_digits():
+    assert tokenize_py("FooBar baz9 9abc") == ["foobar", "baz9", "abc"]
+
+
+def test_jvm_equals_arrow_equals_python(spark, corpus, corpus_pdf):
+    jvm = termstats.term_frequencies(corpus)
+    arrow = tf_map_in_pandas(corpus)
+    a = {(r["doc_id"], r["term"]): r["tf"] for r in jvm.collect()}
+    b = {(r["doc_id"], r["term"]): r["tf"] for r in arrow.collect()}
+    assert a == b
+    # python oracle on the same docs (keyed by natural key via pandas)
+    from pyspark.sql import functions as F
+
+    ids = corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).select(
+        "doc_id", "content"
+    ).collect()
+    c = {}
+    for r in ids:
+        for t, n in Counter(tokenize_py(r["content"])).items():
+            c[(r["doc_id"], t)] = n
+    assert a == c
+
+
+def test_duckdb_regex_parity(corpus_pdf):
+    con = duckdb.connect()
+    con.register("docs", corpus_pdf)
+    rows = con.execute(
+        f"SELECT content, regexp_extract_all(lower(content), '{TOKEN_REGEX}') FROM docs LIMIT 100"
+    ).fetchall()
+    for content, toks in rows:
+        assert toks == tokenize_py(content)

@@ -1,0 +1,87 @@
+"""WAND algorithm unit tests against a brute-force scorer, exercising
+block boundaries, pruning, sub-shard lists, and tie-breaks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wikitfidf_spark.index import codec
+from wikitfidf_spark.index.query import wand_top_k
+
+
+def _make_row(docs, scores, block_size=4):
+    docs = np.asarray(docs, dtype=np.int64)
+    scores = np.asarray(scores, dtype=np.int64)
+    enc = codec.encode_postings(docs, np.ones(len(docs), np.int64), scores, block_size)
+    return {
+        "n_docs": enc.n,
+        "block_counts": enc.block_counts,
+        "block_firsts": enc.block_firsts,
+        "block_lasts": enc.block_lasts,
+        "block_max_score": enc.block_max_score,
+        "block_doc_offs": enc.block_doc_offs,
+        "block_score_offs": enc.block_score_offs,
+        "docs_payload": enc.docs_payload,
+        "tfs_payload": enc.tfs_payload,
+        "scores_payload": enc.scores_payload,
+    }
+
+
+def _brute(term_lists, k, mode):
+    # term_lists: term -> [(doc, score)]
+    scores = {}
+    present = {}
+    for t, lst in term_lists.items():
+        for d, s in lst:
+            scores[d] = scores.get(d, 0) + s
+            present.setdefault(d, set()).add(t)
+    n = len(term_lists)
+    items = [
+        (d, s) for d, s in scores.items() if mode == "OR" or len(present[d]) == n
+    ]
+    return sorted(items, key=lambda t: (-t[1], t[0]))[:k]
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_wand_randomized(mode, seed):
+    rng = np.random.RandomState(seed)
+    term_lists = {}
+    rows = {}
+    universe = rng.choice(10_000, size=500, replace=False).astype(np.int64) - 5000
+    for t in "abcde":
+        n = rng.randint(5, 400)
+        docs = np.sort(rng.choice(universe, size=n, replace=False))
+        scores = rng.randint(1, 1_000_000, size=n)
+        term_lists[t] = list(zip(docs.tolist(), scores.tolist()))
+        rows[t] = [_make_row(docs, scores, block_size=int(rng.choice([2, 4, 64])))]
+    for k in (1, 5, 50):
+        assert wand_top_k(rows, k, mode) == _brute(term_lists, k, mode), (mode, seed, k)
+
+
+def test_wand_sub_shards_merge():
+    """A term split into disjoint sub-lists must behave as one list."""
+    rng = np.random.RandomState(9)
+    docs = np.sort(rng.choice(5000, size=300, replace=False)).astype(np.int64)
+    scores = rng.randint(1, 10**6, size=300)
+    whole = {"t": [_make_row(docs, scores)]}
+    split = {"t": [
+        _make_row(docs[::2], scores[::2]),
+        _make_row(docs[1::2], scores[1::2]),
+    ]}
+    for k in (3, 20):
+        assert wand_top_k(whole, k, "OR") == wand_top_k(split, k, "OR")
+
+
+def test_tie_break_smallest_doc_wins():
+    rows = {"t": [_make_row([5, 1, 9], [7, 7, 7])]}
+    assert wand_top_k(rows, 2, "OR") == [(1, 7), (5, 7)]
+
+
+def test_and_requires_all_terms():
+    rows = {
+        "a": [_make_row([1, 2, 3], [10, 10, 10])],
+        "b": [_make_row([2, 3, 4], [5, 5, 5])],
+    }
+    assert wand_top_k(rows, 10, "AND") == [(2, 15), (3, 15)]
