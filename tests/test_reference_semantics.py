@@ -50,7 +50,9 @@ def test_global_stats_sentinel_totals(spark):
 
 
 def test_salted_agg_equals_plain(spark, corpus):
-    tf = termstats.term_frequencies(corpus)
+    from wikitfidf_spark.corpus import with_doc_id
+
+    tf = termstats.term_frequencies(with_doc_id(corpus))
     plain = {r["term"]: (r["cf"], r["df"]) for r in termstats.global_term_stats(tf).collect()}
     salted = {r["term"]: (r["cf"], r["df"]) for r in termstats.global_term_stats(tf, n_salts=7).collect()}
     assert plain == salted

@@ -22,17 +22,15 @@ def test_case_and_digits():
 
 
 def test_jvm_equals_arrow_equals_python(spark, corpus, corpus_pdf):
-    jvm = termstats.term_frequencies(corpus)
-    arrow = tf_map_in_pandas(corpus)
+    from wikitfidf_spark.corpus import with_doc_id
+
+    docs = with_doc_id(corpus)
+    jvm = termstats.term_frequencies(docs)
+    arrow = tf_map_in_pandas(docs)
     a = {(r["doc_id"], r["term"]): r["tf"] for r in jvm.collect()}
     b = {(r["doc_id"], r["term"]): r["tf"] for r in arrow.collect()}
     assert a == b
-    # python oracle on the same docs (keyed by natural key via pandas)
-    from pyspark.sql import functions as F
-
-    ids = corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).select(
-        "doc_id", "content"
-    ).collect()
+    ids = docs.select("doc_id", "content").collect()
     c = {}
     for r in ids:
         for t, n in Counter(tokenize_py(r["content"])).items():

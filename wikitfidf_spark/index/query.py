@@ -201,7 +201,7 @@ def wand_top_k(
         out = sorted(heap, key=lambda t: (-t[0], -t[1]))
         return [(-d, s) for s, d in out]
 
-    # ---- OR: block-max WAND
+    # ---- OR: block-max WAND (Ding & Suel 2011)
     while True:
         live = [c for c in cursors if not c.exhausted]
         if not live:
@@ -219,31 +219,35 @@ def wand_top_k(
         if pivot_idx < 0:
             break  # sum of all upper bounds can't reach theta
         pivot_doc = live[pivot_idx].cur_doc
+        # extend the pivot across lists tied at pivot_doc: they all
+        # contribute to its score and must join the block-UB check
+        while pivot_idx + 1 < len(live) and live[pivot_idx + 1].cur_doc == pivot_doc:
+            pivot_idx += 1
         if live[0].cur_doc == pivot_doc:
-            # block-max check: can the actual blocks reach theta?
             if full:
-                block_ub = 0
-                for c in live[: pivot_idx + 1]:
-                    c.next_geq(pivot_doc)
-                    if not c.exhausted and c.cur_doc == pivot_doc:
-                        block_ub += c.cur_block_max()
-                    elif not c.exhausted:
-                        block_ub += c.ub
+                # block-max refinement over every list at pivot_doc
+                block_ub = sum(c.cur_block_max() for c in live[: pivot_idx + 1])
                 if block_ub < theta:
-                    # skip past the shallowest block boundary
+                    # pivot_doc (and everything up to the shallowest
+                    # block boundary, capped by the next list's cursor,
+                    # which only lists 0..pivot can contain) can't win
                     boundary = min(
-                        (l.block_boundary() for c in live[: pivot_idx + 1]
-                         for l in c.lists if not l.exhausted),
-                        default=pivot_doc,
+                        l.block_boundary()
+                        for c in live[: pivot_idx + 1]
+                        for l in c.lists
+                        if not l.exhausted
                     )
+                    d_next = boundary + 1
+                    if pivot_idx + 1 < len(live):
+                        d_next = min(d_next, live[pivot_idx + 1].cur_doc)
+                    d_next = max(d_next, pivot_doc + 1)  # always progress
                     for c in live[: pivot_idx + 1]:
-                        c.next_geq(boundary + 1)
+                        c.next_geq(d_next)
                     continue
             total = 0
-            for c in live:
-                if not c.exhausted and c.cur_doc == pivot_doc:
-                    s = c.score_and_advance_if_at(pivot_doc)
-                    total += s or 0
+            for c in live[: pivot_idx + 1]:
+                s = c.score_and_advance_if_at(pivot_doc)
+                total += s or 0
             offer(pivot_doc, total)
         else:
             for c in live[:pivot_idx]:
