@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf", ...}.
+
+Beyond the sf-dir queries it measures the engine's north-rule metrics on
+a deterministic synthetic code corpus (FIXTURES.md F1 bench scale):
+index-build wall time (+ postings/sec, skew ratio) and batched
+block-max-WAND BM25 top-k throughput (queries/sec).  Scaling-efficiency
+evidence (same job at two parallelism levels) lives in bench_scaling.py
+→ BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def log(*a):  # keep stdout clean for the one JSON line
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_queries(n: int = 100) -> list:
+    """Deterministic query mix over the synthetic vocabulary: hot heads
+    (WAND pruning), rare conjuncts, 1-3 term AND/OR."""
+    from wikitfidf_spark.index.query import Query
+
+    import numpy as np
+    from wikitfidf_spark.corpus import _vocab, FLAGGED_TERMS
+
+    vocab = _vocab(2000, 43)
+    rng = np.random.RandomState(17)
+    qs = []
+    for i in range(n):
+        k_terms = int(rng.randint(1, 4))
+        pool = vocab[: 50] if i % 3 == 0 else vocab  # head-heavy third
+        terms = [pool[int(rng.randint(0, len(pool)))] for _ in range(k_terms)]
+        if i % 10 == 0:
+            terms.append(FLAGGED_TERMS[i // 10 % len(FLAGGED_TERMS)])
+        mode = "AND" if i % 4 == 0 and len(terms) > 1 else "OR"
+        qs.append(Query(i, terms, mode, 10))
+    return qs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wikitfidf_spark.session import get_spark
+    from wikitfidf_spark.corpus import make_code_files
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.query import InvertedIndex
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        log(f"{name}: {timings[name]}s")
+        return out
+
+    # ---- sf-dir headline queries (force execution via count/collect)
+    HEADLINE = [
+        "term_frequency", "global_term_stats", "tfidf_topn_per_doc",
+        "bm25_or_topk", "bm25_and_topk", "minhash_candidates",
+        "ann_cosine_topk", "token_counts", "events_windowed",
+        "sessionize", "lineitem_pricing", "broadcast_join_agg",
+    ]
+    qmap = entry.queries()
+    for name in HEADLINE:
+        timed(name, lambda n=name: qmap[n](spark, sf_dir).count())
+
+    # ---- north-rule metrics: index build + WAND q/s on the bench corpus
+    idx_dir = f"/tmp/wikitfidf_bench_idx_{n_docs}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus = timed("bench_corpus_gen", lambda: make_code_files(spark, n_docs=n_docs, seed=42).cache())
+    corpus.count()
+    cfg = IndexConfig(n_shards=int(cpus), n_salts=8)
+    res = timed("index_build", lambda: build_index(spark, corpus, idx_dir, cfg, resume=False))
+    extras["build"] = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in res.metrics.items()
+        if k in ("n_postings", "payload_bytes", "postings_per_sec", "skew_ratio",
+                 "total_docs", "total_tokens", "build_wall_sec_total")
+    }
+
+    idx = InvertedIndex(spark, idx_dir)
+    queries = make_queries(100)
+    # warm-up (JIT, parquet footer cache), then the measured batch
+    idx.topk_batch(queries[:4]).count()
+    t0 = time.time()
+    n_rows = timed("wand_topk_100q", lambda: idx.topk_batch(queries).count())
+    qps = len(queries) / timings["wand_topk_100q"]
+    extras["wand_qps"] = round(qps, 2)
+    extras["wand_result_rows"] = n_rows
+    log(f"WAND throughput: {qps:.1f} q/s over {len(queries)} queries")
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_plus_index_build_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "bench_corpus_docs": n_docs,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -4,16 +4,21 @@ Generates the Iceberg-shaped input table from BASELINE.json:input_hint:
 
     repo: string, path: string, commit: string, lang: string, content: string
 
-Identifiers are drawn from a Zipfian vocabulary so document-frequency
-skew is realistic (the `if`/`return` hot-term problem the salted
-aggregation in operators/termstats.py exists for).  Everything is seeded
-— same seed, same corpus, across runs and machines (required by the
-resume/rank-identity tests).
+Every row is a **pure function of (seed, row index)** — so the pandas
+generator (tests, oracles) and the distributed Spark generator (bench
+scale) produce byte-identical rows, any subset can be regenerated
+independently, and no driver-side bottleneck exists at scale.
+
+Identifiers draw from a Zipfian vocabulary so document-frequency skew is
+realistic (the `if`/`return` hot-term problem the salted aggregation in
+operators/termstats.py exists for).  Exact duplicates are planted
+deterministically for the dedup operators.
 """
 
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -31,6 +36,9 @@ FLAGGED_TERMS = [
     "foot_gun", "yolo_merge", "cursed_api", "spaghetti", "bitrot",
     "hack_alert", "wtf_flag", "bodge_fix", "jank_mode", "rotten_egg",
 ]
+
+DUP_EVERY = 50        # every 50th doc duplicates the content of (i - 7)
+CODE_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 
 def _vocab(n_terms: int, seed: int) -> list[str]:
@@ -54,61 +62,27 @@ def _vocab(n_terms: int, seed: int) -> list[str]:
     return vocab
 
 
-def make_code_files_pdf(
-    n_docs: int = 5000,
-    seed: int = 42,
-    n_terms: int = 2000,
-    zipf_a: float = 1.3,
-    min_tokens: int = 50,
-    max_tokens: int = 500,
-    flagged_rate: float = 0.15,
-    dup_rate: float = 0.02,
-) -> pd.DataFrame:
-    """Pandas frame of the F1 fixture (small scales; bench scale goes
-    through :func:`make_code_files` which parallelizes the same logic)."""
-    rng = np.random.RandomState(seed)
-    vocab = np.array(_vocab(n_terms, seed + 1))
-    rows = []
-    n_repos = max(2, n_docs // 500)
-    for i in range(n_docs):
-        repo = f"org{i % 3}/proj{i % n_repos}"
-        lang = LANGS[i % len(LANGS)]
-        path = f"src/pkg{rng.randint(0, 20)}/file{i}.{lang[:2]}"
-        commit = hashlib.sha1(f"{repo}:{i}:{seed}".encode()).hexdigest() + "deadbeef"[:0]
-        commit = (commit + commit)[:40]
-        n_tok = rng.randint(min_tokens, max_tokens + 1)
-        # Zipf-distributed identifier draw (clipped into vocab range)
-        idx = np.minimum(rng.zipf(zipf_a, size=n_tok) - 1, len(vocab) - 1)
-        toks = list(vocab[idx])
-        if rng.rand() < flagged_rate:
-            k = rng.randint(1, 4)
-            for f_t in rng.choice(FLAGGED_TERMS, size=k, replace=False):
-                toks.insert(rng.randint(0, len(toks)), f_t)
-        # a sprinkle of rare shared terms for conjunctive-query tests
-        if i % 97 == 0:
-            toks.append("rare_conjunct_alpha")
-        if i % 194 == 0:
-            toks.append("rare_conjunct_beta")
-        content = _render(toks, lang, rng)
-        rows.append((repo, path, commit, lang, content))
-    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
-    # exact duplicates for dedup tests: copy content of earlier docs
-    n_dup = int(n_docs * dup_rate)
-    if n_dup:
-        src = rng.randint(0, n_docs - n_dup, size=n_dup)
-        dst = np.arange(n_docs - n_dup, n_docs)
-        pdf.loc[dst, "content"] = pdf.loc[src, "content"].values
-    return pdf
-
-
-def _render(tokens: list[str], lang: str, rng: np.random.RandomState) -> str:
-    """Wrap identifier stream in code-ish punctuation (punctuation is
-    outside the token grammar, so it never affects term counts)."""
+def _content(i: int, seed: int, vocab: np.ndarray, zipf_a: float,
+             min_tokens: int, max_tokens: int, flagged_rate: float) -> str:
+    rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31 - 1))
+    n_tok = rng.randint(min_tokens, max_tokens + 1)
+    idx = np.minimum(rng.zipf(zipf_a, size=n_tok) - 1, len(vocab) - 1)
+    toks = list(vocab[idx])
+    if rng.rand() < flagged_rate:
+        k = rng.randint(1, 4)
+        for f_t in rng.choice(FLAGGED_TERMS, size=k, replace=False):
+            toks.insert(rng.randint(0, len(toks)), str(f_t))
+    if i % 97 == 0:
+        toks.append("rare_conjunct_alpha")
+    if i % 194 == 0:
+        toks.append("rare_conjunct_beta")
+    # render with code-ish punctuation (outside the token grammar, so it
+    # never affects term counts)
     out = []
-    i = 0
-    while i < len(tokens):
-        k = min(len(tokens) - i, int(rng.randint(2, 6)))
-        grp = tokens[i : i + k]
+    j = 0
+    while j < len(toks):
+        k = min(len(toks) - j, int(rng.randint(2, 6)))
+        grp = toks[j : j + k]
         style = rng.randint(0, 4)
         if style == 0:
             out.append(f"def {grp[0]}({', '.join(grp[1:])}):")
@@ -118,20 +92,76 @@ def _render(tokens: list[str], lang: str, rng: np.random.RandomState) -> str:
             out.append(f"if {grp[0]}: {' '.join(grp[1:])}")
         else:
             out.append("  ".join(grp))
-        i += k
+        j += k
     return "\n".join(out)
 
 
-def make_code_files(spark: SparkSession, n_docs: int = 5000, seed: int = 42, **kw) -> DataFrame:
-    """Spark DataFrame of the F1 fixture (Arrow createDataFrame)."""
-    pdf = make_code_files_pdf(n_docs=n_docs, seed=seed, **kw)
-    return spark.createDataFrame(pdf)
+def _row(i: int, n_docs: int, seed: int, vocab: np.ndarray, zipf_a: float,
+         min_tokens: int, max_tokens: int, flagged_rate: float) -> tuple:
+    repo = f"org{i % 3}/proj{i % max(2, n_docs // 500)}"
+    lang = LANGS[i % len(LANGS)]
+    rng = np.random.RandomState((seed * 7_919 + i) % (2**31 - 1))
+    path = f"src/pkg{rng.randint(0, 20)}/file{i}.{lang[:2]}"
+    commit = hashlib.sha1(f"{repo}:{i}:{seed}".encode()).hexdigest()
+    commit = (commit + commit)[:40]
+    src_i = i - 7 if (i % DUP_EVERY == DUP_EVERY - 1 and i >= 7) else i
+    content = _content(src_i, seed, vocab, zipf_a, min_tokens, max_tokens, flagged_rate)
+    return (repo, path, commit, lang, content)
+
+
+def make_code_files_pdf(
+    n_docs: int = 5000,
+    seed: int = 42,
+    n_terms: int = 2000,
+    zipf_a: float = 1.3,
+    min_tokens: int = 50,
+    max_tokens: int = 500,
+    flagged_rate: float = 0.15,
+) -> pd.DataFrame:
+    vocab = np.array(_vocab(n_terms, seed + 1))
+    rows = [
+        _row(i, n_docs, seed, vocab, zipf_a, min_tokens, max_tokens, flagged_rate)
+        for i in range(n_docs)
+    ]
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def make_code_files(
+    spark: SparkSession,
+    n_docs: int = 5000,
+    seed: int = 42,
+    n_partitions: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Distributed generator: identical rows to :func:`make_code_files_pdf`
+    (tests assert it), generated executor-side — no driver bottleneck,
+    no giant serialized tasks, proper partitioning from the start."""
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    params = dict(
+        n_terms=kw.get("n_terms", 2000),
+        zipf_a=kw.get("zipf_a", 1.3),
+        min_tokens=kw.get("min_tokens", 50),
+        max_tokens=kw.get("max_tokens", 500),
+        flagged_rate=kw.get("flagged_rate", 0.15),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab = np.array(_vocab(params["n_terms"], seed + 1))
+        for pdf in batches:
+            rows = [
+                _row(int(i), n_docs, seed, vocab, params["zipf_a"],
+                     params["min_tokens"], params["max_tokens"], params["flagged_rate"])
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return spark.range(0, n_docs, numPartitions=n_parts).mapInPandas(gen, CODE_SCHEMA)
 
 
 def with_doc_id(docs: DataFrame) -> DataFrame:
     """Stable deterministic docID (SURVEY.md §4 risk 5): xxhash64 of the
     natural key — never ``monotonically_increasing_id`` (run-dependent).
-    Collision-checked at test scale in tests/test_corpus.py."""
+    Collision-checked at test scale in tests/test_index_e2e.py."""
     return docs.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
 
 

@@ -137,6 +137,11 @@ def build_index(
 
     base = docs if not cfg.id_cols else docs.withColumn("doc_id", F.xxhash64(*cfg.id_cols))
     base = base.withColumn("content_sha256", F.sha2(F.col(cfg.text_col), 256))
+    # defensively widen narrow inputs so the tokenize stage uses every
+    # core; wide inputs (the 100 TB case) pass through untouched
+    target_par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < max(2, target_par // 2):
+        base = base.repartition(target_par)
 
     # ---- phase 1: per-doc term frequencies (Arrow fused tokenize+count)
     if not _phase_done(manifest, "tf", tf_path):
@@ -211,42 +216,90 @@ def build_index(
         import math as _math
         import numpy as _np
 
-        def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            shard, term, sub = key
-            tfs = pdf["tf"].to_numpy()
-            dls = pdf["doc_len"].to_numpy()
-            df_g = int(pdf["df"].iloc[0])
-            idf = _math.log(1.0 + (n_docs - df_g + 0.5) / (df_g + 0.5))
-            scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
-            scores_q = _np.floor(scores * quant + 0.5).astype(_np.int64)
-            enc = codec.encode_postings(
-                pdf["doc_id"].to_numpy(), tfs, scores_q, block_size=block_size
-            )
-            return pd.DataFrame(
-                [{
-                    "shard": shard,
-                    "term": term,
-                    "sub_shard": sub,
-                    "n_docs": enc.n,
-                    "cf": int(tfs.sum()),
-                    "docs_payload": enc.docs_payload,
-                    "tfs_payload": enc.tfs_payload,
-                    "scores_payload": enc.scores_payload,
-                    "block_firsts": enc.block_firsts.tolist(),
-                    "block_lasts": enc.block_lasts.tolist(),
-                    "block_counts": enc.block_counts.tolist(),
-                    "block_max_score": enc.block_max_score.tolist(),
-                    "block_doc_offs": enc.block_doc_offs.tolist(),
-                    "block_tf_offs": enc.block_tf_offs.tolist(),
-                    "block_score_offs": enc.block_score_offs.tolist(),
-                }]
-            )
+        def encode_stream(batches) -> "pd.DataFrame":
+            """Streaming partition encoder: rows arrive sorted by
+            (shard, term, sub_shard, doc_id); complete groups are
+            encoded per Arrow chunk, the trailing (possibly incomplete)
+            group is carried into the next chunk — memory is bounded by
+            chunk size + one posting list, regardless of shard size."""
+
+            def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+                terms = pdf["term"].to_numpy()
+                subs = pdf["sub_shard"].to_numpy()
+                docs_a = pdf["doc_id"].to_numpy()
+                tfs_a = pdf["tf"].to_numpy()
+                dls_a = pdf["doc_len"].to_numpy()
+                dfs_a = pdf["df"].to_numpy()
+                shards_a = pdf["shard"].to_numpy()
+                change = _np.empty(len(pdf), dtype=bool)
+                change[0] = True
+                # a partition may hold several shard values (hash
+                # collisions) — group key is the full (shard, term, sub)
+                change[1:] = (
+                    (terms[1:] != terms[:-1])
+                    | (subs[1:] != subs[:-1])
+                    | (shards_a[1:] != shards_a[:-1])
+                )
+                starts = _np.flatnonzero(change)
+                ends = _np.append(starts[1:], len(pdf))
+                out = []
+                for a, b_e in zip(starts, ends):
+                    tfs = tfs_a[a:b_e]
+                    dls = dls_a[a:b_e]
+                    df_g = int(dfs_a[a])
+                    idf = _math.log(1.0 + (n_docs - df_g + 0.5) / (df_g + 0.5))
+                    scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
+                    scores_q = _np.floor(scores * quant + 0.5).astype(_np.int64)
+                    enc = codec.encode_postings(
+                        docs_a[a:b_e], tfs, scores_q, block_size=block_size, presorted=True
+                    )
+                    out.append({
+                        "shard": int(shards_a[a]),
+                        "term": terms[a],
+                        "sub_shard": int(subs[a]),
+                        "n_docs": enc.n,
+                        "cf": int(tfs.sum()),
+                        "docs_payload": enc.docs_payload,
+                        "tfs_payload": enc.tfs_payload,
+                        "scores_payload": enc.scores_payload,
+                        "block_firsts": enc.block_firsts.tolist(),
+                        "block_lasts": enc.block_lasts.tolist(),
+                        "block_counts": enc.block_counts.tolist(),
+                        "block_max_score": enc.block_max_score.tolist(),
+                        "block_doc_offs": enc.block_doc_offs.tolist(),
+                        "block_tf_offs": enc.block_tf_offs.tolist(),
+                        "block_score_offs": enc.block_score_offs.tolist(),
+                    })
+                return pd.DataFrame(out)
+
+            carry = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                if not len(pdf):
+                    continue
+                last_term = pdf["term"].iloc[-1]
+                last_sub = pdf["sub_shard"].iloc[-1]
+                last_shard = pdf["shard"].iloc[-1]
+                tail_mask = (
+                    (pdf["term"] == last_term)
+                    & (pdf["sub_shard"] == last_sub)
+                    & (pdf["shard"] == last_shard)
+                )
+                rev = tail_mask.to_numpy()[::-1]
+                tail_len = len(pdf) if rev.all() else int(rev.argmin())
+                cut = len(pdf) - tail_len
+                carry = pdf.iloc[cut:]
+                if cut:
+                    yield emit(pdf.iloc[:cut])
+            if carry is not None and len(carry):
+                yield emit(carry)
 
         postings = (
-            enriched.groupBy("shard", "term", "sub_shard")
-            .applyInPandas(encode_group, POSTINGS_SCHEMA)
-            .repartition("shard")
-            .sortWithinPartitions("term", "sub_shard")
+            enriched.select("shard", "term", "sub_shard", "doc_id", "tf", "doc_len", "df")
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "term", "sub_shard", "doc_id")
+            .mapInPandas(encode_stream, POSTINGS_SCHEMA)
         )
         postings.write.mode("overwrite").partitionBy("shard").parquet(post_path)
 

@@ -44,17 +44,24 @@ def to_signed(u: np.ndarray) -> np.ndarray:
     return (u ^ _SIGN_FLIP).view(np.int64)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    lens = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lens += (tmp > 0)
+        tmp >>= np.uint64(7)
+    return lens
+
+
+def varint_encode(values: np.ndarray, lens: np.ndarray | None = None) -> bytes:
     """LEB128-style varint for a uint64 array, vectorized."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b""
-    lens = np.ones(n, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        lens += (tmp > 0)
-        tmp >>= np.uint64(7)
+    lens = varint_lengths(v) if lens is None else lens
     total = int(lens.sum())
     out = np.zeros(total, dtype=np.uint8)
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
@@ -120,13 +127,20 @@ def encode_postings(
     tfs: np.ndarray,
     scores_q: np.ndarray,
     block_size: int = BLOCK_SIZE_DEFAULT,
+    presorted: bool = False,
 ) -> EncodedList:
-    """Inputs need not be sorted; sorting by doc_id happens here (the
-    build feeds groups straight from the shuffle)."""
-    order = np.argsort(doc_ids, kind="stable")
-    d = np.asarray(doc_ids, dtype=np.int64)[order]
-    t = np.asarray(tfs, dtype=np.uint64)[order]
-    s = np.asarray(scores_q, dtype=np.uint64)[order]
+    """Single-pass vectorized encode: each stream is one varint_encode
+    call over the whole list; per-block byte offsets come from the
+    varint-length prefix sums (no per-block Python loop)."""
+    if presorted:
+        d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+        t = np.ascontiguousarray(tfs, dtype=np.uint64)
+        s = np.ascontiguousarray(scores_q, dtype=np.uint64)
+    else:
+        order = np.argsort(doc_ids, kind="stable")
+        d = np.asarray(doc_ids, dtype=np.int64)[order]
+        t = np.asarray(tfs, dtype=np.uint64)[order]
+        s = np.asarray(scores_q, dtype=np.uint64)[order]
     n = len(d)
     u = to_unsigned(d)
     n_blocks = (n + block_size - 1) // block_size
@@ -137,39 +151,26 @@ def encode_postings(
     deltas[1:] = u[1:] - u[:-1]
     deltas[starts] = 0  # block-independent: absolute base lives in block_firsts
 
-    docs_parts, tf_parts, sc_parts = [], [], []
-    doc_offs = np.zeros(n_blocks, dtype=np.int64)
-    tf_offs = np.zeros(n_blocks, dtype=np.int64)
-    sc_offs = np.zeros(n_blocks, dtype=np.int64)
-    pos_d = pos_t = pos_s = 0
-    for i in range(n_blocks):
-        a, b_ = starts[i], ends[i]
-        doc_offs[i], tf_offs[i], sc_offs[i] = pos_d, pos_t, pos_s
-        pd_, pt_, ps_ = (
-            varint_encode(deltas[a:b_]),
-            varint_encode(t[a:b_]),
-            varint_encode(s[a:b_]),
-        )
-        docs_parts.append(pd_)
-        tf_parts.append(pt_)
-        sc_parts.append(ps_)
-        pos_d += len(pd_)
-        pos_t += len(pt_)
-        pos_s += len(ps_)
+    d_lens = varint_lengths(deltas)
+    t_lens = varint_lengths(t)
+    s_lens = varint_lengths(s)
+    d_cum = np.concatenate(([0], np.cumsum(d_lens)))
+    t_cum = np.concatenate(([0], np.cumsum(t_lens)))
+    s_cum = np.concatenate(([0], np.cumsum(s_lens)))
 
     maxes = np.maximum.reduceat(s.view(np.int64), starts) if n else np.zeros(0, np.int64)
     return EncodedList(
         n=n,
-        docs_payload=b"".join(docs_parts),
-        tfs_payload=b"".join(tf_parts),
-        scores_payload=b"".join(sc_parts),
+        docs_payload=varint_encode(deltas, d_lens),
+        tfs_payload=varint_encode(t, t_lens),
+        scores_payload=varint_encode(s, s_lens),
         block_firsts=d[starts],
         block_lasts=d[ends - 1],
         block_counts=(ends - starts).astype(np.int32),
         block_max_score=maxes.astype(np.int64),
-        block_doc_offs=doc_offs,
-        block_tf_offs=tf_offs,
-        block_score_offs=sc_offs,
+        block_doc_offs=d_cum[starts],
+        block_tf_offs=t_cum[starts],
+        block_score_offs=s_cum[starts],
     )
 
 
