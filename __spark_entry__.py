@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from wikitfidf_spark.tokenize import TOKEN_REGEX
 from wikitfidf_spark.operators import termstats, topk, badwords as bw, stemdict, filters
-from wikitfidf_spark.operators import dedup, similarity, textstats
+from wikitfidf_spark.operators import dedup, similarity, textstats, multimodal
 from wikitfidf_spark.operators.scoring import QUANT, round_half_up
 from wikitfidf_spark.streaming import jobs as stream_jobs
 
@@ -35,6 +35,9 @@ BM25_AND_TERMS = ["dup", "join"]               # rare ∧ hot conjunction
 TFIDF_TERM = "dup"                             # degenerate single-term mode
 K1, B = 1.2, 0.75
 TOPK = 20
+LSH_PLANES = 4                                 # 16 buckets over the test embeddings
+NEAR_DUP_COS = 0.35                            # near-dup threshold (synthetic vecs top out ~0.51)
+EMB_DIM = 64                                   # embeddings.parquet vector dim (TESTDATA.md)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -289,6 +292,41 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk_bruteforce(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed cosine top-10 (the 10^9-vector scale path): bucket
+    by deterministic quantized-sign hyperplane signature, brute-force
+    only within the query's bucket."""
+    return similarity.cosine_topk_lsh(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=LSH_PLANES
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline,
+    quantized int dot sums; LSH-candidate variant in
+    operators/similarity.cosine_pairs_lsh)."""
+    return similarity.cosine_pairs_exact(
+        _t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS
+    )
+
+
+def q_content_sha256(spark, sf_dir):
+    """The input_hint per-row invariant, as a checked query: the engine
+    never mutates content — sha256 over the scanned text column matches
+    the oracle's sha256 over the same parquet bytes."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only check — the decode is a
+    deterministic stand-in, operators/multimodal.py): binary payload +
+    typed metadata -> Arrow-batched feature extraction."""
+    media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
 def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_t(spark, sf_dir, "documents"))
 
@@ -379,6 +417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "content_sha256": q_content_sha256,
+        "multimodal_features": q_multimodal_features,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -392,6 +434,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+def _plane_values_sql() -> str:
+    """The LSH hyperplane matrix as a (pos, j, coef) VALUES literal —
+    repr() round-trips doubles exactly, so DuckDB multiplies the same
+    IEEE values numpy does (pos is 1-based to match
+    generate_subscripts)."""
+    planes = similarity.lsh_planes(EMB_DIM, LSH_PLANES)
+    return ", ".join(
+        f"({i + 1}, {j}, {planes[i, j]!r})"
+        for i in range(EMB_DIM)
+        for j in range(LSH_PLANES)
+    )
+
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
 _MARK_SQL = ", ".join(f"'{m}'" for m in textstats.EN_MARKERS)
@@ -618,6 +673,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id != 0
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
+        "ann_lsh_topk": f"""
+            WITH pl(pos, j, coef) AS (VALUES {_plane_values_sql()}),
+            v AS (
+              SELECT vec_id, unnest(embedding)::double AS x, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            bits AS (
+              SELECT v.vec_id, pl.j,
+                     CASE WHEN sum(floor(v.x * pl.coef * 1000000000 + 0.5)::bigint) > 0 THEN 1 ELSE 0 END AS bit
+              FROM v JOIN pl USING (pos) GROUP BY 1, 2
+            ),
+            sigs AS (SELECT vec_id, sum(bit * (1 << j))::bigint AS sig FROM bits GROUP BY 1),
+            qsig AS (SELECT sig FROM sigs WHERE vec_id = 0),
+            bucket AS (SELECT s.vec_id FROM sigs s, qsig WHERE s.sig = qsig.sig),
+            bv AS (SELECT v.* FROM v JOIN bucket USING (vec_id)),
+            q AS (SELECT x AS qx, pos FROM v WHERE vec_id = 0),
+            stats AS (
+              SELECT bv.vec_id,
+                     sum(floor(bv.x * q.qx * 1000000000 + 0.5)::bigint)::bigint AS dot_q,
+                     sum(floor(bv.x * bv.x * 1000000000 + 0.5)::bigint)::bigint AS norm2_q
+              FROM bv JOIN q USING (pos) GROUP BY bv.vec_id
+            ),
+            qn AS (SELECT norm2_q AS qnorm2_q FROM stats WHERE vec_id = 0)
+            SELECT vec_id,
+                   floor(dot_q::double / (sqrt(norm2_q::double) * sqrt(qnorm2_q::double)) * 1e6 + 0.5) / 1e6 AS cos
+            FROM stats CROSS JOIN qn
+            WHERE vec_id != 0
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_near_dup": f"""
+            WITH v AS (
+              SELECT vec_id, unnest(embedding)::double AS x, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            n2 AS (SELECT vec_id, sum(floor(x * x * 1000000000 + 0.5)::bigint)::bigint AS norm2_q FROM v GROUP BY 1),
+            d AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     sum(floor(a.x * b.x * 1000000000 + 0.5)::bigint)::bigint AS dot_q
+              FROM v a JOIN v b ON a.pos = b.pos AND a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT * FROM (
+              SELECT id_a, id_b,
+                     floor(dot_q::double / (sqrt(na.norm2_q::double) * sqrt(nb.norm2_q::double)) * 1e6 + 0.5) / 1e6 AS cos
+              FROM d JOIN n2 na ON na.vec_id = d.id_a JOIN n2 nb ON nb.vec_id = d.id_b
+            ) WHERE cos >= {NEAR_DUP_COS}
+        """,
+        "content_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "token_counts": f"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS n_ws_tokens,

@@ -87,6 +87,22 @@ def test_lsh_bucket_contains_self_neighbour(spark, vectors):
     assert 1 in got  # near-identical vector lands in the same bucket
 
 
+def test_cosine_pairs_exact_finds_planted_pair(spark, vectors):
+    pairs = similarity.cosine_pairs_exact(vectors, threshold=0.99).collect()
+    assert (0, 1) in [(r["id_a"], r["id_b"]) for r in pairs]
+    for r in pairs:
+        assert r["id_a"] < r["id_b"] and r["cos"] >= 0.99
+
+
+def test_cosine_pairs_lsh_subset_of_exact(spark, vectors):
+    exact = {(r["id_a"], r["id_b"], r["cos"])
+             for r in similarity.cosine_pairs_exact(vectors, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"], r["cos"])
+           for r in similarity.cosine_pairs_lsh(vectors, threshold=0.5, n_planes=4).collect()}
+    assert lsh <= exact          # candidates are verified with the same exact cosine
+    assert (0, 1) in {(a, b) for a, b, _ in lsh}  # planted near-dup shares the bucket
+
+
 def test_multimodal_plumbing(spark, docs_with_dups):
     media = multimodal.attach_binary_payload(docs_with_dups)
     feats = multimodal.extract_features(media).collect()

@@ -105,12 +105,21 @@ def cosine_topk_arrow(
     return local.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def lsh_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Seeded hyperplane matrix (dim, n_planes) — the one definition
+    shared by the Spark operator and the DuckDB oracle literal table."""
+    return np.random.RandomState(seed).randn(dim, n_planes)
+
+
 def hyperplane_signature(
     vecs: DataFrame, n_planes: int = 8, *, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7
 ) -> DataFrame:
     """(id, sig) deterministic random-hyperplane LSH signature.  Planes
-    are seeded numpy normals broadcast in the closure; vectorized
-    matrix product per Arrow batch."""
+    are seeded numpy normals broadcast in the closure; per-element
+    products are quantized to int64 *before* the per-plane sum, so the
+    sign (hence the bucket) is bit-identical at any parallelism and in
+    any engine that replays the same quantization (the DuckDB oracle
+    does)."""
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
         for pdf in batches:
@@ -118,12 +127,95 @@ def hyperplane_signature(
                 continue
             m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if planes is None:
-                planes = np.random.RandomState(seed).randn(m.shape[1], n_planes)
-            bits = (m @ planes) > 0
-            sig = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+                planes = lsh_planes(m.shape[1], n_planes, seed)
+            sums = np.floor(m[:, :, None] * planes[None, :, :] * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            bits = (sums > 0).astype(np.int64)
+            sig = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
 
     return vecs.select(id_col, vec_col).mapInPandas(make, f"{id_col} long, sig long")
+
+
+def cosine_pairs_exact(
+    vecs: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    quantized cosine ≥ ``threshold``.  Exact baseline: broadcast
+    nested-loop over Arrow batches (each batch scores against the full
+    broadcast side with one matrix product — no per-row Python).  At
+    10^9-vector scale swap the broadcast side for LSH-bucketed
+    candidates (``cosine_pairs_lsh``); this exact form is the oracle
+    anchor and the verify step of that path."""
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ma = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            mb = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            dots = np.floor(ma * mb * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            na = np.floor(ma * ma * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            nb = np.floor(mb * mb * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            cos = dots / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            keep = cos >= threshold
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"][keep],
+                "id_b": pdf["id_b"][keep],
+                "cos": cos[keep],
+            })
+
+    pairs = (
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        .join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.mapInPandas(score, "id_a long, id_b long, cos double")
+
+
+def cosine_pairs_lsh(
+    vecs: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for near-dup pairs: candidates = same LSH bucket
+    (shuffle on sig, no cross join), then exact quantized-cosine verify.
+    Approximate (misses cross-bucket pairs); recall rises with fewer
+    planes or multiple plane sets OR'd together."""
+    sig = hyperplane_signature(vecs, n_planes, id_col=id_col, vec_col=vec_col)
+    v = vecs.join(sig, id_col)
+    a = v.select(F.col("sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = v.select(F.col("sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ma = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            mb = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            dots = np.floor(ma * mb * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            na = np.floor(ma * ma * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            nb = np.floor(mb * mb * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            cos = dots / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            keep = cos >= threshold
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"][keep],
+                "id_b": pdf["id_b"][keep],
+                "cos": cos[keep],
+            })
+
+    return pairs.select("id_a", "id_b", "va", "vb").mapInPandas(
+        score, "id_a long, id_b long, cos double"
+    )
 
 
 def cosine_topk_lsh(
