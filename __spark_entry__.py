@@ -40,12 +40,27 @@ NEAR_DUP_COS = 0.35                            # near-dup threshold (synthetic v
 EMB_DIM = 64                                   # embeddings.parquet vector dim (TESTDATA.md)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _t(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> DataFrame:
+    """Scan a driver table.  ``widen=True`` repartitions ONLY when the
+    scan has fewer partitions than half the cores (the driver's tables
+    are single-row-group files, so the scan can't split) — at real
+    scale the many-files scan already saturates and the gate makes the
+    shuffle a no-op.  Use it for scans feeding per-row compute
+    (tokenize/regex/hashing), never for plain aggregates."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if widen:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, par // 2):
+            df = df.repartition(par)
+    return df
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "documents", widen=True)
 
 
 def _tf(spark, sf_dir) -> DataFrame:
-    return termstats.term_frequencies(_t(spark, sf_dir, "documents"), text="text")
+    return termstats.term_frequencies(_docs(spark, sf_dir), text="text")
 
 
 _TOK_CTE = f"""
@@ -170,7 +185,7 @@ def q_tfidf_single_term(spark, sf_dir):
 def q_topic_term_doc_counts(spark, sf_dir):
     """S15 (topicwords.go:106-198): docs-in-topic containing term
     (distinct semantics preserved); topic = lang."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tf = termstats.term_frequencies(docs, text="text", extra_cols=("lang",))
     return termstats.topic_term_doc_counts(tf, topic="lang")
 
@@ -263,7 +278,7 @@ def q_index_wand_topk(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups: md5(text) -> representative + group size."""
-    return dedup.exact_dup_groups(_t(spark, sf_dir, "documents"))
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
 
 
 def q_minhash_candidates(spark, sf_dir):
@@ -323,24 +338,24 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (rows-only check — the decode is a
     deterministic stand-in, operators/multimodal.py): binary payload +
     typed metadata -> Arrow-batched feature extraction."""
-    media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
     return multimodal.extract_features(media)
 
 
 def q_token_counts(spark, sf_dir):
-    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+    return textstats.token_counts(_docs(spark, sf_dir))
 
 
 def q_quality_scores(spark, sf_dir):
-    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+    return textstats.quality_scores(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark, sf_dir):
-    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+    return textstats.lang_id(_docs(spark, sf_dir))
 
 
 def q_fingerprints(spark, sf_dir):
-    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+    return textstats.fingerprints(_docs(spark, sf_dir))
 
 
 def q_events_windowed(spark, sf_dir):
@@ -462,7 +477,7 @@ ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
 
 
 def oracle_sql() -> dict[str, str]:
-    sql = {
+    return {
         "term_frequency": f"WITH {_TOK_CTE} SELECT doc_id, term, tf FROM tf",
         "doc_lengths": f"WITH {_TOK_CTE} SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1",
         "global_term_stats": f"WITH {_TOK_CTE} SELECT term, sum(tf)::bigint AS cf, count(*)::bigint AS df FROM tf GROUP BY 1",
@@ -813,7 +828,6 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
     }
-    return sql
 
 
 # ---------------------------------------------------------------- entry

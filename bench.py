@@ -26,25 +26,9 @@ def log(*a):  # keep stdout clean for the one JSON line
 
 
 def make_queries(n: int = 100) -> list:
-    """Deterministic query mix over the synthetic vocabulary: hot heads
-    (WAND pruning), rare conjuncts, 1-3 term AND/OR."""
-    from wikitfidf_spark.index.query import Query
+    from wikitfidf_spark.corpus import bench_query_mix
 
-    import numpy as np
-    from wikitfidf_spark.corpus import _vocab, FLAGGED_TERMS
-
-    vocab = _vocab(2000, 43)
-    rng = np.random.RandomState(17)
-    qs = []
-    for i in range(n):
-        k_terms = int(rng.randint(1, 4))
-        pool = vocab[: 50] if i % 3 == 0 else vocab  # head-heavy third
-        terms = [pool[int(rng.randint(0, len(pool)))] for _ in range(k_terms)]
-        if i % 10 == 0:
-            terms.append(FLAGGED_TERMS[i // 10 % len(FLAGGED_TERMS)])
-        mode = "AND" if i % 4 == 0 and len(terms) > 1 else "OR"
-        qs.append(Query(i, terms, mode, 10))
-    return qs
+    return bench_query_mix(n)
 
 
 def main() -> None:

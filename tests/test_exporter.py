@@ -1,0 +1,90 @@
+"""Exporter artifacts: write -> validate -> read-back parity (reference
+S20 + Q1-Q5, exporter.go)."""
+
+from __future__ import annotations
+
+import gzip
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikitfidf_spark import exporter as ex
+from wikitfidf_spark.operators.scoring import tfidf_py
+from wikitfidf_spark.tokenize import term_counts_py
+
+DOCS = [
+    (1, "python", "alpha beta beta gamma slow"),
+    (2, "python", "alpha alpha delta error error"),
+    (3, "go", "beta gamma gamma gamma epsilon"),
+    (4, "go", "clean words only here today"),
+]
+FLAGGED = ["slow", "error"]
+
+
+@pytest.fixture(scope="module")
+def out_dir(spark, tmp_path_factory):
+    docs = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+    d = str(tmp_path_factory.mktemp("artifacts"))
+    totals = ex.export_artifacts(spark, docs, d, FLAGGED, ex.Limits(words_pages=3, global_words=4, topic_words=2))
+    assert totals["total_docs"] == 4
+    return d
+
+
+def test_from_dir_validates(spark, out_dir):
+    ex.Exporter.from_dir(spark, out_dir)  # ok
+    with pytest.raises(FileNotFoundError):
+        ex.Exporter.from_dir(spark, "/tmp/definitely_missing_artifacts")
+
+
+def test_artifacts_are_gzip_jsonl(out_dir):
+    parts = glob.glob(os.path.join(out_dir, ex.GLOBAL_WORDS, "*.json.gz"))
+    assert parts, "expected gzip part files"
+    with gzip.open(parts[0], "rt") as f:
+        first = f.readline()
+    assert first.strip().startswith("{")
+
+
+def test_global_words_top_by_cf(spark, out_dir):
+    got = {r["term"]: r["cf"] for r in ex.Exporter.from_dir(spark, out_dir).global_words().collect()}
+    # cf over all docs: gamma 4, alpha 3, beta 3, error 2 (top-4 by cf desc, term asc)
+    assert got == {"gamma": 4, "alpha": 3, "beta": 3, "error": 2}
+
+
+def test_pages_topn_matches_pure_python_tfidf(spark, out_dir):
+    pages = ex.Exporter.from_dir(spark, out_dir).pages().collect()
+    # doc 1 counts: alpha1 beta2 gamma1 slow1, doc_len 5
+    tfs = term_counts_py("alpha beta beta gamma slow")
+    dfs = {"alpha": 2, "beta": 2, "gamma": 2, "slow": 1, "delta": 1, "error": 1,
+           "epsilon": 1, "clean": 1, "words": 1, "only": 1, "here": 1, "today": 1}
+    exp = sorted(
+        ((t, tfidf_py(c, 5, dfs[t], 4)) for t, c in tfs.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    got = [(r["term"], r["tfidf"]) for r in pages if r["doc_id"] == 1]
+    assert got == exp
+
+
+def test_topics_per_topic_limit(spark, out_dir):
+    topics = ex.Exporter.from_dir(spark, out_dir).topics().collect()
+    by_topic = {}
+    for r in topics:
+        by_topic.setdefault(r["lang"], []).append(r)
+    assert set(by_topic) == {"python", "go"}
+    assert all(len(v) <= 2 for v in by_topic.values())
+
+
+def test_page_badwords_distinct_semantics(spark, out_dir):
+    rep = {r["doc_id"]: (r["abs"], r["rel"]) for r in ex.Exporter.from_dir(spark, out_dir).page_badwords().collect()}
+    # doc 2: flagged types {error} -> abs=1 (distinct, not 2 occurrences); doc_len 5
+    assert rep[2] == (1, 1 / 5)
+    assert rep[1] == (1, 1 / 5)
+    assert 3 not in rep and 4 not in rep  # no flagged terms -> dropped (inner join)
+
+
+def test_delete(spark, out_dir):
+    e = ex.Exporter.from_dir(spark, out_dir)
+    e.delete()
+    with pytest.raises(FileNotFoundError):
+        ex.Exporter.from_dir(spark, out_dir)

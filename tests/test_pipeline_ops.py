@@ -136,3 +136,65 @@ def test_streaming_parity_with_batch(spark, tmp_path):
         for r in out.collect()
     }
     assert got == expected
+
+
+def _events_stream_dir(tmp_path):
+    import shutil
+
+    src_dir = tmp_path / "events_sess_stream"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet")
+    return str(src_dir)
+
+
+def test_stream_sessionize_builtin_closed_sessions_match_batch(spark, tmp_path):
+    """session_window streaming (watermark 0s): every emitted session is
+    finalized and must equal the batch sessionize row for that
+    (user, start)."""
+    batch = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in stream_jobs.sessionize(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet"), 30
+        ).collect()
+    }
+    sdf = stream_jobs.stream_sessionize(spark, _events_stream_dir(tmp_path), 30)
+    got = stream_jobs.run_stream_to_memory(spark, sdf, "t_sess_bi", "append").collect()
+    assert got, "watermark 0s should finalize most sessions"
+    for r in got:
+        key = (r["user_id"], r["session_start"])
+        assert key in batch
+        end, n = batch[key]
+        assert (r["session_end"], r["n_events"]) == (end, n)
+
+
+def test_stream_sessionize_stateful_matches_batch_minus_open(spark, tmp_path):
+    """applyInPandasWithState sessionizer: one availableNow batch emits
+    exactly the gap-closed sessions = batch result minus each user's
+    last (still-open) session."""
+    rows = stream_jobs.sessionize(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"), 30
+    ).collect()
+    last_per_user = {}
+    for r in rows:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_start"] > cur:
+            last_per_user[r["user_id"]] = r["session_start"]
+    expected = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in rows
+        if r["session_start"] != last_per_user[r["user_id"]]
+    }
+    batch_all = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"]) for r in rows
+    }
+    sdf = stream_jobs.stream_sessionize_stateful(spark, _events_stream_dir(tmp_path), 30)
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in stream_jobs.run_stream_to_memory(spark, sdf, "t_sess_st", "append").collect()
+    }
+    # every gap-closed session is emitted...
+    assert set(expected) <= set(got)
+    # ...anything extra is an event-time-timeout flush of a real session,
+    # and every emitted row is value-identical to the batch row
+    for k, v in got.items():
+        assert batch_all[k] == v

@@ -1,0 +1,76 @@
+"""spark-submit entry point for the north-rule job: synthetic code
+corpus → posting-list index build → batched block-max-WAND BM25 top-k.
+
+Run (the packaging the north_rule requires — no repo on the PYTHONPATH,
+the library ships as a --py-files zip):
+
+    zip -qr /tmp/wtf_spark.zip wikitfidf_spark -x '*__pycache__*'
+    spark-submit --master local[N] --py-files /tmp/wtf_spark.zip \
+        tools/submit_job.py --docs 20000 --queries 100
+
+Prints ONE JSON line on stdout with build/query wall times and
+throughputs; bench_scaling.py runs it at two parallelism levels to
+measure scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--queries", type=int, default=100)
+    ap.add_argument("--index-dir", default=None)
+    ap.add_argument("--shards", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from wikitfidf_spark.corpus import make_code_files, bench_query_mix
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.query import InvertedIndex
+
+    spark = SparkSession.builder.getOrCreate()
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+
+    idx_dir = args.index_dir or f"/tmp/wtf_submit_idx_{cores}c_{args.docs}d"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    corpus = make_code_files(spark, n_docs=args.docs, seed=42).cache()
+    corpus.count()  # materialize outside the timed build
+
+    t0 = time.time()
+    res = build_index(spark, corpus, idx_dir,
+                      IndexConfig(n_shards=cores, n_salts=8), resume=False)
+    build_sec = time.time() - t0
+
+    idx = InvertedIndex(spark, idx_dir)
+    queries = bench_query_mix(args.queries)
+    idx.topk_batch(queries[:4]).count()  # warm-up: JIT + parquet footers
+    t0 = time.time()
+    n_rows = idx.topk_batch(queries).count()
+    query_sec = time.time() - t0
+
+    print(json.dumps({
+        "cores": cores,
+        "n_docs": args.docs,
+        "build_sec": round(build_sec, 3),
+        "postings": int(res.metrics["n_postings"]),
+        "postings_per_sec": round(res.metrics["n_postings"] / build_sec, 1),
+        "n_queries": args.queries,
+        "query_sec": round(query_sec, 3),
+        "qps": round(args.queries / query_sec, 2),
+        "result_rows": n_rows,
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

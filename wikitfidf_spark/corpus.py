@@ -169,3 +169,24 @@ def with_sha256(docs: DataFrame, text_col: str = "content") -> DataFrame:
     """Per-row invariant vs the reference (BASELINE.json:input_hint):
     the engine only ever derives from content, never mutates it."""
     return docs.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+
+
+def bench_query_mix(n: int = 100, seed: int = 17, vocab_terms: int = 2000, vocab_seed: int = 43) -> list:
+    """Deterministic BM25 query mix over the synthetic vocabulary: a
+    head-heavy third (hot terms exercise block-max WAND pruning), rare
+    conjuncts, 1-3 term AND/OR.  Shared by bench.py and the
+    spark-submit scaling job so all harnesses measure the same load."""
+    from wikitfidf_spark.index.query import Query
+
+    vocab = _vocab(vocab_terms, vocab_seed)
+    rng = np.random.RandomState(seed)
+    qs = []
+    for i in range(n):
+        k_terms = int(rng.randint(1, 4))
+        pool = vocab[:50] if i % 3 == 0 else vocab  # head-heavy third
+        terms = [pool[int(rng.randint(0, len(pool)))] for _ in range(k_terms)]
+        if i % 10 == 0:
+            terms.append(FLAGGED_TERMS[i // 10 % len(FLAGGED_TERMS)])
+        mode = "AND" if i % 4 == 0 and len(terms) > 1 else "OR"
+        qs.append(Query(i, terms, mode, 10))
+    return qs

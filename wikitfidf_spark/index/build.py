@@ -4,7 +4,7 @@ Pipeline (each phase = one materialized parquet + a manifest entry; a
 rerun skips completed phases — the checkpoint-resume requirement of
 BASELINE.json:north_rule):
 
-  1. tf          (doc_id, term, tf)            fused Arrow tokenize+count
+  1. tf          (doc_id, term, tf)            codegen tokenize (or Arrow UDF)
   2. docmeta     (doc_id, repo, path, commit, topic, doc_len, content_sha256)
   3. dictionary  (term, df, cf)                salted two-phase agg
   4. postings    (shard, term, sub_shard, payloads, block sidecars)
@@ -71,6 +71,14 @@ class IndexConfig:
     hot_df_threshold: int = 262144  # per-shard df above which a term splits
     text_col: str = "content"
     topic_col: str = "lang"
+    # "jvm": regexp_extract_all + explode + hash agg, whole-stage
+    # codegen, zero Python — the fast path for the built-in identifier
+    # grammar (and byte-identical to it: tests/test_tokenize.py).
+    # "arrow": the fused tf_map_in_pandas pandas-UDF path — use when
+    # plugging a tokenizer that needs Python (NLP/BPE); measured ~2-3x
+    # slower on the default grammar (per-token object churn in the
+    # workers), so it is opt-in.
+    tokenizer: str = "jvm"
     # natural-key columns hashed into the stable doc_id; empty tuple =
     # the input already carries a unique ``doc_id`` column (used as-is)
     id_cols: tuple[str, ...] = ("repo", "path", "commit")
@@ -143,10 +151,14 @@ def build_index(
     if base.rdd.getNumPartitions() < max(2, target_par // 2):
         base = base.repartition(target_par)
 
-    # ---- phase 1: per-doc term frequencies (Arrow fused tokenize+count)
+    # ---- phase 1: per-doc term frequencies (JVM codegen tokenize by
+    # default; Arrow fused tokenize+count for pluggable Python tokenizers)
     if not _phase_done(manifest, "tf", tf_path):
         t0 = time.time()
-        tf = tf_map_in_pandas(base, doc_id="doc_id", text=cfg.text_col)
+        if cfg.tokenizer == "arrow":
+            tf = tf_map_in_pandas(base, doc_id="doc_id", text=cfg.text_col)
+        else:
+            tf = termstats.term_frequencies(base, doc_id="doc_id", text=cfg.text_col)
         tf.write.mode("overwrite").parquet(tf_path)
         n = spark.read.parquet(tf_path).count()
         manifest["phases"]["tf"] = {"rows": n, "wall_sec": time.time() - t0}
@@ -172,18 +184,27 @@ def build_index(
         stats = termstats.global_term_stats(tf, n_salts=cfg.n_salts)
         stats.write.mode("overwrite").parquet(dict_path)
         stats_r = spark.read.parquet(dict_path)
-        total_tokens, total_docs = termstats.totals(tf)
-        dl = meta.agg(F.sum("doc_len").alias("s"), F.count("*").alias("n")).collect()[0]
+        # totals derive from already-materialized aggregates — no extra
+        # pass over the (huge) tf table: Σcf = token total, docmeta
+        # carries doc count / doc_len sum / docs-with-terms
+        srow = stats_r.agg(
+            F.sum("cf").alias("tok"), F.count("*").alias("n_terms")
+        ).collect()[0]
+        dl = meta.agg(
+            F.sum("doc_len").alias("s"),
+            F.count("*").alias("n"),
+            F.sum((F.col("doc_len") > 0).cast("long")).alias("nonempty"),
+        ).collect()[0]
         n_docs_all = int(dl["n"])
         avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
         manifest["phases"]["dictionary"] = {
-            "rows": stats_r.count(),
+            "rows": int(srow["n_terms"]),
             "wall_sec": time.time() - t0,
         }
         manifest["metrics"].update(
-            total_tokens=total_tokens,
+            total_tokens=int(srow["tok"] or 0),
             total_docs=n_docs_all,
-            docs_with_terms=total_docs,
+            docs_with_terms=int(dl["nonempty"] or 0),
             avgdl=avgdl,
             skew_ratio=termstats.skew_ratio(stats_r),
         )
