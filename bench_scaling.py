@@ -131,6 +131,8 @@ def main() -> None:
 
 def write_bench_md(s: dict) -> None:
     lo, hi = s["low"], s["high"]
+    bw_ratio = round(s["dram_bw_gbps"]["n4_procs"] / s["dram_bw_gbps"]["n_procs"], 2)
+    bw_eff = round(bw_ratio / 4, 2)
     md = f"""# BENCH — scaling-efficiency evidence (north-rule two-cluster-size criterion)
 
 No real multi-node cluster exists in this sandbox, so per driver
@@ -163,14 +165,14 @@ Method notes (honesty per SURVEY.md §7):
 - `local[k]` threads share ONE machine's DRAM bandwidth — the resource
   this stand-in cannot multiply.  Measured with concurrent STREAM-triad
   processes on this host: **{s['dram_bw_gbps']['n_procs']} GB/s aggregate at
-  {s['n_cores']} procs vs {s['dram_bw_gbps']['n4_procs']} GB/s at {s['n4_cores']} procs** —
-  the bandwidth ceiling is already saturated at N, so a purely
-  memory-bound workload could not speed up AT ALL from N to 4N threads
-  here (efficiency ceiling 0.25).  A real N->4N *executor* cluster
-  multiplies DRAM bandwidth, page cache, and disk by 4x along with the
-  cores.  The build's measured efficiency is therefore a **lower
-  bound** on cluster efficiency: it reaches {s['build_efficiency']}
-  despite the flat-bandwidth handicap, and query serving — less
+  {s['n_cores']} procs vs {s['dram_bw_gbps']['n4_procs']} GB/s at {s['n4_cores']} procs**:
+  bandwidth grows only {bw_ratio}x when cores grow 4x, so a purely
+  memory-bound workload is capped at efficiency {bw_eff} here.  A real
+  N->4N *executor* cluster multiplies DRAM bandwidth, page cache, and
+  disk by 4x along with the cores.  The build's measured efficiency
+  ({s['build_efficiency']}) therefore sits between the memory-bound
+  ceiling ({bw_eff}) and the CPU-bound ideal (1.0) and is a **lower
+  bound** on real-cluster efficiency; query serving — less
   bandwidth-bound — demonstrates {s['query_efficiency']} on the same
   hardware.  Best-of-{s['low'].get('reps', 1)} per level filters the
   host's run-to-run noise (shared VM, up to 2x variance observed).

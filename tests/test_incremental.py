@@ -1,0 +1,74 @@
+"""Incremental index updates (build.add_documents): exact-score
+incrementality — base + delta must be indistinguishable from a
+from-scratch build over the union (deterministic encoder ⇒ byte
+identity), and collisions must be rejected."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikitfidf_spark.corpus import make_code_files
+from wikitfidf_spark.index.build import IndexConfig, add_documents, build_index, load_manifest
+from wikitfidf_spark.index.query import InvertedIndex, Query
+
+CFG = IndexConfig(n_shards=4, n_salts=2, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, tmp_path_factory):
+    docs = make_code_files(spark, n_docs=800, seed=42).cache()
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4)) == 0
+    base_docs, delta_docs = docs.filter(~split), docs.filter(split)
+    full_dir = str(tmp_path_factory.mktemp("idx_full"))
+    inc_dir = str(tmp_path_factory.mktemp("idx_inc"))
+    build_index(spark, docs, full_dir, CFG, resume=False)
+    build_index(spark, base_docs, inc_dir, CFG, resume=False)
+    add_documents(spark, delta_docs, inc_dir)
+    return full_dir, inc_dir, delta_docs
+
+
+def test_postings_byte_identical_to_full_build(spark, dirs):
+    full_dir, inc_dir, _ = dirs
+    cols = ["shard", "term", "sub_shard", "n_docs", "cf",
+            "docs_payload", "tfs_payload", "scores_payload", "block_max_score"]
+
+    def rows(d, name):
+        df = spark.read.parquet(os.path.join(d, name)).select(*cols)
+        return sorted(
+            ((r["shard"], r["term"], r["sub_shard"], r["n_docs"], r["cf"],
+              bytes(r["docs_payload"]), bytes(r["tfs_payload"]),
+              bytes(r["scores_payload"]), tuple(r["block_max_score"]))
+             for r in df.collect())
+        )
+
+    assert rows(full_dir, "postings.parquet") == rows(inc_dir, "postings_v1.parquet")
+
+
+def test_metrics_and_paths_updated(spark, dirs):
+    full_dir, inc_dir, _ = dirs
+    mf, mi = load_manifest(full_dir), load_manifest(inc_dir)
+    assert mi["metrics"]["total_docs"] == mf["metrics"]["total_docs"] == 800
+    assert mi["metrics"]["n_postings"] == mf["metrics"]["n_postings"]
+    assert mi["metrics"]["avgdl"] == mf["metrics"]["avgdl"]
+    assert mi["paths"]["postings"] == "postings_v1.parquet"
+    assert mi["paths"]["tf"] == ["tf.parquet", "tf_g1.parquet"]
+
+
+def test_query_results_identical(spark, dirs):
+    full_dir, inc_dir, _ = dirs
+    qs = [Query(0, ["data_repo_map", "core_write_run"], "OR", 10),
+          Query(1, ["arg_cfg_get"], "OR", 10)]
+    get = lambda d: sorted(
+        (r["query_id"], r["doc_id"], r["score_q"], r["rank"])
+        for r in InvertedIndex(spark, d).topk_batch(qs).collect()
+    )
+    assert get(full_dir) == get(inc_dir)
+
+
+def test_collision_rejected(spark, dirs):
+    _, inc_dir, delta_docs = dirs
+    with pytest.raises(ValueError, match="collisions"):
+        add_documents(spark, delta_docs, inc_dir)

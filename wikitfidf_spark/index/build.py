@@ -118,6 +118,126 @@ def _phase_done(m: dict, name: str, path: str) -> bool:
     return name in m["phases"] and os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def encode_postings_df(
+    tf: DataFrame,
+    meta: DataFrame,
+    stats: DataFrame,
+    cfg: IndexConfig,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """The postings-encode plan: enrich tf with doc_len/df, shard by
+    doc hash, sort within shards, stream-encode per partition.
+    Deterministic: identical inputs produce byte-identical payloads at
+    any parallelism (tests assert full-vs-incremental identity)."""
+    k1, b, quant, block_size = cfg.k1, cfg.b, QUANT, cfg.block_size
+    hot = cfg.hot_df_threshold
+    n_shards = cfg.n_shards
+
+    doclens = meta.select("doc_id", "doc_len")
+    enriched = (
+        tf.join(doclens, "doc_id")
+        .join(stats.select("term", "df"), "term")
+        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
+        .withColumn(
+            "sub_shard",
+            F.when(
+                F.col("df") > F.lit(hot * n_shards),
+                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.greatest(F.lit(1), (F.col("df") / F.lit(hot * n_shards)).cast("int"))),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+    )
+
+    import math as _math
+    import numpy as _np
+
+    def encode_stream(batches) -> "pd.DataFrame":
+        """Streaming partition encoder: rows arrive sorted by
+        (shard, term, sub_shard, doc_id); complete groups are
+        encoded per Arrow chunk, the trailing (possibly incomplete)
+        group is carried into the next chunk — memory is bounded by
+        chunk size + one posting list, regardless of shard size."""
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            terms = pdf["term"].to_numpy()
+            subs = pdf["sub_shard"].to_numpy()
+            docs_a = pdf["doc_id"].to_numpy()
+            tfs_a = pdf["tf"].to_numpy()
+            dls_a = pdf["doc_len"].to_numpy()
+            dfs_a = pdf["df"].to_numpy()
+            shards_a = pdf["shard"].to_numpy()
+            change = _np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            # a partition may hold several shard values (hash
+            # collisions) — group key is the full (shard, term, sub)
+            change[1:] = (
+                (terms[1:] != terms[:-1])
+                | (subs[1:] != subs[:-1])
+                | (shards_a[1:] != shards_a[:-1])
+            )
+            starts = _np.flatnonzero(change)
+            ends = _np.append(starts[1:], len(pdf))
+            out = []
+            for a, b_e in zip(starts, ends):
+                tfs = tfs_a[a:b_e]
+                dls = dls_a[a:b_e]
+                df_g = int(dfs_a[a])
+                idf = _math.log(1.0 + (n_docs - df_g + 0.5) / (df_g + 0.5))
+                scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
+                scores_q = _np.floor(scores * quant + 0.5).astype(_np.int64)
+                enc = codec.encode_postings(
+                    docs_a[a:b_e], tfs, scores_q, block_size=block_size, presorted=True
+                )
+                out.append({
+                    "shard": int(shards_a[a]),
+                    "term": terms[a],
+                    "sub_shard": int(subs[a]),
+                    "n_docs": enc.n,
+                    "cf": int(tfs.sum()),
+                    "docs_payload": enc.docs_payload,
+                    "tfs_payload": enc.tfs_payload,
+                    "scores_payload": enc.scores_payload,
+                    "block_firsts": enc.block_firsts.tolist(),
+                    "block_lasts": enc.block_lasts.tolist(),
+                    "block_counts": enc.block_counts.tolist(),
+                    "block_max_score": enc.block_max_score.tolist(),
+                    "block_doc_offs": enc.block_doc_offs.tolist(),
+                    "block_tf_offs": enc.block_tf_offs.tolist(),
+                    "block_score_offs": enc.block_score_offs.tolist(),
+                })
+            return pd.DataFrame(out)
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_term = pdf["term"].iloc[-1]
+            last_sub = pdf["sub_shard"].iloc[-1]
+            last_shard = pdf["shard"].iloc[-1]
+            tail_mask = (
+                (pdf["term"] == last_term)
+                & (pdf["sub_shard"] == last_sub)
+                & (pdf["shard"] == last_shard)
+            )
+            rev = tail_mask.to_numpy()[::-1]
+            tail_len = len(pdf) if rev.all() else int(rev.argmin())
+            cut = len(pdf) - tail_len
+            carry = pdf.iloc[cut:]
+            if cut:
+                yield emit(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return (
+        enriched.select("shard", "term", "sub_shard", "doc_id", "tf", "doc_len", "df")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "term", "sub_shard", "doc_id")
+        .mapInPandas(encode_stream, POSTINGS_SCHEMA)
+    )
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -216,112 +336,7 @@ def build_index(
     # ---- phase 4: encoded postings, doc-partitioned shards
     if not _phase_done(manifest, "postings", post_path):
         t0 = time.time()
-        k1, b, quant, block_size = cfg.k1, cfg.b, QUANT, cfg.block_size
-        hot = cfg.hot_df_threshold
-        n_shards = cfg.n_shards
-
-        doclens = meta.select("doc_id", "doc_len")
-        enriched = (
-            tf.join(doclens, "doc_id")
-            .join(stats.select("term", "df"), "term")
-            .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
-            .withColumn(
-                "sub_shard",
-                F.when(
-                    F.col("df") > F.lit(hot * n_shards),
-                    F.pmod(F.xxhash64("doc_id", F.lit(1)), F.greatest(F.lit(1), (F.col("df") / F.lit(hot * n_shards)).cast("int"))),
-                ).otherwise(F.lit(0)).cast("int"),
-            )
-        )
-
-        import math as _math
-        import numpy as _np
-
-        def encode_stream(batches) -> "pd.DataFrame":
-            """Streaming partition encoder: rows arrive sorted by
-            (shard, term, sub_shard, doc_id); complete groups are
-            encoded per Arrow chunk, the trailing (possibly incomplete)
-            group is carried into the next chunk — memory is bounded by
-            chunk size + one posting list, regardless of shard size."""
-
-            def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-                terms = pdf["term"].to_numpy()
-                subs = pdf["sub_shard"].to_numpy()
-                docs_a = pdf["doc_id"].to_numpy()
-                tfs_a = pdf["tf"].to_numpy()
-                dls_a = pdf["doc_len"].to_numpy()
-                dfs_a = pdf["df"].to_numpy()
-                shards_a = pdf["shard"].to_numpy()
-                change = _np.empty(len(pdf), dtype=bool)
-                change[0] = True
-                # a partition may hold several shard values (hash
-                # collisions) — group key is the full (shard, term, sub)
-                change[1:] = (
-                    (terms[1:] != terms[:-1])
-                    | (subs[1:] != subs[:-1])
-                    | (shards_a[1:] != shards_a[:-1])
-                )
-                starts = _np.flatnonzero(change)
-                ends = _np.append(starts[1:], len(pdf))
-                out = []
-                for a, b_e in zip(starts, ends):
-                    tfs = tfs_a[a:b_e]
-                    dls = dls_a[a:b_e]
-                    df_g = int(dfs_a[a])
-                    idf = _math.log(1.0 + (n_docs - df_g + 0.5) / (df_g + 0.5))
-                    scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
-                    scores_q = _np.floor(scores * quant + 0.5).astype(_np.int64)
-                    enc = codec.encode_postings(
-                        docs_a[a:b_e], tfs, scores_q, block_size=block_size, presorted=True
-                    )
-                    out.append({
-                        "shard": int(shards_a[a]),
-                        "term": terms[a],
-                        "sub_shard": int(subs[a]),
-                        "n_docs": enc.n,
-                        "cf": int(tfs.sum()),
-                        "docs_payload": enc.docs_payload,
-                        "tfs_payload": enc.tfs_payload,
-                        "scores_payload": enc.scores_payload,
-                        "block_firsts": enc.block_firsts.tolist(),
-                        "block_lasts": enc.block_lasts.tolist(),
-                        "block_counts": enc.block_counts.tolist(),
-                        "block_max_score": enc.block_max_score.tolist(),
-                        "block_doc_offs": enc.block_doc_offs.tolist(),
-                        "block_tf_offs": enc.block_tf_offs.tolist(),
-                        "block_score_offs": enc.block_score_offs.tolist(),
-                    })
-                return pd.DataFrame(out)
-
-            carry = None
-            for pdf in batches:
-                if carry is not None and len(carry):
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
-                if not len(pdf):
-                    continue
-                last_term = pdf["term"].iloc[-1]
-                last_sub = pdf["sub_shard"].iloc[-1]
-                last_shard = pdf["shard"].iloc[-1]
-                tail_mask = (
-                    (pdf["term"] == last_term)
-                    & (pdf["sub_shard"] == last_sub)
-                    & (pdf["shard"] == last_shard)
-                )
-                rev = tail_mask.to_numpy()[::-1]
-                tail_len = len(pdf) if rev.all() else int(rev.argmin())
-                cut = len(pdf) - tail_len
-                carry = pdf.iloc[cut:]
-                if cut:
-                    yield emit(pdf.iloc[:cut])
-            if carry is not None and len(carry):
-                yield emit(carry)
-
-        postings = (
-            enriched.select("shard", "term", "sub_shard", "doc_id", "tf", "doc_len", "df")
-            .repartition(n_shards, "shard")
-            .sortWithinPartitions("shard", "term", "sub_shard", "doc_id")
-            .mapInPandas(encode_stream, POSTINGS_SCHEMA)
-        )
+        postings = encode_postings_df(tf, meta, stats, cfg, n_docs, avgdl)
         postings.write.mode("overwrite").partitionBy("shard").parquet(post_path)
 
         post_r = spark.read.parquet(post_path)
@@ -343,6 +358,150 @@ def build_index(
         )
         _save_manifest(index_dir, manifest)
 
+    manifest["metrics"]["build_wall_sec_total"] = round(
+        sum(p["wall_sec"] for p in manifest["phases"].values()), 3
+    )
+    manifest.setdefault("paths", _default_paths())
+    _save_manifest(index_dir, manifest)
+    return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
+
+
+def _default_paths() -> dict:
+    return {
+        "tf": ["tf.parquet"],
+        "docmeta": ["docmeta.parquet"],
+        "dictionary": "dictionary.parquet",
+        "postings": "postings.parquet",
+        "lineage": "lineage.parquet",
+    }
+
+
+def index_paths(manifest: dict) -> dict:
+    """Current relative artifact paths (versioned after add_documents)."""
+    return manifest.get("paths") or _default_paths()
+
+
+def add_documents(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+) -> BuildResult:
+    """Incremental update: add documents to an existing index with
+    EXACT global scores (BM25 idf/avgdl reflect the merged corpus).
+
+    What is reused vs recomputed:
+    - phase 1/2 of prior generations (tokenized tf + docmeta parquet)
+      are reused as-is — the raw text of old documents is never
+      re-scanned, which is the dominant cost at corpus scale;
+    - the derived dictionary + postings are recomputed over the merged
+      tf into NEW versioned dirs (dictionary_v<k>/postings_v<k>), then
+      the manifest pointer flips atomically — readers opened before the
+      flip keep a consistent old view.  (The LSM alternative — delta
+      segments merged at query time — trades exact global idf for
+      cheaper updates; rejected here because north_rule requires
+      rank-identical scores.)
+
+    Raises on doc_id collisions (same natural key already indexed).
+    """
+    manifest = load_manifest(index_dir)
+    if manifest["config"] is None:
+        raise ValueError(f"{index_dir} has no built index to add to")
+    cj = dict(manifest["config"])
+    cj["id_cols"] = tuple(cj.get("id_cols") or ())
+    cfg = IndexConfig(**cj)
+    paths = index_paths(manifest)
+    gen = len(paths["tf"])  # 1-based delta number
+    t_start = time.time()
+
+    base = new_docs if not cfg.id_cols else new_docs.withColumn(
+        "doc_id", F.xxhash64(*cfg.id_cols)
+    )
+    base = base.withColumn("content_sha256", F.sha2(F.col(cfg.text_col), 256))
+    target_par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < max(2, target_par // 2):
+        base = base.repartition(target_par)
+
+    # ---- delta phase 1+2: tokenize + meta for the new docs only
+    tf_rel, meta_rel = f"tf_g{gen}.parquet", f"docmeta_g{gen}.parquet"
+    if cfg.tokenizer == "arrow":
+        tf_new = tf_map_in_pandas(base, doc_id="doc_id", text=cfg.text_col)
+    else:
+        tf_new = termstats.term_frequencies(base, doc_id="doc_id", text=cfg.text_col)
+    tf_new.write.mode("overwrite").parquet(os.path.join(index_dir, tf_rel))
+    tf_new = spark.read.parquet(os.path.join(index_dir, tf_rel))
+    doclens_new = termstats.doc_lengths(tf_new)
+    meta_new = base.select(
+        "doc_id", *cfg.id_cols, F.col(cfg.topic_col).alias("topic"), "content_sha256"
+    ).join(doclens_new, "doc_id", "left").fillna(0, subset=["doc_len"])
+    meta_new.write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
+    meta_new = spark.read.parquet(os.path.join(index_dir, meta_rel))
+
+    meta_old = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["docmeta"]])
+    n_clash = meta_new.select("doc_id").join(meta_old.select("doc_id"), "doc_id").count()
+    n_dup_new = (
+        meta_new.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    if n_clash or n_dup_new:
+        raise ValueError(
+            f"doc_id collisions: {n_clash} vs existing index, {n_dup_new} within new docs"
+        )
+
+    # ---- merged derived state -> versioned dirs
+    tf_all = spark.read.parquet(
+        *[os.path.join(index_dir, p) for p in paths["tf"]],
+        os.path.join(index_dir, tf_rel),
+    )
+    meta_all = meta_old.unionByName(meta_new)
+    dict_rel, post_rel, lin_rel = (
+        f"dictionary_v{gen}.parquet", f"postings_v{gen}.parquet", f"lineage_v{gen}.parquet",
+    )
+    stats = termstats.global_term_stats(tf_all, n_salts=cfg.n_salts)
+    stats.write.mode("overwrite").parquet(os.path.join(index_dir, dict_rel))
+    stats_r = spark.read.parquet(os.path.join(index_dir, dict_rel))
+    srow = stats_r.agg(F.sum("cf").alias("tok"), F.count("*").alias("n_terms")).collect()[0]
+    dl = meta_all.agg(
+        F.sum("doc_len").alias("s"), F.count("*").alias("n"),
+        F.sum((F.col("doc_len") > 0).cast("long")).alias("nonempty"),
+    ).collect()[0]
+    n_docs_all = int(dl["n"])
+    avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
+
+    postings = encode_postings_df(tf_all, meta_all, stats_r, cfg, n_docs_all, avgdl)
+    postings.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(index_dir, post_rel)
+    )
+    post_r = spark.read.parquet(os.path.join(index_dir, post_rel))
+    lineage = post_r.groupBy("shard").agg(
+        F.count("*").alias("n_lists"),
+        F.sum("n_docs").alias("n_postings"),
+        F.sum(F.length("docs_payload") + F.length("tfs_payload") + F.length("scores_payload")).alias("payload_bytes"),
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(index_dir, lin_rel))
+    lin = spark.read.parquet(os.path.join(index_dir, lin_rel)).agg(
+        F.sum("n_postings").alias("p"), F.sum("payload_bytes").alias("bytes")
+    ).collect()[0]
+
+    wall = time.time() - t_start
+    manifest["paths"] = {
+        "tf": paths["tf"] + [tf_rel],
+        "docmeta": paths["docmeta"] + [meta_rel],
+        "dictionary": dict_rel,
+        "postings": post_rel,
+        "lineage": lin_rel,
+    }
+    manifest["phases"][f"delta_g{gen}"] = {
+        "rows": int(lin["p"] or 0), "wall_sec": wall,
+    }
+    manifest["metrics"].update(
+        total_tokens=int(srow["tok"] or 0),
+        total_docs=n_docs_all,
+        docs_with_terms=int(dl["nonempty"] or 0),
+        avgdl=avgdl,
+        skew_ratio=termstats.skew_ratio(stats_r),
+        n_postings=int(lin["p"] or 0),
+        payload_bytes=int(lin["bytes"] or 0),
+        postings_per_sec=(int(lin["p"] or 0) / wall if wall > 0 else 0.0),
+    )
     manifest["metrics"]["build_wall_sec_total"] = round(
         sum(p["wall_sec"] for p in manifest["phases"].values()), 3
     )

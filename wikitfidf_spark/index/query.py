@@ -274,9 +274,17 @@ class InvertedIndex:
         m = self.manifest["metrics"]
         self.n_docs = int(m["total_docs"])
         self.avgdl = float(m["avgdl"])
-        self.postings = spark.read.parquet(os.path.join(index_dir, "postings.parquet"))
-        self.dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary.parquet"))
-        self.docmeta = spark.read.parquet(os.path.join(index_dir, "docmeta.parquet"))
+        # paths are manifest pointers: after add_documents they name the
+        # current versioned dictionary/postings and the tf/docmeta
+        # generation list (build.index_paths)
+        from .build import index_paths
+
+        p = index_paths(self.manifest)
+        self.postings = spark.read.parquet(os.path.join(index_dir, p["postings"]))
+        self.dictionary = spark.read.parquet(os.path.join(index_dir, p["dictionary"]))
+        self.docmeta = spark.read.parquet(
+            *[os.path.join(index_dir, d) for d in p["docmeta"]]
+        )
 
     # ---------- batched WAND path ----------
 
