@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the optimizer behaviors the scale design
+depends on must actually appear in the executed plans (SURVEY.md §4) —
+a correctness suite for the 100 TB story rather than for row values.
+
+Checks: parquet filter pushdown, column pruning, broadcast joins where
+dimensions are small, partial (map-side) aggregation before the
+exchange, TakeOrderedAndProject for global top-k, and the absence of
+per-row Python in JVM-path queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikitfidf_spark.corpus import make_code_files
+from wikitfidf_spark.operators import termstats, topk
+from wikitfidf_spark.index.build import IndexConfig, build_index
+from wikitfidf_spark.index.query import InvertedIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+
+def test_scan_prunes_columns(spark, docs):
+    tf = termstats.term_frequencies(docs, text="text")
+    e = explain_str(tf)
+    # only the two needed columns reach the parquet scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in e
+
+
+def test_filter_pushdown_reaches_scan(spark, docs):
+    q = docs.filter(F.col("lang") == "en").select("doc_id")
+    e = explain_str(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in e
+
+
+def test_partial_aggregation_before_exchange(spark, docs):
+    tf = termstats.term_frequencies(docs, text="text")
+    e = explain_str(tf)
+    # partial_count on the map side shrinks the shuffle to distinct
+    # (doc, term) rows — the S9/S10 scale requirement.  (Spark places
+    # the partial HashAggregate below the Exchange whenever it appears.)
+    assert "partial_count" in e and "Exchange" in e
+
+
+def test_global_topk_is_take_ordered(spark, docs):
+    tf = termstats.term_frequencies(docs, text="text")
+    stats = termstats.global_term_stats(tf)
+    top = topk.top_n_global_terms(stats, 10)
+    assert "TakeOrderedAndProject" in plan(top)
+
+
+def test_small_dim_join_broadcasts(spark, docs):
+    tf = termstats.term_frequencies(docs, text="text")
+    stats = termstats.global_term_stats(tf)
+    j = tf.join(F.broadcast(stats.select("term", "df")), "term")
+    assert "BroadcastHashJoin" in plan(j)
+
+
+def test_jvm_tokenize_has_no_python_eval(spark, docs):
+    tf = termstats.term_frequencies(docs, text="text")
+    p = plan(tf)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_postings_term_lookup_prunes_row_groups(spark, tmp_path_factory):
+    """Term lookups must push the term predicate into the postings scan
+    (rows are written term-sorted per shard, so row-group min/max
+    statistics serve the lookup)."""
+    d = str(tmp_path_factory.mktemp("idx_plan"))
+    docs = make_code_files(spark, n_docs=300, seed=42)
+    build_index(spark, docs, d, IndexConfig(n_shards=2, n_salts=2), resume=False)
+    idx = InvertedIndex(spark, d)
+    scan = idx.postings.filter(F.col("term") == "arg_cfg_get")
+    e = explain_str(scan)
+    assert "PushedFilters" in e and "EqualTo(term,arg_cfg_get)" in e
