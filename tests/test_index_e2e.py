@@ -86,6 +86,21 @@ def test_wand_rank_identity(spark, built, oracle):
         assert by_q.get(q.query_id, []) == _oracle_topk(oracle, q.terms, q.k, q.mode), q
 
 
+def test_taat_equals_wand(spark, built, oracle):
+    """Both physical strategies are exact: vectorized TAAT and
+    block-max WAND must return identical (doc, score, rank) sets."""
+    idx = InvertedIndex(spark, IDX_DIR)
+    _, _, dfc, _, _ = oracle
+    hot = sorted(dfc, key=lambda t: (-dfc[t], t))[:3]
+    qs = QUERIES + [Query(5, hot, "OR", 10)]
+    norm = lambda rows: sorted(
+        (r["query_id"], r["doc_id"], r["score_q"], r["rank"]) for r in rows
+    )
+    assert norm(idx.topk_batch(qs, strategy="taat").collect()) == norm(
+        idx.topk_batch(qs, strategy="wand").collect()
+    )
+
+
 def test_relational_equals_wand(spark, built, oracle):
     idx = InvertedIndex(spark, IDX_DIR)
     for q in QUERIES[:3]:

@@ -286,19 +286,30 @@ class InvertedIndex:
             *[os.path.join(index_dir, d) for d in p["docmeta"]]
         )
 
-    # ---------- batched WAND path ----------
+    # ---------- batched top-k (TAAT default / WAND) ----------
 
-    def topk_batch(self, queries: Sequence[Query]) -> DataFrame:
+    def topk_batch(self, queries: Sequence[Query], strategy: str = "taat") -> DataFrame:
         """One Spark job for all queries → (query_id, doc_id, score_q,
-        score, rank).  Shard tasks run WAND per query; the global merge
-        is a window top-k over ≤ n_shards*k rows per query."""
+        score, rank); the global merge is a window top-k over
+        ≤ n_shards*k rows per query.  Both strategies are exact and
+        rank-identical (integer score sums, (score desc, doc asc) ties):
+
+        - "taat" (default): decode every queried posting list ONCE per
+          shard, then score each query vectorized (np.unique + add.at +
+          lexsort).  Batched query mixes share hot terms, so
+          decode-once amortizes across the batch; all inner work is
+          numpy (term-at-a-time evaluation).
+        - "wand": document-at-a-time block-max WAND with lazy block
+          decode — fewer decoded blocks per query, Python-loop
+          constant; wins for few queries over very long lists.
+        """
         all_terms = sorted({t for q in queries for t in q.terms})
         if not all_terms:
             return self._empty_result()
         qspec = [(q.query_id, list(q.terms), q.mode, q.k) for q in queries]
         rows = self.postings.filter(F.col("term").isin(all_terms))
 
-        def per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def per_shard_wand(key, pdf: pd.DataFrame) -> pd.DataFrame:
             # one group = one doc-partitioned shard -> scores complete here
             by_term: dict[str, list] = {}
             for _, r in pdf.iterrows():
@@ -314,6 +325,57 @@ class InvertedIndex:
                     out.append((qid, doc, score))
             return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
 
+        def per_shard_taat(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # decode each (term, sub_shard) list exactly once
+            decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+            for _, r in pdf.iterrows():
+                docs, _tfs, scores = codec.decode_all(r)
+                decoded.setdefault(r["term"], []).append((docs, scores))
+            out_q, out_d, out_s = [], [], []
+            for qid, terms, mode, k in qspec:
+                uniq_terms = sorted(set(terms))
+                present = [t for t in uniq_terms if t in decoded]
+                if not present:
+                    continue
+                if mode == "AND" and len(present) < len(uniq_terms):
+                    continue
+                d_parts = [d for t in present for d, _ in decoded[t]]
+                s_parts = [s for t in present for _, s in decoded[t]]
+                docs = np.concatenate(d_parts)
+                scores = np.concatenate(s_parts)
+                u, inv, cnt = np.unique(docs, return_inverse=True, return_counts=True)
+                sums = np.zeros(len(u), dtype=np.int64)
+                np.add.at(sums, inv, scores)
+                if mode == "AND":
+                    # sub-lists of one term are doc-disjoint, so count ==
+                    # number of distinct matching terms
+                    m = cnt == len(present)
+                    u, sums = u[m], sums[m]
+                if not len(u):
+                    continue
+                if len(u) > k:
+                    # top-k with exact (score desc, doc asc) tie-break:
+                    # cut with argpartition on score, widen the cut to
+                    # include all ties at the boundary, then sort
+                    part = np.argpartition(-sums, k - 1)[:k]
+                    thresh = sums[part].min()
+                    cand = np.flatnonzero(sums >= thresh)
+                else:
+                    cand = np.arange(len(u))
+                order = np.lexsort((u[cand], -sums[cand]))[:k]
+                sel = cand[order]
+                out_q.append(np.full(len(sel), qid, dtype=np.int32))
+                out_d.append(u[sel])
+                out_s.append(sums[sel])
+            if not out_q:
+                return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
+            return pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score_q": np.concatenate(out_s),
+            })
+
+        per_shard = per_shard_taat if strategy == "taat" else per_shard_wand
         local = rows.groupBy("shard").applyInPandas(
             per_shard, "query_id int, doc_id long, score_q long"
         )
