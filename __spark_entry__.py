@@ -257,12 +257,11 @@ def q_bm25_and_topk(spark, sf_dir):
     )
 
 
-def q_index_wand_topk(spark, sf_dir):
-    """The actual engine: build (cached) posting-list index over the
-    documents table, answer BM25_OR_TERMS via block-max WAND.  Oracle =
-    the same SQL as q_bm25_or_topk — rank-identity is the whole point."""
+def _cached_index(spark, sf_dir):
+    """Build (once, cached on disk) the posting-list index over the
+    documents table."""
     from wikitfidf_spark.index.build import build_index, IndexConfig
-    from wikitfidf_spark.index.query import InvertedIndex, Query
+    from wikitfidf_spark.index.query import InvertedIndex
 
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
     cfg = IndexConfig(n_shards=8, n_salts=4, id_cols=(), topic_col="lang")
@@ -271,8 +270,28 @@ def q_index_wand_topk(spark, sf_dir):
     cfg_tag = _hl.md5(str(sorted(cfg.to_json().items())).encode()).hexdigest()[:8]
     idx_dir = f"/tmp/wikitfidf_idx_cache/{tag}-{cfg_tag}"
     build_index(spark, docs, idx_dir, cfg)  # resumes instantly if built
-    idx = InvertedIndex(spark, idx_dir)
-    out = idx.topk_batch([Query(0, BM25_OR_TERMS, "OR", TOPK)])
+    return InvertedIndex(spark, idx_dir)
+
+
+def q_index_wand_topk(spark, sf_dir):
+    """The actual engine, DAAT path: BM25_OR_TERMS via block-max WAND.
+    Oracle = the same SQL as q_bm25_or_topk — rank-identity is the
+    whole point."""
+    from wikitfidf_spark.index.query import Query
+
+    idx = _cached_index(spark, sf_dir)
+    out = idx.topk_batch([Query(0, BM25_OR_TERMS, "OR", TOPK)], strategy="wand")
+    return out.select("doc_id", "score_q")
+
+
+def q_index_taat_topk(spark, sf_dir):
+    """The engine's TAAT path (decode-once vectorized scoring) against
+    the identical SQL oracle — both physical strategies must be
+    rank-identical."""
+    from wikitfidf_spark.index.query import Query
+
+    idx = _cached_index(spark, sf_dir)
+    out = idx.topk_batch([Query(0, BM25_OR_TERMS, "OR", TOPK)], strategy="taat")
     return out.select("doc_id", "score_q")
 
 
@@ -427,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk": q_bm25_or_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "index_wand_topk": q_index_wand_topk,
+        "index_taat_topk": q_index_taat_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_pairs": q_jaccard_pairs,
@@ -590,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
         """,
         "index_wand_topk": _BM25_OR_BODY,  # the engine must be rank-identical
+        "index_taat_topk": _BM25_OR_BODY,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*)::bigint AS n_dups
             FROM documents GROUP BY 1
