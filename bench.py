@@ -6,8 +6,8 @@ JSON line: {"metric", "value" (total sec), "unit", "queries", "sf", ...}.
 
 Beyond the sf-dir queries it measures the engine's north-rule metrics on
 a deterministic synthetic code corpus (FIXTURES.md F1 bench scale):
-index-build wall time (+ postings/sec, skew ratio) and batched
-block-max-WAND BM25 top-k throughput (queries/sec).  Scaling-efficiency
+index-build wall time (+ postings/sec, skew ratio) and batched BM25
+top-k throughput (queries/sec; TAAT default strategy).  Scaling-efficiency
 evidence (same job at two parallelism levels) lives in bench_scaling.py
 → BENCH.md.
 """
@@ -87,11 +87,11 @@ def main() -> None:
     # warm-up (JIT, parquet footer cache), then the measured batch
     idx.topk_batch(queries[:4]).count()
     t0 = time.time()
-    n_rows = timed("wand_topk_100q", lambda: idx.topk_batch(queries).count())
-    qps = len(queries) / timings["wand_topk_100q"]
-    extras["wand_qps"] = round(qps, 2)
-    extras["wand_result_rows"] = n_rows
-    log(f"WAND throughput: {qps:.1f} q/s over {len(queries)} queries")
+    n_rows = timed("batch_topk_100q", lambda: idx.topk_batch(queries).count())
+    qps = len(queries) / timings["batch_topk_100q"]
+    extras["topk_qps"] = round(qps, 2)
+    extras["topk_result_rows"] = n_rows
+    log(f"batched top-k throughput: {qps:.1f} q/s over {len(queries)} queries")
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

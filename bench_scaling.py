@@ -10,7 +10,7 @@ nothing is shared between runs but the code and the deterministic
 corpus seed.
 
 Efficiency = (throughput_4N / throughput_N) / 4, reported separately
-for index build (postings/sec) and WAND query serving (queries/sec).
+for index build (postings/sec) and batched BM25 top-k serving (queries/sec).
 Results land in BENCH.md.
 
     python bench_scaling.py            # N=4 -> 16, 20k docs, 100 queries
@@ -139,7 +139,7 @@ No real multi-node cluster exists in this sandbox, so per driver
 instructions the two-cluster-size criterion is evidenced by running the
 SAME `spark-submit --py-files` job (tools/submit_job.py: deterministic
 {s['n_docs']}-doc code corpus -> posting-list index build -> {s['n_queries']}-query
-block-max-WAND BM25 batch) at two parallelism levels in fresh JVMs:
+BM25 top-k batch, TAAT strategy) at two parallelism levels in fresh JVMs:
 `local[{s['n_cores']}]` (N) vs `local[{s['n4_cores']}]` (4N).
 
 | level | build sec | postings/sec | query sec | queries/sec |
@@ -150,7 +150,7 @@ block-max-WAND BM25 batch) at two parallelism levels in fresh JVMs:
 **Scaling efficiency (throughput_4N / throughput_N / 4, target >= 0.8):**
 
 - index build: **{s['build_efficiency']}**
-- WAND query serving: **{s['query_efficiency']}**
+- BM25 top-k serving: **{s['query_efficiency']}**
 
 Method notes (honesty per SURVEY.md §7):
 
