@@ -167,34 +167,74 @@ def test_stream_sessionize_builtin_closed_sessions_match_batch(spark, tmp_path):
         assert (r["session_end"], r["n_events"]) == (end, n)
 
 
-def test_stream_sessionize_stateful_matches_batch_minus_open(spark, tmp_path):
-    """applyInPandasWithState sessionizer: one availableNow batch emits
-    exactly the gap-closed sessions = batch result minus each user's
-    last (still-open) session."""
-    rows = stream_jobs.sessionize(
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet"), 30
-    ).collect()
-    last_per_user = {}
-    for r in rows:
-        cur = last_per_user.get(r["user_id"])
-        if cur is None or r["session_start"] > cur:
-            last_per_user[r["user_id"]] = r["session_start"]
+def test_stream_sessionize_stateful_watermark_finalized(spark, tmp_path):
+    """applyInPandasWithState sessionizer emits EXACTLY the sessions the
+    final watermark can prove closed (session_end + gap <= max_ts -
+    delay), value- and session_id-identical to the batch plan — never
+    early (a late event inside the watermark could still extend or
+    merge a session)."""
+    import datetime as dt
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = stream_jobs.sessionize(events, 30).collect()
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - dt.timedelta(hours=2)  # watermark delay below
+    gap = dt.timedelta(minutes=30)
     expected = {
-        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
         for r in rows
-        if r["session_start"] != last_per_user[r["user_id"]]
+        if r["session_end"] + gap <= wm
     }
-    batch_all = {
-        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"]) for r in rows
-    }
-    sdf = stream_jobs.stream_sessionize_stateful(spark, _events_stream_dir(tmp_path), 30)
+    sdf = stream_jobs.stream_sessionize_stateful(
+        spark, _events_stream_dir(tmp_path), 30, watermark="2 hours"
+    )
     got = {
-        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
         for r in stream_jobs.run_stream_to_memory(spark, sdf, "t_sess_st", "append").collect()
     }
-    # every gap-closed session is emitted...
-    assert set(expected) <= set(got)
-    # ...anything extra is an event-time-timeout flush of a real session,
-    # and every emitted row is value-identical to the batch row
-    for k, v in got.items():
-        assert batch_all[k] == v
+    assert got == expected and len(got) > 0
+
+
+def test_stream_sessionize_stateful_late_event_merges(spark, tmp_path):
+    """Multi-batch late data: an event arriving in batch 2 that falls
+    inside an earlier (not-yet-finalized) session window must merge into
+    it — emission waits for the watermark, so nothing is emitted early
+    or contradicts the batch result."""
+    import time as _time
+
+    def write_batch(name, rows):
+        pdf = spark.createDataFrame(
+            [(i, ts, 1, "e", 0.0, None) for i, ts in enumerate(rows)],
+            stream_jobs.EVENTS_SCHEMA,
+        )
+        pdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "staging" / name))
+        import glob as _glob
+        import shutil as _shutil
+
+        (tmp_path / "late_src").mkdir(exist_ok=True)
+        src = _glob.glob(str(tmp_path / "staging" / name / "part-*.parquet"))[0]
+        _shutil.copy(src, tmp_path / "late_src" / f"{name}.parquet")
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    write_batch("b1", [m(0), m(60)])                    # 10:00, 11:00
+    write_batch("b2", [m(15), m(180), m(780)])          # late 10:15; 13:00; 23:00
+
+    sdf = stream_jobs.stream_sessionize_stateful(
+        spark, str(tmp_path / "late_src"), 30, watermark="1 hour",
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r["session_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in stream_jobs.run_stream_to_memory(spark, sdf, "t_sess_late", "append").collect()
+    )
+    # all events; final watermark = 23:00 - 1h = 22:00; gap 30min:
+    # sessions [10:00-10:15](2) [11:00](1) [13:00](1) finalized; [23:00] open
+    assert got == [
+        (1, m(0), m(15), 2),
+        (2, m(60), m(60), 1),
+        (3, m(180), m(180), 1),
+    ]

@@ -202,9 +202,7 @@ def decode_block_stream(
     return varint_decode(memoryview(payload)[off:end], cnt)
 
 
-def decode_all(enc_row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Full decode of one posting-list row (dict-like with the parquet
-    column names from build.py) -> (doc_ids int64, tfs, scores_q)."""
+def _decode_doc_ids(enc_row) -> np.ndarray:
     n = int(enc_row["n_docs"])
     counts = np.asarray(enc_row["block_counts"], dtype=np.int64)
     firsts = np.asarray(enc_row["block_firsts"], dtype=np.int64)
@@ -216,7 +214,23 @@ def decode_all(enc_row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     # subtract the running sum at each block start, add block base
     block_of = np.repeat(np.arange(len(counts)), counts)
     u = u - u[starts][block_of] + base[block_of]
-    docs = to_signed(u)
+    return to_signed(u)
+
+
+def decode_all(enc_row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode of one posting-list row (dict-like with the parquet
+    column names from build.py) -> (doc_ids int64, tfs, scores_q)."""
+    n = int(enc_row["n_docs"])
+    docs = _decode_doc_ids(enc_row)
     tfs = varint_decode(enc_row["tfs_payload"], n).astype(np.int64)
     scores = varint_decode(enc_row["scores_payload"], n).astype(np.int64)
     return docs, tfs, scores
+
+
+def decode_docs_scores(enc_row) -> tuple[np.ndarray, np.ndarray]:
+    """Serving-path decode: doc ids + impact scores only — skips the tf
+    varint stream (a third of full-decode work the scorer never uses)."""
+    n = int(enc_row["n_docs"])
+    docs = _decode_doc_ids(enc_row)
+    scores = varint_decode(enc_row["scores_payload"], n).astype(np.int64)
+    return docs, scores

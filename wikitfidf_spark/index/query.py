@@ -303,6 +303,8 @@ class InvertedIndex:
           decode — fewer decoded blocks per query, Python-loop
           constant; wins for few queries over very long lists.
         """
+        if strategy not in ("taat", "wand"):
+            raise ValueError(f"unknown strategy {strategy!r}: use 'taat' or 'wand'")
         all_terms = sorted({t for q in queries for t in q.terms})
         if not all_terms:
             return self._empty_result()
@@ -329,7 +331,7 @@ class InvertedIndex:
             # decode each (term, sub_shard) list exactly once
             decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
             for _, r in pdf.iterrows():
-                docs, _tfs, scores = codec.decode_all(r)
+                docs, scores = codec.decode_docs_scores(r)
                 decoded.setdefault(r["term"], []).append((docs, scores))
             out_q, out_d, out_s = [], [], []
             for qid, terms, mode, k in qspec:

@@ -129,7 +129,7 @@ SESSION_OUT_SCHEMA = (
     "user_id long, session_id long, n_events long, "
     "session_start timestamp, session_end timestamp"
 )
-SESSION_STATE_SCHEMA = "session_id long, start_us long, last_us long, n_events long"
+SESSION_STATE_SCHEMA = "next_sid long, pending array<long>"
 
 
 def stream_sessionize_stateful(
@@ -138,15 +138,24 @@ def stream_sessionize_stateful(
     gap_minutes: int = 30,
     *,
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming sessionizer: the
     ``applyInPandasWithState`` template for state machines the built-in
-    operators can't express.  Per user, state = the open session
-    (id, start, last, count); each micro-batch folds its events in
-    vectorized pandas (no per-event Python beyond one tiny per-session
-    groupby), emits sessions closed by a gap within the batch, and arms
-    an event-time timeout that flushes the open session once the
-    watermark passes last_event + gap."""
+    operators can't express.
+
+    Watermark-correct append semantics: per user, state buffers the
+    event timestamps of every not-yet-finalized session; a session is
+    emitted ONLY once the watermark passes ``session_end + gap`` —
+    before that, a legal late event (Spark drops rows older than the
+    watermark upstream) could still extend or merge it.  Because
+    sessions are chronologically ordered, the finalizable set is always
+    a prefix, so emission order and the persisted ``next_sid`` counter
+    give monotonic per-user session ids that match the batch
+    :func:`sessionize` numbering.  State size is bounded by the events
+    inside the watermark horizon; the event-time timeout flushes
+    finalizable sessions on watermark advance even without new data."""
+    import numpy as _np
     import pandas as _pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -154,72 +163,62 @@ def stream_sessionize_stateful(
 
     def fn(key, pdfs, state: GroupState):
         user = int(key[0])
-
-        def emit(rows):
-            return _pd.DataFrame(
-                {
-                    "user_id": [r[0] for r in rows],
-                    "session_id": [r[1] for r in rows],
-                    "n_events": [r[2] for r in rows],
-                    "session_start": _pd.to_datetime([r[3] * 1000 for r in rows]),
-                    "session_end": _pd.to_datetime([r[4] * 1000 for r in rows]),
-                }
-            )
-
-        if state.hasTimedOut:
-            sid, start_us, last_us, n = state.get
-            state.remove()
-            yield emit([(user, sid, n, start_us, last_us)])
-            return
-
-        batches = [p for p in pdfs if len(p)]
-        if not batches:
-            return
-        ev = _pd.concat(batches).sort_values(["ts", "event_id"])
-        us = ev["ts"].astype("int64").to_numpy() // 1000  # ns -> us
-
         if state.exists:
-            sid, start_us, last_us, n_open = state.get
+            next_sid, pending = state.get
+            pending = list(pending or [])
         else:
-            sid, start_us, last_us, n_open = 1, None, None, 0
+            next_sid, pending = 1, []
 
-        import numpy as _np
+        new_us: list[int] = []
+        if not state.hasTimedOut:
+            for p in pdfs:
+                if len(p):
+                    new_us.extend(p["ts"].astype("int64").to_numpy() // 1000)  # ns -> us
 
-        prev = _np.empty_like(us)
-        prev[1:] = us[:-1]
-        prev[0] = last_us if last_us is not None else us[0] - gap_us - 1
-        new_flag = (us - prev) > gap_us
-        grp = _np.cumsum(new_flag)  # 0 = continuation of the open session
-        agg = _pd.DataFrame({"g": grp, "us": us}).groupby("g")["us"].agg(["size", "min", "max"])
+        us = _np.array(sorted(pending + new_us), dtype=_np.int64)
+        if not len(us):
+            state.update((next_sid, []))
+            return
 
-        closed = []
-        for g, row in agg.iterrows():
-            cnt, mn, mx = int(row["size"]), int(row["min"]), int(row["max"])
-            if g == 0 and start_us is not None:
-                cur = (sid, start_us, mx, n_open + cnt)  # extend open session
-            else:
-                if start_us is not None:  # gap after the open state session
-                    closed.append((user, sid, n_open, start_us, last_us))
-                    sid += 1
-                cur = (sid, mn, mx, cnt)
-            if g < agg.index.max():
-                # this session is closed by a later in-batch event
-                closed.append((user, cur[0], cur[3], cur[1], cur[2]))
-                sid = cur[0] + 1
-                start_us, last_us, n_open = None, None, 0
-            else:
-                sid, start_us, last_us, n_open = cur
+        # session split (vectorized): new session where gap > gap_us
+        brk = _np.flatnonzero(_np.diff(us) > gap_us) + 1
+        starts = _np.concatenate(([0], brk))
+        ends = _np.concatenate((brk, [len(us)]))
 
-        state.update((sid, start_us, last_us, n_open))
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(last_us // 1000 + gap_us // 1000, wm + 1))
-        if closed:
-            yield emit(closed)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        lasts = us[ends - 1]
+        n_final = int(_np.searchsorted(lasts + gap_us, wm_us, side="right"))
 
+        out = []
+        for i in range(n_final):
+            seg = us[starts[i]:ends[i]]
+            out.append((user, next_sid, len(seg), int(seg[0]), int(seg[-1])))
+            next_sid += 1
+
+        remaining = us[starts[n_final]:] if n_final < len(starts) else us[:0]
+        state.update((next_sid, [int(x) for x in remaining]))
+        if len(remaining):
+            # flush when the watermark passes the first open session's close
+            first_open_last = int(us[ends[n_final] - 1])
+            state.setTimeoutTimestamp(
+                max((first_open_last + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield _pd.DataFrame({
+                "user_id": [r[0] for r in out],
+                "session_id": [r[1] for r in out],
+                "n_events": [r[2] for r in out],
+                "session_start": _pd.to_datetime([r[3] * 1000 for r in out]),
+                "session_end": _pd.to_datetime([r[4] * 1000 for r in out]),
+            })
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
-        .select("user_id", "ts", "event_id")  # explicit projection: the
-        # state fn sees whole rows, so prune before the shuffle
+        reader.parquet(events_path)
+        .select("user_id", "ts")  # explicit projection: the state fn
+        # sees whole rows, so prune before the shuffle
         .withWatermark("ts", watermark)
     )
     return stream.groupBy("user_id").applyInPandasWithState(
