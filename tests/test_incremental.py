@@ -72,3 +72,10 @@ def test_collision_rejected(spark, dirs):
     _, inc_dir, delta_docs = dirs
     with pytest.raises(ValueError, match="collisions"):
         add_documents(spark, delta_docs, inc_dir)
+
+
+def test_build_rejects_duplicate_doc_ids(spark, tmp_path):
+    docs = make_code_files(spark, n_docs=50, seed=42)
+    dup = docs.unionByName(docs.limit(1))  # one repeated natural key
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        build_index(spark, dup, str(tmp_path / "idx_dup"), CFG, resume=False)

@@ -173,3 +173,15 @@ def test_empty_and_missing_terms(spark, built):
     assert idx.topk_batch([]).count() == 0
     assert idx.topk(["absent_term_xyz"], 5).count() == 0
     assert idx.topk(["absent_term_xyz", "get_set"], 5, "AND").count() == 0
+
+
+def test_invalid_query_args_raise(spark, built):
+    idx = InvertedIndex(spark, IDX_DIR)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        idx.topk_batch([Query(0, ["x"], "and", 5)]).collect()
+    with _pytest.raises(ValueError, match="k must be"):
+        idx.topk_batch([Query(0, ["x"], "OR", 0)]).collect()
+    with _pytest.raises(ValueError, match="strategy"):
+        idx.topk_batch([Query(0, ["x"], "OR", 5)], strategy="vectorized")

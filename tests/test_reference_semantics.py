@@ -106,3 +106,14 @@ def test_topn_recent(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = {r["event_id"] for r in topk.top_n_recent_per_group(ev, "user_id", "ts", 2, "event_id").collect()}
     assert got == {11, 12}
+
+
+def test_semi_filter_long_integer_key_list(spark):
+    """S2 semi-join path (>ISIN_MAX keys) must work for non-string key
+    columns — the type is inferred from the values, not hardcoded."""
+    from wikitfidf_spark.operators import filters
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    keys = list(range(0, 130))  # > ISIN_MAX -> semi-join branch
+    got = sorted(r["doc_id"] for r in filters.semi_filter(df, "doc_id", keys).collect())
+    assert got == keys

@@ -47,7 +47,6 @@ from ..operators.scoring import (
     B_DEFAULT,
     K1_DEFAULT,
     QUANT,
-    bm25_quantized_py,
 )
 from ..tokenize import tf_map_in_pandas
 from . import codec
@@ -143,7 +142,10 @@ def encode_postings_df(
             "sub_shard",
             F.when(
                 F.col("df") > F.lit(hot * n_shards),
-                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.greatest(F.lit(1), (F.col("df") / F.lit(hot * n_shards)).cast("int"))),
+                # ceil: a truncating divide gives factor 1 (= no split)
+                # for df up to 2x the threshold, doubling the intended
+                # per-group memory bound
+                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.ceil(F.col("df") / F.lit(hot * n_shards)).cast("int")),
             ).otherwise(F.lit(0)).cast("int"),
         )
     )
@@ -293,7 +295,17 @@ def build_index(
             "doc_id", *cfg.id_cols, F.col(cfg.topic_col).alias("topic"), "content_sha256"
         ).join(doclens, "doc_id", "left").fillna(0, subset=["doc_len"])
         meta.write.mode("overwrite").parquet(meta_path)
-        n = spark.read.parquet(meta_path).count()
+        meta_r = spark.read.parquet(meta_path)
+        n = meta_r.count()
+        # duplicate natural keys (or a hash collision) would silently
+        # merge tf rows and duplicate docmeta rows, corrupting postings
+        # — same guard add_documents applies to deltas
+        n_dup = meta_r.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+        if n_dup:
+            raise ValueError(
+                f"{n_dup} duplicate doc_ids in input (duplicate natural keys "
+                f"{cfg.id_cols or '(doc_id column)'} or hash collision) — dedup the input first"
+            )
         manifest["phases"]["docmeta"] = {"rows": n, "wall_sec": time.time() - t0}
         _save_manifest(index_dir, manifest)
     meta = spark.read.parquet(meta_path)

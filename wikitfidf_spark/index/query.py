@@ -305,6 +305,11 @@ class InvertedIndex:
         """
         if strategy not in ("taat", "wand"):
             raise ValueError(f"unknown strategy {strategy!r}: use 'taat' or 'wand'")
+        for q in queries:
+            if q.mode not in ("OR", "AND"):
+                raise ValueError(f"query {q.query_id}: unknown mode {q.mode!r}: use 'OR' or 'AND'")
+            if q.k < 1:
+                raise ValueError(f"query {q.query_id}: k must be >= 1, got {q.k}")
         all_terms = sorted({t for q in queries for t in q.terms})
         if not all_terms:
             return self._empty_result()
@@ -424,6 +429,8 @@ class InvertedIndex:
     ) -> DataFrame:
         """Same answer as WAND via plain DataFrame ops (the correctness
         mirror; also the ANSI-SQL-expressible formulation)."""
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
         uniq = sorted(set(terms))
         d = self.decoded(uniq)
         agg = d.groupBy("doc_id").agg(

@@ -85,8 +85,11 @@ def minhash_candidates(
     """Candidate near-dup pairs (a < b) sharing at least one LSH band."""
     b = minhash_bands(tf, doc_id=doc_id, n_hashes=n_hashes, rows_per_band=rows_per_band)
     # the self-join references the band table twice; materialize it once
-    # instead of recomputing the tokenize -> signature lineage per side
-    b = b.persist()
+    # instead of recomputing the tokenize -> signature lineage per side.
+    # localCheckpoint (not persist): its blocks are released by the
+    # ContextCleaner when the DataFrame is garbage collected, so repeated
+    # calls don't pin executor storage for the application lifetime
+    b = b.localCheckpoint(eager=True)
     left = b.select(F.col("band_idx"), F.col("band"), F.col(doc_id).alias("a"))
     right = b.select(F.col("band_idx"), F.col("band"), F.col(doc_id).alias("b"))
     return (

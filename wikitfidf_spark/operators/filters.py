@@ -30,7 +30,12 @@ def semi_filter(df: DataFrame, key_col: str, keys: Sequence | DataFrame | None) 
     if len(keys) <= ISIN_MAX:
         return df.filter(F.col(key_col).isin(keys))
     spark = SparkSession.getActiveSession()
-    right = spark.createDataFrame([(k,) for k in keys], f"{key_col} string")
+    # infer the key type from the values (a hardcoded type would crash
+    # or mis-join for non-string keys), then cast to the source column's
+    # type so the join key resolves exactly
+    right = spark.createDataFrame([(k,) for k in keys], [key_col]).select(
+        F.col(key_col).cast(df.schema[key_col].dataType).alias(key_col)
+    )
     return df.join(F.broadcast(right), key_col, "left_semi")
 
 

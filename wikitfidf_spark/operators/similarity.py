@@ -89,17 +89,22 @@ def cosine_topk_arrow(
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.sqrt((q * q).sum())
 
+    qn2 = np.floor(q * q * DOT_QUANT + 0.5).astype(np.int64).sum()
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            dots = np.floor(m * q * DOT_QUANT + 0.5).sum(axis=1)
-            norms = np.floor(m * m * DOT_QUANT + 0.5).sum(axis=1)
-            cos = dots / (np.sqrt(norms) * np.sqrt(np.floor(q * q * DOT_QUANT + 0.5).sum()))
+            # int64 sums: the module-wide exact-arithmetic contract
+            dots = np.floor(m * q * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            norms = np.floor(m * m * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            cos = dots / (np.sqrt(norms.astype(np.float64)) * np.sqrt(float(qn2)))
             cos = np.floor(cos * 1e6 + 0.5) / 1e6
             out = pd.DataFrame({id_col: pdf[id_col], "cos": cos})
-            yield out.nlargest(k, "cos")  # per-partition cut
+            # per-partition cut with the exact global tie-break — a bare
+            # nlargest drops boundary ties by arrival order
+            yield out.sort_values(["cos", id_col], ascending=[False, True]).head(k)
 
     local = vecs.select(id_col, vec_col).mapInPandas(score, f"{id_col} long, cos double")
     return local.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
@@ -136,22 +141,11 @@ def hyperplane_signature(
     return vecs.select(id_col, vec_col).mapInPandas(make, f"{id_col} long, sig long")
 
 
-def cosine_pairs_exact(
-    vecs: DataFrame,
-    threshold: float,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
-    quantized cosine ≥ ``threshold``.  Exact baseline: broadcast
-    nested-loop over Arrow batches (each batch scores against the full
-    broadcast side with one matrix product — no per-row Python).  At
-    10^9-vector scale swap the broadcast side for LSH-bucketed
-    candidates (``cosine_pairs_lsh``); this exact form is the oracle
-    anchor and the verify step of that path."""
-    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-
+def _pair_score_fn(threshold: float):
+    """The one quantized-cosine verify kernel shared by the exact and
+    LSH near-dup paths — keeping it single-sourced is what guarantees
+    the scale path's verify step stays bit-identical to the exact
+    anchor."""
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -170,11 +164,29 @@ def cosine_pairs_exact(
                 "cos": cos[keep],
             })
 
+    return score
+
+
+def cosine_pairs_exact(
+    vecs: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    quantized cosine ≥ ``threshold``.  Exact baseline: broadcast
+    nested-loop over Arrow batches (each batch scores against the full
+    broadcast side with one matrix product — no per-row Python).  At
+    10^9-vector scale swap the broadcast side for LSH-bucketed
+    candidates (``cosine_pairs_lsh``); this exact form is the oracle
+    anchor and the verify step of that path."""
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = (
         vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         .join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     )
-    return pairs.mapInPandas(score, "id_a long, id_b long, cos double")
+    return pairs.mapInPandas(_pair_score_fn(threshold), "id_a long, id_b long, cos double")
 
 
 def cosine_pairs_lsh(
@@ -194,27 +206,8 @@ def cosine_pairs_lsh(
     a = v.select(F.col("sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = v.select(F.col("sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ma = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
-            mb = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
-            dots = np.floor(ma * mb * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
-            na = np.floor(ma * ma * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
-            nb = np.floor(mb * mb * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
-            cos = dots / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
-            cos = np.floor(cos * 1e6 + 0.5) / 1e6
-            keep = cos >= threshold
-            yield pd.DataFrame({
-                "id_a": pdf["id_a"][keep],
-                "id_b": pdf["id_b"][keep],
-                "cos": cos[keep],
-            })
-
     return pairs.select("id_a", "id_b", "va", "vb").mapInPandas(
-        score, "id_a long, id_b long, cos double"
+        _pair_score_fn(threshold), "id_a long, id_b long, cos double"
     )
 
 
