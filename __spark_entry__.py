@@ -80,8 +80,8 @@ sc AS (
   SELECT tf.doc_id, tf.term,
          floor(
            ln(1 + (tot.n - st.df + 0.5) / (st.df + 0.5))
-           * (tf.tf * {K1 + 1.0})
-           / (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len::double / (tot.s::double / tot.n))))
+           * (tf.tf::double * {K1 + 1.0})
+           / (tf.tf::double + {K1} * (1 - {B} + {B} * (dl.doc_len::double / (tot.s::double / tot.n))))
            * {QUANT} + 0.5
          )::bigint AS score_q
   FROM tf JOIN st USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
@@ -266,9 +266,13 @@ def _cached_index(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
     cfg = IndexConfig(n_shards=8, n_salts=4, id_cols=(), topic_col="lang")
     import hashlib as _hl
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    cfg_tag = _hl.md5(str(sorted(cfg.to_json().items())).encode()).hexdigest()[:8]
-    idx_dir = f"/tmp/wikitfidf_idx_cache/{tag}-{cfg_tag}"
+    # cache key = full path + source file fingerprint + config: two
+    # corpora sharing a dir basename (or regenerated data at the same
+    # path) must not reuse a stale index
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{sorted(cfg.to_json().items())}"
+    idx_dir = f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
     build_index(spark, docs, idx_dir, cfg)  # resumes instantly if built
     return InvertedIndex(spark, idx_dir)
 
@@ -477,7 +481,8 @@ def _plane_values_sql() -> str:
     generate_subscripts)."""
     planes = similarity.lsh_planes(EMB_DIM, LSH_PLANES)
     return ", ".join(
-        f"({i + 1}, {j}, {planes[i, j]!r})"
+        f"({i + 1}, {j}, {planes[i, j].item()!r})"  # .item(): numpy>=2 repr
+        # of a float64 scalar is 'np.float64(...)', not a SQL literal
         for i in range(EMB_DIM)
         for j in range(LSH_PLANES)
     )
@@ -777,7 +782,7 @@ def oracle_sql() -> dict[str, str]:
                      alpha_chars::double / greatest(n_chars, 1)::double AS alpha_ratio,
                      len(list_filter(toks, t -> t IN ({_STOP_SQL})))::double
                        / greatest(len(toks), 1)::double AS stopword_ratio,
-                     list_sum(list_transform(toks, t -> length(t)))::double
+                     coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::double
                        / greatest(len(toks), 1)::double AS mean_token_len
               FROM base
             )

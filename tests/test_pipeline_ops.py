@@ -183,7 +183,7 @@ def test_stream_sessionize_stateful_watermark_finalized(spark, tmp_path):
     expected = {
         (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
         for r in rows
-        if r["session_end"] + gap <= wm
+        if r["session_end"] + gap < wm  # strict: ts == wm is still admitted
     }
     sdf = stream_jobs.stream_sessionize_stateful(
         spark, _events_stream_dir(tmp_path), 30, watermark="2 hours"

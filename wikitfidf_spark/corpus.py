@@ -131,18 +131,25 @@ def make_code_files(
     n_docs: int = 5000,
     seed: int = 42,
     n_partitions: int | None = None,
-    **kw,
+    *,
+    n_terms: int = 2000,
+    zipf_a: float = 1.3,
+    min_tokens: int = 50,
+    max_tokens: int = 500,
+    flagged_rate: float = 0.15,
 ) -> DataFrame:
     """Distributed generator: identical rows to :func:`make_code_files_pdf`
     (tests assert it), generated executor-side — no driver bottleneck,
-    no giant serialized tasks, proper partitioning from the start."""
+    no giant serialized tasks, proper partitioning from the start.
+    Explicit keyword params (no **kw): a typoed knob must fail fast,
+    not silently generate a different corpus."""
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     params = dict(
-        n_terms=kw.get("n_terms", 2000),
-        zipf_a=kw.get("zipf_a", 1.3),
-        min_tokens=kw.get("min_tokens", 50),
-        max_tokens=kw.get("max_tokens", 500),
-        flagged_rate=kw.get("flagged_rate", 0.15),
+        n_terms=n_terms,
+        zipf_a=zipf_a,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        flagged_rate=flagged_rate,
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

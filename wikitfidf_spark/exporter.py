@@ -133,6 +133,11 @@ class Exporter:
             a for a in _ARTIFACTS
             if not os.path.exists(os.path.join(out_dir, a, "_SUCCESS"))
         ]
+        # the sidecar is written last, so its presence also proves the
+        # export completed (a crash mid-export would otherwise pass
+        # validation and fail later in totals())
+        if not os.path.exists(os.path.join(out_dir, TOTALS)):
+            missing.append(TOTALS)
         if missing:
             raise FileNotFoundError(f"missing artifacts in {out_dir}: {missing}")
         return cls(spark, out_dir)

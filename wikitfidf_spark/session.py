@@ -32,9 +32,14 @@ def get_spark(
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "*"))
     if shuffle_partitions is None:
-        # match parallelism: local[N] -> N, local[*] -> cpu count
+        # match parallelism: local[N] -> N, local[N,F] -> N (the second
+        # field is maxFailures), local[*] -> cpu count
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
-        shuffle_partitions = os.cpu_count() if inner in ("*", "") else max(int(inner), 1)
+        cores = inner.split(",")[0].strip()
+        try:
+            shuffle_partitions = max(int(cores), 1)
+        except ValueError:
+            shuffle_partitions = os.cpu_count()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

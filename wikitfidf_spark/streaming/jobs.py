@@ -129,7 +129,12 @@ SESSION_OUT_SCHEMA = (
     "user_id long, session_id long, n_events long, "
     "session_start timestamp, session_end timestamp"
 )
-SESSION_STATE_SCHEMA = "next_sid long, pending array<long>"
+# per-session triples, not raw events: late data can only EXTEND or
+# MERGE sessions (never split), so (start, last, count) is sufficient
+# state — O(open sessions), not O(events in the watermark horizon)
+SESSION_STATE_SCHEMA = (
+    "next_sid long, s_starts array<long>, s_lasts array<long>, s_counts array<long>"
+)
 
 
 def stream_sessionize_stateful(
@@ -144,17 +149,19 @@ def stream_sessionize_stateful(
     ``applyInPandasWithState`` template for state machines the built-in
     operators can't express.
 
-    Watermark-correct append semantics: per user, state buffers the
-    event timestamps of every not-yet-finalized session; a session is
-    emitted ONLY once the watermark passes ``session_end + gap`` —
-    before that, a legal late event (Spark drops rows older than the
-    watermark upstream) could still extend or merge it.  Because
-    sessions are chronologically ordered, the finalizable set is always
-    a prefix, so emission order and the persisted ``next_sid`` counter
-    give monotonic per-user session ids that match the batch
-    :func:`sessionize` numbering.  State size is bounded by the events
-    inside the watermark horizon; the event-time timeout flushes
-    finalizable sessions on watermark advance even without new data."""
+    Watermark-correct append semantics: per user, state holds a
+    (start, last, count) triple per not-yet-finalized session; a
+    session is emitted ONLY once the watermark strictly passes
+    ``session_end + gap`` — before that, a legal late event (Spark
+    drops rows older than the watermark upstream; ts == watermark is
+    still admitted) could extend it or merge it with a neighbour.
+    Because sessions are chronologically ordered, the finalizable set
+    is always a prefix, so emission order and the persisted
+    ``next_sid`` counter give monotonic per-user session ids that match
+    the batch :func:`sessionize` numbering.  State is O(open sessions)
+    (late data can only extend/merge sessions, never split them); the
+    event-time timeout flushes finalizable sessions on watermark
+    advance even without new data."""
     import numpy as _np
     import pandas as _pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -164,44 +171,67 @@ def stream_sessionize_stateful(
     def fn(key, pdfs, state: GroupState):
         user = int(key[0])
         if state.exists:
-            next_sid, pending = state.get
-            pending = list(pending or [])
+            next_sid, s_starts, s_lasts, s_counts = state.get
+            sessions = [
+                [int(a), int(b), int(c)]
+                for a, b, c in zip(s_starts or [], s_lasts or [], s_counts or [])
+            ]
         else:
-            next_sid, pending = 1, []
+            next_sid, sessions = 1, []
 
-        new_us: list[int] = []
         if not state.hasTimedOut:
             for p in pdfs:
-                if len(p):
-                    new_us.extend(p["ts"].astype("int64").to_numpy() // 1000)  # ns -> us
+                if not len(p):
+                    continue
+                us = _np.sort(p["ts"].astype("int64").to_numpy() // 1000)  # ns -> us
+                # fold the batch into per-session triples first
+                brk = _np.flatnonzero(_np.diff(us) > gap_us) + 1
+                starts = _np.concatenate(([0], brk))
+                ends = _np.concatenate((brk, [len(us)]))
+                sessions.extend(
+                    [int(us[a]), int(us[b - 1]), int(b - a)] for a, b in zip(starts, ends)
+                )
 
-        us = _np.array(sorted(pending + new_us), dtype=_np.int64)
-        if not len(us):
-            state.update((next_sid, []))
+        if not sessions:
+            state.update((next_sid, [], [], []))
             return
 
-        # session split (vectorized): new session where gap > gap_us
-        brk = _np.flatnonzero(_np.diff(us) > gap_us) + 1
-        starts = _np.concatenate(([0], brk))
-        ends = _np.concatenate((brk, [len(us)]))
+        # merge: sessions within gap of each other collapse (a late event
+        # can bridge two previously-separate sessions)
+        sessions.sort()
+        merged = [sessions[0]]
+        for s in sessions[1:]:
+            cur = merged[-1]
+            if s[0] - cur[1] <= gap_us:
+                cur[1] = max(cur[1], s[1])
+                cur[2] += s[2]
+            else:
+                merged.append(s)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
-        lasts = us[ends - 1]
-        n_final = int(_np.searchsorted(lasts + gap_us, wm_us, side="right"))
+        # finalize only when the watermark STRICTLY exceeds close+gap: an
+        # event with ts == watermark is still admitted by Spark and would
+        # extend a session whose end+gap == watermark
+        n_final = 0
+        while n_final < len(merged) and merged[n_final][1] + gap_us < wm_us:
+            n_final += 1
 
         out = []
-        for i in range(n_final):
-            seg = us[starts[i]:ends[i]]
-            out.append((user, next_sid, len(seg), int(seg[0]), int(seg[-1])))
+        for start, last, cnt in merged[:n_final]:
+            out.append((user, next_sid, cnt, start, last))
             next_sid += 1
 
-        remaining = us[starts[n_final]:] if n_final < len(starts) else us[:0]
-        state.update((next_sid, [int(x) for x in remaining]))
-        if len(remaining):
+        remaining = merged[n_final:]
+        state.update((
+            next_sid,
+            [s[0] for s in remaining],
+            [s[1] for s in remaining],
+            [s[2] for s in remaining],
+        ))
+        if remaining:
             # flush when the watermark passes the first open session's close
-            first_open_last = int(us[ends[n_final] - 1])
             state.setTimeoutTimestamp(
-                max((first_open_last + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+                max((remaining[0][1] + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
             )
         if out:
             yield _pd.DataFrame({

@@ -82,8 +82,12 @@ def tf_map_in_pandas(
     difference between shuffling O(tokens) and O(distinct terms per doc).
     """
     carried = [doc_id, *extra_cols]
+    # schema in CARRIED order (not docs.schema order): the yielded
+    # pandas frames are column-ordered (doc_id, extras..., term, tf),
+    # and a source schema listing an extra before doc_id would
+    # otherwise swap columns under positional assignment
     out_schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema if f.name in carried]
+        [f"`{c}` {docs.schema[c].dataType.simpleString()}" for c in carried]
         + ["term string", "tf long"]
     )
 
