@@ -89,15 +89,20 @@ def _stream_triad(n: int) -> float:
     return (10 * 3 * 8 * n) / (_t.time() - t0) / 1e9  # GB/s
 
 
-def measure_bandwidth(n_procs: int) -> float:
+def measure_bandwidth(n_procs: int, reps: int = 3) -> float:
     """Aggregate DRAM bandwidth (GB/s) with ``n_procs`` concurrent
     STREAM-triad processes — quantifies the one resource local-mode
-    scaling does NOT multiply (a real N->4N cluster multiplies it 4x)."""
+    scaling does NOT multiply (a real N->4N cluster multiplies it 4x).
+    Median of ``reps`` samples: single shots on this shared host vary
+    several-fold."""
     import multiprocessing as mp
+    import statistics
 
-    with mp.Pool(n_procs) as p:
-        per = p.map(_stream_triad, [20_000_000] * n_procs)
-    return round(sum(per), 1)
+    samples = []
+    for _ in range(reps):
+        with mp.Pool(n_procs) as p:
+            samples.append(sum(p.map(_stream_triad, [20_000_000] * n_procs)))
+    return round(statistics.median(samples), 1)
 
 
 def main() -> None:

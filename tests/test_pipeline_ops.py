@@ -169,10 +169,10 @@ def test_stream_sessionize_builtin_closed_sessions_match_batch(spark, tmp_path):
 
 def test_stream_sessionize_stateful_watermark_finalized(spark, tmp_path):
     """applyInPandasWithState sessionizer emits EXACTLY the sessions the
-    final watermark can prove closed (session_end + gap <= max_ts -
-    delay), value- and session_id-identical to the batch plan — never
-    early (a late event inside the watermark could still extend or
-    merge a session)."""
+    final watermark can prove closed (session_end + gap strictly before
+    max_ts - delay), value- and session_id-identical to the batch plan —
+    never early (a late event inside the watermark could still extend
+    or merge a session)."""
     import datetime as dt
 
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
