@@ -79,3 +79,48 @@ def test_build_rejects_duplicate_doc_ids(spark, tmp_path):
     dup = docs.unionByName(docs.limit(1))  # one repeated natural key
     with pytest.raises(ValueError, match="duplicate doc_ids"):
         build_index(spark, dup, str(tmp_path / "idx_dup"), CFG, resume=False)
+
+
+def test_delete_documents_equals_fresh_build(spark, tmp_path):
+    from wikitfidf_spark.index.build import delete_documents
+
+    docs = make_code_files(spark, n_docs=400, seed=42).cache()
+    kill = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5)) == 0
+    keep_docs, dead_docs = docs.filter(~kill), docs.filter(kill)
+    dead_ids = [r[0] for r in dead_docs.select(F.xxhash64("repo", "path", "commit")).collect()]
+
+    full_dir = str(tmp_path / "idx_keep_only")
+    del_dir = str(tmp_path / "idx_deleted")
+    build_index(spark, keep_docs, full_dir, CFG, resume=False)
+    build_index(spark, docs, del_dir, CFG, resume=False)
+    res = delete_documents(spark, dead_ids, del_dir)
+    assert res.metrics["total_docs"] == 400 - len(dead_ids)
+
+    cols = ["shard", "term", "sub_shard", "n_docs", "cf",
+            "docs_payload", "tfs_payload", "scores_payload"]
+
+    def rows(d, name):
+        df = spark.read.parquet(os.path.join(d, name)).select(*cols)
+        return sorted(
+            ((r["shard"], r["term"], r["sub_shard"], r["n_docs"], r["cf"],
+              bytes(r["docs_payload"]), bytes(r["tfs_payload"]), bytes(r["scores_payload"]))
+             for r in df.collect())
+        )
+
+    assert rows(full_dir, "postings.parquet") == rows(del_dir, "postings_v1.parquet")
+
+    # query identity over the union of both readers
+    qs = [Query(0, ["arg_cfg_get", "core_write_run"], "OR", 10)]
+    get = lambda d: sorted(
+        (r["doc_id"], r["score_q"]) for r in InvertedIndex(spark, d).topk_batch(qs).collect()
+    )
+    assert get(full_dir) == get(del_dir)
+
+    # deleted ids are gone from docmeta; deleting again raises
+    idx = InvertedIndex(spark, del_dir)
+    assert idx.docmeta.filter(F.col("doc_id").isin(dead_ids[:5])).count() == 0
+    with pytest.raises(ValueError, match="not live"):
+        delete_documents(spark, dead_ids[:1], del_dir)
+    # re-adding a tombstoned doc is rejected
+    with pytest.raises(ValueError, match="collisions"):
+        add_documents(spark, dead_docs.limit(1), del_dir)

@@ -393,6 +393,98 @@ def index_paths(manifest: dict) -> dict:
     return manifest.get("paths") or _default_paths()
 
 
+def _load_cfg(manifest: dict, index_dir: str) -> IndexConfig:
+    if manifest["config"] is None:
+        raise ValueError(f"{index_dir} has no built index")
+    cj = dict(manifest["config"])
+    cj["id_cols"] = tuple(cj.get("id_cols") or ())
+    return IndexConfig(**cj)
+
+
+def _tombstones(spark: SparkSession, index_dir: str, manifest: dict) -> DataFrame | None:
+    rel = index_paths(manifest).get("tombstones")
+    if not rel:
+        return None
+    return spark.read.parquet(os.path.join(index_dir, rel))
+
+
+def _rebuild_derived(
+    spark: SparkSession,
+    index_dir: str,
+    manifest: dict,
+    cfg: IndexConfig,
+    tf_all: DataFrame,
+    meta_all: DataFrame,
+    version: int,
+    phase_name: str,
+    t_start: float,
+    paths_update: dict,
+) -> BuildResult:
+    """Recompute dictionary + postings (+ consolidated docmeta) over the
+    given live tf/meta into versioned dirs, then flip the manifest
+    pointers atomically.  Shared by add_documents / delete_documents."""
+    dict_rel = f"dictionary_v{version}.parquet"
+    post_rel = f"postings_v{version}.parquet"
+    lin_rel = f"lineage_v{version}.parquet"
+    meta_rel = f"docmeta_v{version}.parquet"
+
+    meta_all.write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
+    meta_r = spark.read.parquet(os.path.join(index_dir, meta_rel))
+
+    stats = termstats.global_term_stats(tf_all, n_salts=cfg.n_salts)
+    stats.write.mode("overwrite").parquet(os.path.join(index_dir, dict_rel))
+    stats_r = spark.read.parquet(os.path.join(index_dir, dict_rel))
+    srow = stats_r.agg(F.sum("cf").alias("tok"), F.count("*").alias("n_terms")).collect()[0]
+    dl = meta_r.agg(
+        F.sum("doc_len").alias("s"), F.count("*").alias("n"),
+        F.sum((F.col("doc_len") > 0).cast("long")).alias("nonempty"),
+    ).collect()[0]
+    n_docs_all = int(dl["n"])
+    avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
+
+    postings = encode_postings_df(tf_all, meta_r, stats_r, cfg, n_docs_all, avgdl)
+    postings.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(index_dir, post_rel)
+    )
+    post_r = spark.read.parquet(os.path.join(index_dir, post_rel))
+    lineage = post_r.groupBy("shard").agg(
+        F.count("*").alias("n_lists"),
+        F.sum("n_docs").alias("n_postings"),
+        F.sum(F.length("docs_payload") + F.length("tfs_payload") + F.length("scores_payload")).alias("payload_bytes"),
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(index_dir, lin_rel))
+    lin = spark.read.parquet(os.path.join(index_dir, lin_rel)).agg(
+        F.sum("n_postings").alias("p"), F.sum("payload_bytes").alias("bytes")
+    ).collect()[0]
+
+    wall = time.time() - t_start
+    manifest["paths"] = {
+        **index_paths(manifest),
+        **paths_update,
+        "docmeta": [meta_rel],
+        "dictionary": dict_rel,
+        "postings": post_rel,
+        "lineage": lin_rel,
+    }
+    manifest["version"] = version
+    manifest["phases"][phase_name] = {"rows": int(lin["p"] or 0), "wall_sec": wall}
+    manifest["metrics"].update(
+        total_tokens=int(srow["tok"] or 0),
+        total_docs=n_docs_all,
+        docs_with_terms=int(dl["nonempty"] or 0),
+        avgdl=avgdl,
+        skew_ratio=termstats.skew_ratio(stats_r),
+        n_postings=int(lin["p"] or 0),
+        payload_bytes=int(lin["bytes"] or 0),
+        postings_per_sec=(int(lin["p"] or 0) / wall if wall > 0 else 0.0),
+    )
+    manifest["metrics"]["build_wall_sec_total"] = round(
+        sum(p["wall_sec"] for p in manifest["phases"].values()), 3
+    )
+    _save_manifest(index_dir, manifest)
+    return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
+
+
 def add_documents(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -413,16 +505,14 @@ def add_documents(
       cheaper updates; rejected here because north_rule requires
       rank-identical scores.)
 
-    Raises on doc_id collisions (same natural key already indexed).
+    Raises on doc_id collisions (same natural key already indexed, or
+    previously deleted — re-adding a tombstoned id needs compaction).
     """
     manifest = load_manifest(index_dir)
-    if manifest["config"] is None:
-        raise ValueError(f"{index_dir} has no built index to add to")
-    cj = dict(manifest["config"])
-    cj["id_cols"] = tuple(cj.get("id_cols") or ())
-    cfg = IndexConfig(**cj)
+    cfg = _load_cfg(manifest, index_dir)
     paths = index_paths(manifest)
     gen = len(paths["tf"])  # 1-based delta number
+    version = int(manifest.get("version", 0)) + 1
     t_start = time.time()
 
     base = new_docs if not cfg.id_cols else new_docs.withColumn(
@@ -449,13 +539,18 @@ def add_documents(
     meta_new = spark.read.parquet(os.path.join(index_dir, meta_rel))
 
     meta_old = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["docmeta"]])
-    n_clash = meta_new.select("doc_id").join(meta_old.select("doc_id"), "doc_id").count()
+    taken = meta_old.select("doc_id")
+    tombs = _tombstones(spark, index_dir, manifest)
+    if tombs is not None:
+        taken = taken.unionByName(tombs.select("doc_id"))
+    n_clash = meta_new.select("doc_id").join(taken, "doc_id").count()
     n_dup_new = (
         meta_new.groupBy("doc_id").count().filter(F.col("count") > 1).count()
     )
     if n_clash or n_dup_new:
         raise ValueError(
-            f"doc_id collisions: {n_clash} vs existing index, {n_dup_new} within new docs"
+            f"doc_id collisions: {n_clash} vs existing index (live or tombstoned), "
+            f"{n_dup_new} within new docs"
         )
 
     # ---- merged derived state -> versioned dirs
@@ -463,59 +558,56 @@ def add_documents(
         *[os.path.join(index_dir, p) for p in paths["tf"]],
         os.path.join(index_dir, tf_rel),
     )
+    if tombs is not None:
+        tf_all = tf_all.join(tombs.select("doc_id"), "doc_id", "left_anti")
     meta_all = meta_old.unionByName(meta_new)
-    dict_rel, post_rel, lin_rel = (
-        f"dictionary_v{gen}.parquet", f"postings_v{gen}.parquet", f"lineage_v{gen}.parquet",
+    return _rebuild_derived(
+        spark, index_dir, manifest, cfg, tf_all, meta_all, version,
+        f"delta_g{gen}", t_start, paths_update={"tf": paths["tf"] + [tf_rel]},
     )
-    stats = termstats.global_term_stats(tf_all, n_salts=cfg.n_salts)
-    stats.write.mode("overwrite").parquet(os.path.join(index_dir, dict_rel))
-    stats_r = spark.read.parquet(os.path.join(index_dir, dict_rel))
-    srow = stats_r.agg(F.sum("cf").alias("tok"), F.count("*").alias("n_terms")).collect()[0]
-    dl = meta_all.agg(
-        F.sum("doc_len").alias("s"), F.count("*").alias("n"),
-        F.sum((F.col("doc_len") > 0).cast("long")).alias("nonempty"),
-    ).collect()[0]
-    n_docs_all = int(dl["n"])
-    avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
 
-    postings = encode_postings_df(tf_all, meta_all, stats_r, cfg, n_docs_all, avgdl)
-    postings.write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(index_dir, post_rel)
-    )
-    post_r = spark.read.parquet(os.path.join(index_dir, post_rel))
-    lineage = post_r.groupBy("shard").agg(
-        F.count("*").alias("n_lists"),
-        F.sum("n_docs").alias("n_postings"),
-        F.sum(F.length("docs_payload") + F.length("tfs_payload") + F.length("scores_payload")).alias("payload_bytes"),
-    )
-    lineage.write.mode("overwrite").parquet(os.path.join(index_dir, lin_rel))
-    lin = spark.read.parquet(os.path.join(index_dir, lin_rel)).agg(
-        F.sum("n_postings").alias("p"), F.sum("payload_bytes").alias("bytes")
-    ).collect()[0]
 
-    wall = time.time() - t_start
-    manifest["paths"] = {
-        "tf": paths["tf"] + [tf_rel],
-        "docmeta": paths["docmeta"] + [meta_rel],
-        "dictionary": dict_rel,
-        "postings": post_rel,
-        "lineage": lin_rel,
-    }
-    manifest["phases"][f"delta_g{gen}"] = {
-        "rows": int(lin["p"] or 0), "wall_sec": wall,
-    }
-    manifest["metrics"].update(
-        total_tokens=int(srow["tok"] or 0),
-        total_docs=n_docs_all,
-        docs_with_terms=int(dl["nonempty"] or 0),
-        avgdl=avgdl,
-        skew_ratio=termstats.skew_ratio(stats_r),
-        n_postings=int(lin["p"] or 0),
-        payload_bytes=int(lin["bytes"] or 0),
-        postings_per_sec=(int(lin["p"] or 0) / wall if wall > 0 else 0.0),
+def delete_documents(
+    spark: SparkSession,
+    doc_ids,
+    index_dir: str,
+) -> BuildResult:
+    """Incremental delete with EXACT global scores: the doc_ids are
+    tombstoned (their tokenized tf generations stay on disk but are
+    filtered at every derived rebuild), and dictionary + postings are
+    recomputed over the surviving documents — BM25 idf/df/avgdl reflect
+    the post-delete corpus, identical to a from-scratch build without
+    those docs (tests assert payload-level identity).
+
+    ``doc_ids``: a one-column DataFrame or a Python sequence of ids.
+    Raises if any id is not live in the index."""
+    manifest = load_manifest(index_dir)
+    cfg = _load_cfg(manifest, index_dir)
+    paths = index_paths(manifest)
+    version = int(manifest.get("version", 0)) + 1
+    t_start = time.time()
+
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.toDF("doc_id").distinct()
+    else:
+        ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long").distinct()
+
+    meta_old = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["docmeta"]])
+    n_missing = ids.join(meta_old.select("doc_id"), "doc_id", "left_anti").count()
+    if n_missing:
+        raise ValueError(f"{n_missing} doc_ids not live in the index")
+
+    tomb_rel = f"tombstones_v{version}.parquet"
+    tombs = _tombstones(spark, index_dir, manifest)
+    all_tombs = ids if tombs is None else tombs.select("doc_id").unionByName(ids).distinct()
+    all_tombs.write.mode("overwrite").parquet(os.path.join(index_dir, tomb_rel))
+    all_tombs = spark.read.parquet(os.path.join(index_dir, tomb_rel))
+
+    tf_all = spark.read.parquet(
+        *[os.path.join(index_dir, p) for p in paths["tf"]]
+    ).join(all_tombs, "doc_id", "left_anti")
+    meta_all = meta_old.join(ids, "doc_id", "left_anti")
+    return _rebuild_derived(
+        spark, index_dir, manifest, cfg, tf_all, meta_all, version,
+        f"delete_v{version}", t_start, paths_update={"tombstones": tomb_rel},
     )
-    manifest["metrics"]["build_wall_sec_total"] = round(
-        sum(p["wall_sec"] for p in manifest["phases"].values()), 3
-    )
-    _save_manifest(index_dir, manifest)
-    return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
