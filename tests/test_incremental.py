@@ -124,3 +124,28 @@ def test_delete_documents_equals_fresh_build(spark, tmp_path):
     # re-adding a tombstoned doc is rejected
     with pytest.raises(ValueError, match="collisions"):
         add_documents(spark, dead_docs.limit(1), del_dir)
+
+
+def test_compact_clears_tombstones_and_allows_readd(spark, tmp_path):
+    from wikitfidf_spark.index.build import compact, delete_documents, index_paths
+
+    docs = make_code_files(spark, n_docs=200, seed=42).cache()
+    kill = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4)) == 0
+    d = str(tmp_path / "idx_compact")
+    build_index(spark, docs, d, CFG, resume=False)
+    dead = docs.filter(kill)
+    dead_ids = [r[0] for r in dead.select(F.xxhash64("repo", "path", "commit")).collect()]
+    delete_documents(spark, dead_ids, d)
+    pre = InvertedIndex(spark, d)
+    res = compact(spark, d)
+    m = load_manifest(d)
+    assert "tombstones" not in index_paths(m)
+    assert len(index_paths(m)["tf"]) == 1
+    # compaction preserves results exactly
+    post = InvertedIndex(spark, d)
+    q = [Query(0, ["arg_cfg_get"], "OR", 10)]
+    assert sorted((r["doc_id"], r["score_q"]) for r in pre.topk_batch(q).collect()) == \
+           sorted((r["doc_id"], r["score_q"]) for r in post.topk_batch(q).collect())
+    # tombstoned ids are re-addable after compaction
+    add_documents(spark, dead.limit(1), d)
+    assert load_manifest(d)["metrics"]["total_docs"] == res.metrics["total_docs"] + 1

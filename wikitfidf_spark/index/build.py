@@ -611,3 +611,37 @@ def delete_documents(
         spark, index_dir, manifest, cfg, tf_all, meta_all, version,
         f"delete_v{version}", t_start, paths_update={"tombstones": tomb_rel},
     )
+
+
+def compact(spark: SparkSession, index_dir: str) -> BuildResult:
+    """Consolidate all tf generations into one live parquet and clear
+    the tombstone set (after which previously-deleted ids may be
+    re-added).  Derived state is rebuilt from the compacted tf, so the
+    result is indistinguishable from a fresh build over the live
+    corpus; old generation/version dirs become garbage (left on disk —
+    prune externally once no reader holds the old manifest)."""
+    manifest = load_manifest(index_dir)
+    cfg = _load_cfg(manifest, index_dir)
+    paths = index_paths(manifest)
+    version = int(manifest.get("version", 0)) + 1
+    t_start = time.time()
+
+    tombs = _tombstones(spark, index_dir, manifest)
+    tf_all = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["tf"]])
+    if tombs is not None:
+        tf_all = tf_all.join(tombs.select("doc_id"), "doc_id", "left_anti")
+    tf_rel = f"tf_compact_v{version}.parquet"
+    tf_all.write.mode("overwrite").parquet(os.path.join(index_dir, tf_rel))
+    tf_live = spark.read.parquet(os.path.join(index_dir, tf_rel))
+    meta_live = spark.read.parquet(
+        *[os.path.join(index_dir, p) for p in paths["docmeta"]]
+    )
+    res = _rebuild_derived(
+        spark, index_dir, manifest, cfg, tf_live, meta_live, version,
+        f"compact_v{version}", t_start, paths_update={"tf": [tf_rel]},
+    )
+    # tombstones are folded into the compacted tf -> drop the pointer
+    m2 = load_manifest(index_dir)
+    m2["paths"].pop("tombstones", None)
+    _save_manifest(index_dir, m2)
+    return res
