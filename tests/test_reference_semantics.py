@@ -117,3 +117,13 @@ def test_semi_filter_long_integer_key_list(spark):
     keys = list(range(0, 130))  # > ISIN_MAX -> semi-join branch
     got = sorted(r["doc_id"] for r in filters.semi_filter(df, "doc_id", keys).collect())
     assert got == keys
+
+
+def test_load_flagged_terms_newline_format(tmp_path):
+    """S16 list loader parity (badwords.go:50-66): newline-delimited
+    words, blanks skipped, order kept, duplicates dropped."""
+    from wikitfidf_spark.operators.badwords import load_flagged_terms
+
+    p = tmp_path / "english"
+    p.write_text("slow\nerror\n\nlegacy\nslow\n  hack  \n")
+    assert load_flagged_terms(str(p)) == ["slow", "error", "legacy", "hack"]

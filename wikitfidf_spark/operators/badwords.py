@@ -43,3 +43,17 @@ def badwords_report(
         .join(doclens, doc_id)
         .select(*keys, "abs", (F.col("abs").cast("double") / F.col("doc_len").cast("double")).alias("rel"))
     )
+
+
+def load_flagged_terms(path: str) -> list[str]:
+    """Load a flagged-term list from a newline-delimited word file —
+    the reference's badwords data format (badwords.go:50-66 reads
+    ``data/<language>`` files of one lowercase word per line; blank
+    lines skipped).  Returns deduplicated terms in file order."""
+    seen: dict[str, None] = {}
+    with open(path) as f:
+        for line in f:
+            w = line.strip()
+            if w:
+                seen.setdefault(w, None)
+    return list(seen)
