@@ -34,6 +34,8 @@ def make_queries(n: int = 100) -> list:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if cpus in ("*", ""):  # session.get_spark documents local[*] for this var
+        cpus = str(os.cpu_count())
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
 
@@ -71,8 +73,8 @@ def main() -> None:
     # ---- north-rule metrics: index build + WAND q/s on the bench corpus
     idx_dir = f"/tmp/wikitfidf_bench_idx_{n_docs}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    corpus = timed("bench_corpus_gen", lambda: make_code_files(spark, n_docs=n_docs, seed=42).cache())
-    corpus.count()
+    corpus = make_code_files(spark, n_docs=n_docs, seed=42).cache()
+    timed("bench_corpus_gen", corpus.count)  # count() materializes the cache
     cfg = IndexConfig(n_shards=int(cpus), n_salts=8)
     res = timed("index_build", lambda: build_index(spark, corpus, idx_dir, cfg, resume=False))
     extras["build"] = {
@@ -86,7 +88,6 @@ def main() -> None:
     queries = make_queries(100)
     # warm-up (JIT, parquet footer cache), then the measured batch
     idx.topk_batch(queries[:4]).count()
-    t0 = time.time()
     n_rows = timed("batch_topk_100q", lambda: idx.topk_batch(queries).count())
     qps = len(queries) / timings["batch_topk_100q"]
     extras["topk_qps"] = round(qps, 2)

@@ -56,9 +56,17 @@ def run_level(cores: int, docs: int, queries: int) -> dict:
     ]
     log(f"-> local[{cores}]: {' '.join(cmd[-6:])}")
     t0 = time.time()
-    out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, check=True)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    res = json.loads(line)
+    out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    if out.returncode != 0:
+        log(f"spark-submit failed (exit {out.returncode}); stderr tail:")
+        log("\n".join(out.stderr.splitlines()[-30:]))
+        raise RuntimeError(f"local[{cores}] run failed with exit {out.returncode}")
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        log(f"no JSON line on stdout; stderr tail:")
+        log("\n".join(out.stderr.splitlines()[-30:]))
+        raise RuntimeError(f"local[{cores}] run produced no result JSON")
+    res = json.loads(lines[-1])
     res["total_wall_sec"] = round(time.time() - t0, 1)
     log(f"   {res}")
     return res
@@ -77,31 +85,43 @@ def best_of(reps: int, cores: int, docs: int, queries: int) -> dict:
     return best
 
 
-def _stream_triad(n: int) -> float:
+TRIAD_N = 20_000_000
+TRIAD_ITERS = 10
+# in-place triad (tmp = 2a; b += tmp): read a, write tmp, read tmp,
+# read+write b = 5 streams of 8 bytes/element per iteration
+TRIAD_BYTES = TRIAD_ITERS * 5 * 8 * TRIAD_N
+
+
+def _stream_triad(n: int) -> None:
     import numpy as np
-    import time as _t
 
     a = np.ones(n, dtype=np.float64)
     b = np.ones(n, dtype=np.float64)
-    t0 = _t.time()
-    for _ in range(10):
-        b = a * 2.0 + b
-    return (10 * 3 * 8 * n) / (_t.time() - t0) / 1e9  # GB/s
+    tmp = np.empty(n, dtype=np.float64)
+    for _ in range(TRIAD_ITERS):
+        np.multiply(a, 2.0, out=tmp)  # in-place: no fresh allocations,
+        np.add(b, tmp, out=b)         # so counted traffic = real traffic
 
 
 def measure_bandwidth(n_procs: int, reps: int = 3) -> float:
     """Aggregate DRAM bandwidth (GB/s) with ``n_procs`` concurrent
     STREAM-triad processes — quantifies the one resource local-mode
     scaling does NOT multiply (a real N->4N cluster multiplies it 4x).
-    Median of ``reps`` samples: single shots on this shared host vary
+    Aggregate = total bytes moved / POOL wall time (per-process rates
+    over non-overlapping windows would overstate concurrency); median
+    of ``reps`` samples because single shots on this shared host vary
     several-fold."""
     import multiprocessing as mp
     import statistics
+    import time as _t
 
     samples = []
     for _ in range(reps):
         with mp.Pool(n_procs) as p:
-            samples.append(sum(p.map(_stream_triad, [20_000_000] * n_procs)))
+            p.map(_stream_triad, [1_000])  # warm the pool (fork + import)
+            t0 = _t.time()
+            p.map(_stream_triad, [TRIAD_N] * n_procs)
+            samples.append(n_procs * TRIAD_BYTES / (_t.time() - t0) / 1e9)
     return round(statistics.median(samples), 1)
 
 

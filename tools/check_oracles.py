@@ -20,8 +20,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return f"{v:.10g}"
+    import numpy as np
+
+    if isinstance(v, (float, np.floating)):  # np.float32 is not a float
+        return f"{float(v):.10g}"
     return str(v)
 
 
@@ -46,6 +48,10 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -75,8 +81,8 @@ def main() -> int:
             probs.append("value-hash mismatch")
             merged = spdf.sort_values(sorted(spdf.columns)).reset_index(drop=True).compare(
                 opdf[spdf.columns].sort_values(sorted(spdf.columns)).reset_index(drop=True)
-            ) if len(spdf) == len(opdf) else None
-            if merged is not None and len(merged):
+            )  # row counts already equal here (checked above)
+            if len(merged):
                 probs.append(f"first diffs:\n{merged.head(5)}")
         if probs:
             failures += 1

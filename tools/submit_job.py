@@ -50,7 +50,7 @@ def main() -> None:
 
     t0 = time.time()
     res = build_index(spark, corpus, idx_dir,
-                      IndexConfig(n_shards=cores, n_salts=8), resume=False)
+                      IndexConfig(n_shards=args.shards or cores, n_salts=8), resume=False)
     build_sec = time.time() - t0
 
     idx = InvertedIndex(spark, idx_dir)
