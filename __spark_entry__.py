@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wikitfidf_spark.sources import read_named_table
 from wikitfidf_spark.tokenize import TOKEN_REGEX
 from wikitfidf_spark.operators import termstats, topk, badwords as bw, stemdict, filters
 from wikitfidf_spark.operators import dedup, similarity, textstats, multimodal
@@ -46,8 +47,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> Data
     are single-row-group files, so the scan can't split) — at real
     scale the many-files scan already saturates and the gate makes the
     shuffle a no-op.  Use it for scans feeding per-row compute
-    (tokenize/regex/hashing), never for plain aggregates."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    (tokenize/regex/hashing), never for plain aggregates.
+
+    Every scan routes through sources.read_named_table: parquet by
+    default, an Iceberg catalog table when SPARK_GRAFT_SOURCE_FORMAT
+    says so (BASELINE.json input_hint; no catalog jars in-sandbox)."""
+    df = read_named_table(spark, sf_dir, name)
     if widen:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(2, par // 2):
@@ -270,8 +275,12 @@ def _cached_index(spark, sf_dir):
     # corpora sharing a dir basename (or regenerated data at the same
     # path) must not reuse a stale index
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{sorted(cfg.to_json().items())}"
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}|{st.st_mtime_ns}"
+    except OSError:  # catalog-table source: no local file to fingerprint
+        fp = "catalog"
+    key = f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}"
     idx_dir = f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
     build_index(spark, docs, idx_dir, cfg)  # resumes instantly if built
     return InvertedIndex(spark, idx_dir)
@@ -305,16 +314,21 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_candidates(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs (8 hashes, 4 bands)."""
-    return dedup.minhash_candidates(_tf(spark, sf_dir))
+    """MinHash-LSH near-dup candidate pairs over 3-token shingle sets
+    (16 hashes × 4 rows/band).  Selective by construction — candidates
+    stay a small fraction of n²/2 (tests assert a ratio bound) while
+    exact duplicates always collide on every band."""
+    sh = dedup.shingle_sets(_docs(spark, sf_dir))
+    return dedup.minhash_candidates(sh)
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """Candidate-then-verify: exact token-set Jaccard on LSH candidates,
-    thresholded at 0.5."""
-    tf = _tf(spark, sf_dir)
-    pairs = dedup.minhash_candidates(tf)
-    return dedup.jaccard_on_pairs(pairs, tf).filter(F.col("jaccard") >= 0.5).select(
+    """Candidate-then-verify: exact shingle-set Jaccard on the LSH
+    candidates, thresholded at 0.5 — the precision stage matching the
+    similarity the signatures approximate."""
+    sh = dedup.shingle_sets(_docs(spark, sf_dir))
+    pairs = dedup.minhash_candidates(sh)
+    return dedup.jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= 0.5).select(
         "a", "b", "inter", "size_a", "size_b",
         round_half_up(F.col("jaccard"), 6).alias("jaccard"),
     )
@@ -348,6 +362,18 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """The 10^9-vector near-dup path, oracle-checked: candidates = same
+    LSH bucket (shuffle on the deterministic quantized-sign signature —
+    no cross join anywhere in the plan, asserted in tests/test_plans.py),
+    then the exact quantized-cosine verify kernel.  Approximate by
+    design: misses cross-bucket pairs; the exact all-pairs anchor is
+    q_embedding_near_dup."""
+    return similarity.cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS, n_planes=LSH_PLANES
+    )
+
+
 def q_content_sha256(spark, sf_dir):
     """The input_hint per-row invariant, as a checked query: the engine
     never mutates content — sha256 over the scanned text column matches
@@ -358,11 +384,17 @@ def q_content_sha256(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only check — the decode is a
-    deterministic stand-in, operators/multimodal.py): binary payload +
-    typed metadata -> Arrow-batched feature extraction."""
+    """Multimodal plumbing: binary payload + typed metadata ->
+    Arrow-batched feature extraction (operators/multimodal.py).  The
+    feature vector is posexploded to (pos, value) rows so the result is
+    canonicalizable (array columns aren't pandas-hashable), and — since
+    the stand-in decoder is sha256-based — fully oracle-checkable."""
     media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", "payload_sha256",
+        F.posexplode("features").alias("pos", "value"),
+    )
 
 
 def q_token_counts(spark, sf_dir):
@@ -458,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "content_sha256": q_content_sha256,
         "multimodal_features": q_multimodal_features,
         "token_counts": q_token_counts,
@@ -486,6 +519,42 @@ def _plane_values_sql() -> str:
         for i in range(EMB_DIM)
         for j in range(LSH_PLANES)
     )
+
+
+def _minhash_cte_sql() -> str:
+    """Shingle + signature + band + candidate-pair CTEs, generated from
+    the same (k, n_hashes, rows_per_band) constants the Spark operators
+    use (operators/dedup.py) — oracle lockstep by construction."""
+    k, n, r = dedup.SHINGLE_K, dedup.MINHASH_N, dedup.MINHASH_ROWS_PER_BAND
+    mins = ",\n                     ".join(
+        f"min(md5('{i}:' || term)) AS s{i}" for i in range(n)
+    )
+    bands = "\n              UNION ALL\n              ".join(
+        "SELECT doc_id, {j} AS band_idx, {e} AS band FROM sig".format(
+            j=j, e=" || '|' || ".join(f"s{j * r + q}" for q in range(r)),
+        )
+        for j in range(n // r)
+    )
+    return f"""
+            tarr AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS toks FROM documents),
+            terms AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(toks) - {k - 1}, 1) + 1),
+                              i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS term
+                FROM tarr
+              )
+            ),
+            sig AS (SELECT doc_id, {mins} FROM terms GROUP BY doc_id),
+            bands AS (
+              {bands}
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band = r.band
+              WHERE l.doc_id < r.doc_id
+            )
+    """
 
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
@@ -621,48 +690,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "minhash_candidates": f"""
-            WITH {_TOK_CTE},
-            terms AS (SELECT DISTINCT doc_id, term FROM tf),
-            sig AS (
-              SELECT doc_id,
-                     min(md5('0:' || term)) AS s0, min(md5('1:' || term)) AS s1,
-                     min(md5('2:' || term)) AS s2, min(md5('3:' || term)) AS s3,
-                     min(md5('4:' || term)) AS s4, min(md5('5:' || term)) AS s5,
-                     min(md5('6:' || term)) AS s6, min(md5('7:' || term)) AS s7
-              FROM terms GROUP BY doc_id
-            ),
-            bands AS (
-              SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band FROM sig UNION ALL
-              SELECT doc_id, 1, s2 || '|' || s3 FROM sig UNION ALL
-              SELECT doc_id, 2, s4 || '|' || s5 FROM sig UNION ALL
-              SELECT doc_id, 3, s6 || '|' || s7 FROM sig
-            )
-            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band = r.band
-            WHERE l.doc_id < r.doc_id
+            WITH {_minhash_cte_sql()}
+            SELECT a, b FROM pairs
         """,
         "jaccard_pairs": f"""
-            WITH {_TOK_CTE},
-            terms AS (SELECT DISTINCT doc_id, term FROM tf),
-            sig AS (
-              SELECT doc_id,
-                     min(md5('0:' || term)) AS s0, min(md5('1:' || term)) AS s1,
-                     min(md5('2:' || term)) AS s2, min(md5('3:' || term)) AS s3,
-                     min(md5('4:' || term)) AS s4, min(md5('5:' || term)) AS s5,
-                     min(md5('6:' || term)) AS s6, min(md5('7:' || term)) AS s7
-              FROM terms GROUP BY doc_id
-            ),
-            bands AS (
-              SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band FROM sig UNION ALL
-              SELECT doc_id, 1, s2 || '|' || s3 FROM sig UNION ALL
-              SELECT doc_id, 2, s4 || '|' || s5 FROM sig UNION ALL
-              SELECT doc_id, 3, s6 || '|' || s7 FROM sig
-            ),
-            pairs AS (
-              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-              FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band = r.band
-              WHERE l.doc_id < r.doc_id
-            ),
+            WITH {_minhash_cte_sql()},
             sizes AS (SELECT doc_id, count(*)::bigint AS sz FROM terms GROUP BY 1),
             inter AS (
               SELECT p.a, p.b, count(*)::bigint AS inter
@@ -761,7 +793,49 @@ def oracle_sql() -> dict[str, str]:
               FROM d JOIN n2 na ON na.vec_id = d.id_a JOIN n2 nb ON nb.vec_id = d.id_b
             ) WHERE cos >= {NEAR_DUP_COS}
         """,
+        "embedding_near_dup_lsh": f"""
+            WITH pl(pos, j, coef) AS (VALUES {_plane_values_sql()}),
+            v AS (
+              SELECT vec_id, unnest(embedding)::double AS x, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            bits AS (
+              SELECT v.vec_id, pl.j,
+                     CASE WHEN sum(floor(v.x * pl.coef * 1000000000 + 0.5)::bigint) > 0 THEN 1 ELSE 0 END AS bit
+              FROM v JOIN pl USING (pos) GROUP BY 1, 2
+            ),
+            sigs AS (SELECT vec_id, sum(bit * (1 << j))::bigint AS sig FROM bits GROUP BY 1),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            ),
+            n2 AS (SELECT vec_id, sum(floor(x * x * 1000000000 + 0.5)::bigint)::bigint AS norm2_q FROM v GROUP BY 1),
+            d AS (
+              SELECT p.id_a, p.id_b,
+                     sum(floor(va.x * vb.x * 1000000000 + 0.5)::bigint)::bigint AS dot_q
+              FROM pairs p
+              JOIN v va ON va.vec_id = p.id_a
+              JOIN v vb ON vb.vec_id = p.id_b AND vb.pos = va.pos
+              GROUP BY 1, 2
+            )
+            SELECT * FROM (
+              SELECT d.id_a, d.id_b,
+                     floor(dot_q::double / (sqrt(na.norm2_q::double) * sqrt(nb.norm2_q::double)) * 1e6 + 0.5) / 1e6 AS cos
+              FROM d JOIN n2 na ON na.vec_id = d.id_a JOIN n2 nb ON nb.vec_id = d.id_b
+            ) WHERE cos >= {NEAR_DUP_COS}
+        """,
         "content_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "multimodal_features": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     octet_length(encode(text))::bigint AS n_bytes,
+                     sha256(text) AS payload_sha256
+              FROM documents
+            )
+            SELECT doc_id, n_bytes, payload_sha256, p.pos::int AS pos,
+                   (('0x' || substr(payload_sha256, p.pos * 2 + 1, 2))::bigint)::double / 255.0 AS value
+            FROM f CROSS JOIN (SELECT unnest(range({multimodal.FEATURE_DIM})) AS pos) p
+        """,
         "token_counts": f"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS n_ws_tokens,

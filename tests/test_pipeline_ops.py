@@ -44,6 +44,27 @@ def test_minhash_finds_near_dups(spark, docs_with_dups):
     assert (1, 4) not in by_pair  # zero shared terms -> drops out (jaccard 0)
 
 
+def test_minhash_shingle_selectivity_and_recall(spark):
+    """The retuned LSH (3-token shingles, 16 hashes × 4 rows/band) must
+    (a) recall 100% of the planted exact-duplicate pairs — identical
+    shingle sets collide on every band — and (b) emit candidates that
+    are a small fraction of n²/2, i.e. the banding is selective instead
+    of degenerating to all-pairs (the round-1 defect)."""
+    from wikitfidf_spark.corpus import make_code_files_pdf, DUP_EVERY
+
+    n = 400
+    pdf = make_code_files_pdf(n_docs=n, seed=3)
+    pdf.insert(0, "doc_id", range(n))
+    docs = spark.createDataFrame(pdf[["doc_id", "content"]]).withColumnRenamed(
+        "content", "text"
+    )
+    sh = dedup.shingle_sets(docs)
+    pairs = {(r["a"], r["b"]) for r in dedup.minhash_candidates(sh).collect()}
+    planted = {(i - 7, i) for i in range(n) if i % DUP_EVERY == DUP_EVERY - 1 and i >= 7}
+    assert planted <= pairs, f"missed planted dups: {planted - pairs}"
+    assert len(pairs) < 0.01 * n * (n - 1) / 2, f"non-selective: {len(pairs)} candidates"
+
+
 def test_simhash_similarity(spark, docs_with_dups):
     tf = term_frequencies(docs_with_dups, text="text")
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(tf).collect()}

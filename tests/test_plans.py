@@ -80,6 +80,22 @@ def test_jvm_tokenize_has_no_python_eval(spark, docs):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_lsh_near_dup_plan_has_no_cartesian(spark):
+    """The checked near-dup path must be the bucketed one: candidates
+    come from an equi-join on the LSH signature (shuffle on sig), never
+    a cartesian / broadcast-nested-loop expansion.  The exact all-pairs
+    anchor (cosine_pairs_exact) is intentionally NOT under this test —
+    it is the small-scale oracle anchor only."""
+    from wikitfidf_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    pairs = similarity.cosine_pairs_lsh(emb, threshold=0.35, n_planes=4)
+    p = plan(pairs)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_postings_term_lookup_prunes_row_groups(spark, tmp_path_factory):
     """Term lookups must push the term predicate into the postings scan
     (rows are written term-sorted per shard, so row-group min/max
