@@ -127,3 +127,34 @@ def test_load_flagged_terms_newline_format(tmp_path):
     p = tmp_path / "english"
     p.write_text("slow\nerror\n\nlegacy\nslow\n  hack  \n")
     assert load_flagged_terms(str(p)) == ["slow", "error", "legacy", "hack"]
+
+
+def test_available_language_gate():
+    """AvailableLanguage parity (badwords.go:20-48): code -> list name
+    including the 'simple'/'cr' test aliases; unknown codes and codes
+    whose list file isn't shipped are unavailable."""
+    from wikitfidf_spark.operators import badwords as bw
+
+    assert bw.available_language("en") == ("english", True)
+    assert bw.available_language("cr") == ("english", True)   # test-mode alias
+    assert bw.available_language("simple") == ("english", True)
+    assert bw.available_language("it") == ("italian", True)
+    assert bw.available_language("xx") == (None, False)       # unknown code
+    assert bw.available_language("ja") == (None, False)       # mapped, no data shipped
+
+
+def test_badwords_report_for_lang_gates_and_loads(spark):
+    """The full BadWords flow (badwords.go:69-189): unsupported language
+    -> no report at all; supported -> report over the file-loaded list
+    with the distinct-term quirk."""
+    from wikitfidf_spark.operators import badwords as bw
+
+    tf = spark.createDataFrame(
+        [(1, "legacy", 3), (1, "ok", 7), (2, "ok", 5)],
+        "doc_id long, term string, tf long",
+    )
+    dl = termstats.doc_lengths(tf)
+    assert bw.badwords_report_for_lang(tf, dl, "xx") is None
+    rep = bw.badwords_report_for_lang(tf, dl, "en").collect()
+    assert len(rep) == 1
+    assert rep[0]["doc_id"] == 1 and rep[0]["abs"] == 1 and rep[0]["rel"] == 0.1

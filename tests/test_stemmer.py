@@ -1,0 +1,141 @@
+"""Pluggable stemmer hook (S7/S8/S11/S14 full parity): any str -> str
+stemmer drives tokenization, the stem-reverse dictionary merge
+(stemrevaggregator.go:53-61), and export-time de-stemming
+(destemmer.pyx:45-101)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikitfidf_spark.operators import stemdict
+from wikitfidf_spark.operators.termstats import term_frequencies
+from wikitfidf_spark.tokenize import tf_map_in_pandas
+
+
+def test_snowball_lite_rules():
+    s = stemdict.snowball_lite
+    assert s("walking") == "walk"
+    assert s("walked") == "walk"
+    assert s("walks") == "walk"
+    assert s("nations") == "nation"          # longest match: 'tions' wins over 's'
+    assert s("ing") == "ing"                 # stem would be < 3 chars -> untouched
+    assert s("walk") == "walk"               # no suffix
+
+
+def test_stem_dict_with_python_stemmer_min_by_length(spark):
+    """The (len, word)-min merge (stemrevaggregator.go:53-61) must hold
+    under a plugged Python stemmer lifted via column_stemmer."""
+    terms = spark.createDataFrame(
+        [("walking",), ("walked",), ("walks",), ("other",)], "term string"
+    )
+    d = {
+        r["stem"]: r["original"]
+        for r in stemdict.stem_dict(
+            terms, stem_fn=stemdict.column_stemmer(stemdict.snowball_lite)
+        ).collect()
+    }
+    assert d["walk"] == "walks"  # shortest original (5 < 6 < 7)
+    assert d["other"] == "other"
+
+
+def test_arrow_tokenizer_stems_equal_jvm_plus_restem(spark):
+    """tf_map_in_pandas(stem_py=...) must equal JVM tokenize followed by
+    stem_terms re-aggregation — one definition of 'stemmed tf'."""
+    docs = spark.createDataFrame(
+        [(1, "walking walked walks other"), (2, "nations nation walked")],
+        "doc_id long, content string",
+    )
+    arrow = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in tf_map_in_pandas(docs, stem_py=stemdict.snowball_lite).collect()
+    }
+    jvm = term_frequencies(docs, text="content")
+    restem = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in stemdict.stem_terms(
+            jvm, stemdict.column_stemmer(stemdict.snowball_lite)
+        ).collect()
+    }
+    assert arrow == restem
+    assert arrow[(1, "walk")] == 3  # walking+walked+walks collapse
+
+
+def test_exporter_chain_with_stemming_destems_words(spark, tmp_path):
+    """Exporter chain with stemming on: ranks computed over stems, the
+    per-page + global word artifacts destemmed at export (coalesce
+    pass-through for unmatched terms), topics left stemmed — the
+    reference's destemmer.pyx flow."""
+    from wikitfidf_spark.exporter import Exporter, export_artifacts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "walking walking walked unique_one"),
+            (2, "en", "walks nations walked common_tok"),
+            (3, "it", "nations nation walking common_tok"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "artifacts")
+    export_artifacts(
+        spark, docs, out, ["walk"], stem_py=stemdict.snowball_lite
+    )
+    exp = Exporter.from_dir(spark, out)
+
+    gw = {r["term"]: r["cf"] for r in exp.global_words().collect()}
+    # stem 'walk' (cf 6: 3x walking, 2x walked, 1x walks) destems to the
+    # shortest original 'walks'; stem 'nation' (cf 3) -> 'nation'
+    assert "walk" not in gw and gw["walks"] == 6
+    assert gw["nation"] == 3
+    assert gw["common_tok"] == 2  # no dict entry -> coalesce pass-through
+
+    page_terms = {r["term"] for r in exp.pages().collect()}
+    assert "walks" in page_terms and "walk" not in page_terms
+
+    # badwords matched against the stemmed tf: flagged 'walk' hits every
+    # doc containing ANY surface form (walking/walked/walks)
+    flagged_docs = {r["doc_id"] for r in exp.page_badwords().collect()}
+    assert flagged_docs == {1, 2, 3}
+
+
+def test_index_config_stemmer_requires_arrow(spark, tmp_path):
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+
+    docs = spark.createDataFrame(
+        [(1, "en", "walking walked")], "doc_id long, lang string, content string"
+    )
+    with pytest.raises(ValueError, match="arrow"):
+        build_index(
+            spark, docs, str(tmp_path / "idx_bad"),
+            IndexConfig(n_shards=2, n_salts=2, id_cols=(), stemmer="snowball_lite"),
+            resume=False,
+        )
+    with pytest.raises(ValueError, match="unknown stemmer"):
+        build_index(
+            spark, docs, str(tmp_path / "idx_bad2"),
+            IndexConfig(n_shards=2, n_salts=2, id_cols=(), tokenizer="arrow", stemmer="nope"),
+            resume=False,
+        )
+
+
+def test_index_build_with_stemmer_indexes_stems(spark, tmp_path):
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.query import InvertedIndex, Query
+
+    docs = spark.createDataFrame(
+        [(1, "en", "walking running jumping"), (2, "en", "walked sleeping")],
+        "doc_id long, lang string, content string",
+    )
+    d = str(tmp_path / "idx_stem")
+    build_index(
+        spark, docs, d,
+        IndexConfig(n_shards=2, n_salts=2, id_cols=(), tokenizer="arrow",
+                    stemmer="snowball_lite"),
+        resume=False,
+    )
+    idx = InvertedIndex(spark, d)
+    # both docs contain stem 'walk'; the surface forms are not indexed
+    hits = {r["doc_id"] for r in idx.topk_batch([Query(0, ["walk"], "OR", 10)]).collect()}
+    assert hits == {1, 2}
+    none = idx.topk_batch([Query(0, ["walking"], "OR", 10)]).count()
+    assert none == 0

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import badwords as bw
-from .operators import termstats, topk, scoring
+from .operators import stemdict, termstats, topk, scoring
 
 # exporter.go:23-28
 GLOBAL_PAGES_TFIDF = "GlobalPagesTFIDF_topN.json.gz"
@@ -69,18 +69,35 @@ def export_artifacts(
     doc_id: str = "doc_id",
     topic: str = "lang",
     text: str = "text",
+    stem_py=None,
 ) -> dict:
     """Compute and write the four artifacts from the raw document table.
 
     One DataFrame lineage per artifact (shared tf scan cached);
     replaces the reference's 10-stage disk-materialized chain
-    (wikitfidf.go:99-224)."""
+    (wikitfidf.go:99-224).
+
+    ``stem_py``: optional ``str -> str`` stemmer.  When given, the whole
+    chain runs over stems — tf re-keyed by stem (S7), the stem-reverse
+    dictionary built with the (len, word)-min merge (S8/S11,
+    stemrevaggregator.go:53-61) — and the per-page + global word
+    artifacts are de-stemmed at export exactly like the reference's
+    destemmer.pyx:45-101 (GlobalPagesTFIDF + GlobalWords destemmed,
+    topics left stemmed; unmatched terms pass through via coalesce)."""
     lim = limits or Limits()
     os.makedirs(out_dir, exist_ok=True)
 
     tf = termstats.term_frequencies(
         docs, doc_id=doc_id, text=text, extra_cols=(topic,)
-    ).cache()
+    )
+    dictionary = None
+    if stem_py is not None:
+        stem_fn = stemdict.column_stemmer(stem_py)
+        dictionary = stemdict.stem_dict(
+            tf.select("term").distinct(), stem_fn=stem_fn
+        ).cache()
+        tf = stemdict.stem_terms(tf, stem_fn)
+    tf = tf.cache()
     doclens = termstats.doc_lengths(tf, doc_id=doc_id)
     stats = termstats.global_term_stats(tf.select(doc_id, "term", "tf"), doc_id=doc_id)
     total_tokens, total_docs = termstats.totals(tf, doc_id=doc_id)
@@ -94,10 +111,16 @@ def export_artifacts(
     tfidf = scoring.tfidf_scores(
         tf.select(doc_id, "term", "tf"), stats, doclens, total_docs, doc_id=doc_id
     )
-    write(topk.top_n_words_per_doc(tfidf, lim.words_pages, doc_id=doc_id), GLOBAL_PAGES_TFIDF)
+    pages_top = topk.top_n_words_per_doc(tfidf, lim.words_pages, doc_id=doc_id)
+    if dictionary is not None:  # destemmer.pyx:45-82 (after top-N, like the reference)
+        pages_top = stemdict.destem(pages_top, dictionary)
+    write(pages_top, GLOBAL_PAGES_TFIDF)
 
     # GlobalWords_topN (S18): top-N by collection frequency
-    write(topk.top_n_global_terms(stats, lim.global_words), GLOBAL_WORDS)
+    words_top = topk.top_n_global_terms(stats, lim.global_words)
+    if dictionary is not None:  # destemmer.pyx:85-101
+        words_top = stemdict.destem(words_top, dictionary)
+    write(words_top, GLOBAL_WORDS)
 
     # GlobalTopicsWords_topN (S15 + S19): docs-in-topic-containing-term
     topic_counts = termstats.topic_term_doc_counts(tf, doc_id=doc_id, topic=topic)
@@ -116,6 +139,8 @@ def export_artifacts(
     with open(os.path.join(out_dir, TOTALS), "w") as f:
         _json.dump(totals, f)
     tf.unpersist()
+    if dictionary is not None:
+        dictionary.unpersist()
     return totals
 
 

@@ -78,6 +78,12 @@ class IndexConfig:
     # slower on the default grammar (per-token object churn in the
     # workers), so it is opt-in.
     tokenizer: str = "jvm"
+    # named stemmer from operators.stemdict.STEMMERS applied per token
+    # during tokenization (reference stems inside the normalizer,
+    # textnormalizer.pyx:112-136).  A name (not a callable) keeps the
+    # config JSON-serializable for the manifest; Python stemmers need
+    # tokenizer="arrow" (the JVM regexp path can't call Python).
+    stemmer: str = "none"
     # natural-key columns hashed into the stable doc_id; empty tuple =
     # the input already carries a unique ``doc_id`` column (used as-is)
     id_cols: tuple[str, ...] = ("repo", "path", "commit")
@@ -92,6 +98,25 @@ class IndexConfig:
 class BuildResult:
     index_dir: str
     metrics: dict = field(default_factory=dict)
+
+
+def _tokenize(base: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Phase-1 tokenize per config: JVM codegen by default, the fused
+    Arrow path for pluggable Python tokenizers/stemmers.  The one
+    implementation shared by build_index and add_documents — deltas must
+    tokenize identically to the base build."""
+    stem_py = None
+    if cfg.stemmer != "none":
+        from ..operators.stemdict import STEMMERS
+
+        if cfg.stemmer not in STEMMERS:
+            raise ValueError(f"unknown stemmer {cfg.stemmer!r}; known: {sorted(STEMMERS)}")
+        if cfg.tokenizer != "arrow":
+            raise ValueError("a Python stemmer requires tokenizer='arrow'")
+        stem_py = STEMMERS[cfg.stemmer]
+    if cfg.tokenizer == "arrow":
+        return tf_map_in_pandas(base, doc_id="doc_id", text=cfg.text_col, stem_py=stem_py)
+    return termstats.term_frequencies(base, doc_id="doc_id", text=cfg.text_col)
 
 
 def _manifest_path(index_dir: str) -> str:
@@ -277,10 +302,7 @@ def build_index(
     # default; Arrow fused tokenize+count for pluggable Python tokenizers)
     if not _phase_done(manifest, "tf", tf_path):
         t0 = time.time()
-        if cfg.tokenizer == "arrow":
-            tf = tf_map_in_pandas(base, doc_id="doc_id", text=cfg.text_col)
-        else:
-            tf = termstats.term_frequencies(base, doc_id="doc_id", text=cfg.text_col)
+        tf = _tokenize(base, cfg)
         tf.write.mode("overwrite").parquet(tf_path)
         n = spark.read.parquet(tf_path).count()
         manifest["phases"]["tf"] = {"rows": n, "wall_sec": time.time() - t0}
@@ -525,10 +547,7 @@ def add_documents(
 
     # ---- delta phase 1+2: tokenize + meta for the new docs only
     tf_rel, meta_rel = f"tf_g{gen}.parquet", f"docmeta_g{gen}.parquet"
-    if cfg.tokenizer == "arrow":
-        tf_new = tf_map_in_pandas(base, doc_id="doc_id", text=cfg.text_col)
-    else:
-        tf_new = termstats.term_frequencies(base, doc_id="doc_id", text=cfg.text_col)
+    tf_new = _tokenize(base, cfg)
     tf_new.write.mode("overwrite").parquet(os.path.join(index_dir, tf_rel))
     tf_new = spark.read.parquet(os.path.join(index_dir, tf_rel))
     doclens_new = termstats.doc_lengths(tf_new)

@@ -13,10 +13,27 @@ naturally drops clean docs; one shuffle for the per-doc agg.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: language-code -> word-list name (AvailableLanguage parity,
+#: badwords.go:20-48, including the 'simple'/'cr' aliases — 'cr' is the
+#: reference's test-mode wiki).  The lists themselves are original data
+#: in wikitfidf_spark/data/badwords/<name> (one lowercase word per
+#: line); drop additional files there to enable more languages.
+LANGUAGES: dict[str, str] = {
+    "en": "english", "ar": "arabic", "da": "danish", "nl": "dutch",
+    "fi": "finnish", "fr": "french", "de": "german", "hu": "hungarian",
+    "it": "italian", "no": "norwegian", "pt": "portuguese",
+    "es": "spanish", "sv": "swedish", "zh": "chinese", "cs": "czech",
+    "hi": "hindi", "ja": "japanese", "ko": "korean", "fa": "persian",
+    "pl": "polish", "th": "thai", "simple": "english", "cr": "english",
+}
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "badwords")
 
 
 def badwords_report(
@@ -43,6 +60,47 @@ def badwords_report(
         .join(doclens, doc_id)
         .select(*keys, "abs", (F.col("abs").cast("double") / F.col("doc_len").cast("double")).alias("rel"))
     )
+
+
+def available_language(lang: str, data_dir: str = DATA_DIR) -> tuple[str | None, bool]:
+    """AvailableLanguage parity (badwords.go:20-48): map a language code
+    to its word-list name; ``(None, False)`` when unsupported OR when
+    the mapped list file isn't shipped (the reference bundles all its
+    lists, so map membership implies data; here data presence is part of
+    availability)."""
+    name = LANGUAGES.get(lang)
+    if name is None or not os.path.exists(os.path.join(data_dir, name)):
+        return None, False
+    return name, True
+
+
+def flagged_terms_for_lang(lang: str, data_dir: str = DATA_DIR) -> list[str] | None:
+    """Language-gated list load: ``None`` when unavailable — callers
+    skip the whole report in that case, exactly like the reference's
+    ``if language, isAvailable := AvailableLanguage(lang)`` guard
+    (badwords.go:69-72)."""
+    name, ok = available_language(lang, data_dir)
+    if not ok:
+        return None
+    return load_flagged_terms(os.path.join(data_dir, name))
+
+
+def badwords_report_for_lang(
+    tf: DataFrame,
+    doclens: DataFrame,
+    lang: str,
+    *,
+    doc_id: str = "doc_id",
+    topic: str | None = None,
+    data_dir: str = DATA_DIR,
+) -> DataFrame | None:
+    """The reference's full BadWords flow (badwords.go:69-189): gate on
+    language availability, load the newline list, emit the report —
+    ``None`` (no report at all) for unsupported languages."""
+    terms = flagged_terms_for_lang(lang, data_dir)
+    if terms is None:
+        return None
+    return badwords_report(tf, doclens, terms, doc_id=doc_id, topic=topic)
 
 
 def load_flagged_terms(path: str) -> list[str]:

@@ -69,6 +69,7 @@ def tf_map_in_pandas(
     doc_id: str = "doc_id",
     text: str = "content",
     extra_cols: tuple[str, ...] = (),
+    stem_py=None,
 ) -> DataFrame:
     """Fused tokenize + per-doc term-frequency count as ``mapInPandas``.
 
@@ -80,6 +81,12 @@ def tf_map_in_pandas(
     groupby) means the shuffle that follows carries per-doc aggregated
     rows, not raw token streams — at 10^12-file scale this is the
     difference between shuffling O(tokens) and O(distinct terms per doc).
+
+    ``stem_py``: optional plain ``str -> str`` stemmer applied per token
+    inside the Arrow batch (memoized per batch — Zipf-repetitive vocab
+    means one call per distinct term, not per occurrence).  This is the
+    pluggable-tokenizer hook: the reference stems during normalization
+    (textnormalizer.pyx:112-136) and this path reproduces that fusion.
     """
     carried = [doc_id, *extra_cols]
     # schema in CARRIED order (not docs.schema order): the yielded
@@ -96,9 +103,19 @@ def tf_map_in_pandas(
             if len(pdf) == 0:
                 continue
             toks = pdf[text].fillna("").str.lower().str.findall(TOKEN_REGEX)
+            flat = [t for lst in toks for t in lst]
+            if stem_py is not None:
+                memo: dict[str, str] = {}
+                stemmed = []
+                for t in flat:
+                    r = memo.get(t)
+                    if r is None:
+                        r = memo[t] = stem_py(t)
+                    stemmed.append(r)
+                flat = stemmed
             exploded = pd.DataFrame({
                 "_row": pdf.index.repeat(toks.str.len()),
-                "term": [t for lst in toks for t in lst],
+                "term": flat,
             })
             if len(exploded) == 0:
                 continue
