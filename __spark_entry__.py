@@ -280,7 +280,9 @@ def _cached_index(spark, sf_dir):
         fp = f"{st.st_size}|{st.st_mtime_ns}"
     except OSError:  # catalog-table source: no local file to fingerprint
         fp = "catalog"
-    key = f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}"
+    from wikitfidf_spark.index.build import INDEX_FORMAT
+
+    key = f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}|fmt{INDEX_FORMAT}"
     idx_dir = f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
     build_index(spark, docs, idx_dir, cfg)  # resumes instantly if built
     return InvertedIndex(spark, idx_dir)

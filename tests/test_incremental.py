@@ -11,10 +11,33 @@ import pytest
 from pyspark.sql import functions as F
 
 from wikitfidf_spark.corpus import make_code_files
-from wikitfidf_spark.index.build import IndexConfig, add_documents, build_index, load_manifest
+from wikitfidf_spark.index.build import (
+    IndexConfig, add_documents, build_index, index_paths, load_manifest, postings_view,
+)
 from wikitfidf_spark.index.query import InvertedIndex, Query
 
 CFG = IndexConfig(n_shards=4, n_salts=2, block_size=32)
+
+IDENTITY_COLS = [
+    "shard", "term", "sub_shard", "n_docs", "cf",
+    "docs_payload", "tfs_payload", "dls_payload", "scores_payload",
+    "block_max_score",
+]
+
+
+def _postings_rows(spark, d):
+    """Canonical byte-level content of an index: every payload stream of
+    the combined structure ⋈ scores view."""
+    df = postings_view(spark, d).select(*IDENTITY_COLS)
+    return sorted(
+        (
+            (r["shard"], r["term"], r["sub_shard"], r["n_docs"], r["cf"],
+             bytes(r["docs_payload"]), bytes(r["tfs_payload"]),
+             bytes(r["dls_payload"]), bytes(r["scores_payload"]),
+             tuple(r["block_max_score"]))
+            for r in df.collect()
+        )
+    )
 
 
 @pytest.fixture(scope="module")
@@ -32,19 +55,7 @@ def dirs(spark, tmp_path_factory):
 
 def test_postings_byte_identical_to_full_build(spark, dirs):
     full_dir, inc_dir, _ = dirs
-    cols = ["shard", "term", "sub_shard", "n_docs", "cf",
-            "docs_payload", "tfs_payload", "scores_payload", "block_max_score"]
-
-    def rows(d, name):
-        df = spark.read.parquet(os.path.join(d, name)).select(*cols)
-        return sorted(
-            ((r["shard"], r["term"], r["sub_shard"], r["n_docs"], r["cf"],
-              bytes(r["docs_payload"]), bytes(r["tfs_payload"]),
-              bytes(r["scores_payload"]), tuple(r["block_max_score"]))
-             for r in df.collect())
-        )
-
-    assert rows(full_dir, "postings.parquet") == rows(inc_dir, "postings_v1.parquet")
+    assert _postings_rows(spark, full_dir) == _postings_rows(spark, inc_dir)
 
 
 def test_metrics_and_paths_updated(spark, dirs):
@@ -53,7 +64,7 @@ def test_metrics_and_paths_updated(spark, dirs):
     assert mi["metrics"]["total_docs"] == mf["metrics"]["total_docs"] == 800
     assert mi["metrics"]["n_postings"] == mf["metrics"]["n_postings"]
     assert mi["metrics"]["avgdl"] == mf["metrics"]["avgdl"]
-    assert mi["paths"]["postings"] == "postings_v1.parquet"
+    assert mi["paths"]["scores"] == "scores_v1.parquet"
     assert mi["paths"]["tf"] == ["tf.parquet", "tf_g1.parquet"]
 
 
@@ -66,6 +77,40 @@ def test_query_results_identical(spark, dirs):
         for r in InvertedIndex(spark, d).topk_batch(qs).collect()
     )
     assert get(full_dir) == get(inc_dir)
+
+
+def test_add_rewrites_only_changed_shards(spark, tmp_path):
+    """The O(delta) claim, proven from the manifest: a delta whose docs
+    all hash to ONE shard re-encodes structure for that shard only —
+    the other shards keep pointing at the base structure file, whose
+    bytes are untouched — while the result stays byte-identical to a
+    fresh build over the union."""
+    docs = make_code_files(spark, n_docs=400, seed=42).cache()
+    shard_of = F.pmod(F.xxhash64(F.xxhash64("repo", "path", "commit")), F.lit(4)).cast("int")
+    base_docs = docs.filter(shard_of != 0)
+    delta_docs = docs.filter(shard_of == 0)
+    assert delta_docs.count() > 0
+
+    full_dir = str(tmp_path / "idx_full_1shard")
+    inc_dir = str(tmp_path / "idx_inc_1shard")
+    build_index(spark, docs, full_dir, CFG, resume=False)
+    build_index(spark, base_docs, inc_dir, CFG, resume=False)
+    add_documents(spark, delta_docs, inc_dir)
+
+    m = load_manifest(inc_dir)
+    owners = index_paths(m)["structure"]
+    assert owners["0"] == "structure_g1.parquet"
+    assert all(owners[str(s)] == "structure_g0.parquet" for s in (1, 2, 3))
+    ph = m["phases"]["delta_g1"]
+    assert ph["shards_touched"] == 1 and not ph["full_reencode"]
+    # the delta structure file holds ONLY the re-encoded shard
+    delta_shards = {
+        r["shard"]
+        for r in spark.read.parquet(os.path.join(inc_dir, "structure_g1.parquet"))
+        .select("shard").distinct().collect()
+    }
+    assert delta_shards == {0}
+    assert _postings_rows(spark, full_dir) == _postings_rows(spark, inc_dir)
 
 
 def test_collision_rejected(spark, dirs):
@@ -96,18 +141,7 @@ def test_delete_documents_equals_fresh_build(spark, tmp_path):
     res = delete_documents(spark, dead_ids, del_dir)
     assert res.metrics["total_docs"] == 400 - len(dead_ids)
 
-    cols = ["shard", "term", "sub_shard", "n_docs", "cf",
-            "docs_payload", "tfs_payload", "scores_payload"]
-
-    def rows(d, name):
-        df = spark.read.parquet(os.path.join(d, name)).select(*cols)
-        return sorted(
-            ((r["shard"], r["term"], r["sub_shard"], r["n_docs"], r["cf"],
-              bytes(r["docs_payload"]), bytes(r["tfs_payload"]), bytes(r["scores_payload"]))
-             for r in df.collect())
-        )
-
-    assert rows(full_dir, "postings.parquet") == rows(del_dir, "postings_v1.parquet")
+    assert _postings_rows(spark, full_dir) == _postings_rows(spark, del_dir)
 
     # query identity over the union of both readers
     qs = [Query(0, ["arg_cfg_get", "core_write_run"], "OR", 10)]

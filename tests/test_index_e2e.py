@@ -149,10 +149,11 @@ def test_resume_after_partial_build(spark, corpus):
     cfg = IndexConfig(n_shards=4, n_salts=4)
     build_index(spark, corpus, d2, cfg)
     full = load_manifest(d2)
-    # simulate a crash: drop the postings + dictionary phases
-    shutil.rmtree(os.path.join(d2, "postings.parquet"))
+    # simulate a crash: drop the structure/scores + dictionary phases
+    shutil.rmtree(os.path.join(d2, "structure_g0.parquet"))
+    shutil.rmtree(os.path.join(d2, "scores_v0.parquet"))
     m = load_manifest(d2)
-    del m["phases"]["postings"], m["phases"]["dictionary"]
+    del m["phases"]["structure"], m["phases"]["scores"], m["phases"]["dictionary"]
     with open(os.path.join(d2, "manifest.json"), "w") as f:
         json.dump(m, f)
     res = build_index(spark, corpus, d2, cfg)  # resume

@@ -7,7 +7,27 @@ BASELINE.json:north_rule):
   1. tf          (doc_id, term, tf)            codegen tokenize (or Arrow UDF)
   2. docmeta     (doc_id, repo, path, commit, topic, doc_len, content_sha256)
   3. dictionary  (term, df, cf)                salted two-phase agg
-  4. postings    (shard, term, sub_shard, payloads, block sidecars)
+  4. structure   (shard, term, sub_shard, docs/tfs/dls payloads + sidecars)
+  5. scores      (shard, term, sub_shard, scores payload + block-max)
+
+Postings are SPLIT into two artifacts along the incremental-update
+fault line:
+
+- **structure** holds everything that depends only on a shard's own
+  documents (doc ids, tfs, doc lengths, block layout).  An incremental
+  add/delete re-encodes structure ONLY for shards whose doc set changed
+  — the heavy repartition+sort+encode shuffle runs over just those
+  shards' rows, and untouched shards keep their bytes (the manifest
+  maps shard -> owning structure file).
+- **scores** hold the BM25 impacts, which depend on GLOBAL stats (idf
+  from df/n_docs, avgdl) and are therefore invalidated by ANY corpus
+  change.  They are refreshed by a shuffle-free map pass
+  (:func:`score_postings_df`): decode tfs+dls from structure, recompute
+  with the new dictionary, re-encode — no sort, no shuffle, exact
+  scores (rank-identity preserved; tests assert byte identity with a
+  fresh build).  This is the O(delta)-shuffle design the exact-score
+  requirement permits: only the light score stream pays O(corpus) work
+  per update, as embarrassingly-parallel map tasks.
 
 Partitioning strategy (the 100 TB story):
 - The index is **document-partitioned**: ``shard = xxhash64(doc_id) %
@@ -51,13 +71,23 @@ from ..operators.scoring import (
 from ..tokenize import tf_map_in_pandas
 from . import codec
 
-POSTINGS_SCHEMA = (
+STRUCTURE_SCHEMA = (
     "shard int, term string, sub_shard int, n_docs long, cf long, "
-    "docs_payload binary, tfs_payload binary, scores_payload binary, "
+    "docs_payload binary, tfs_payload binary, dls_payload binary, "
     "block_firsts array<long>, block_lasts array<long>, block_counts array<int>, "
-    "block_max_score array<long>, block_doc_offs array<long>, "
-    "block_tf_offs array<long>, block_score_offs array<long>"
+    "block_doc_offs array<long>, block_tf_offs array<long>, block_dl_offs array<long>, "
+    "payload_bytes long"
 )
+
+SCORES_SCHEMA = (
+    "shard int, term string, sub_shard int, "
+    "scores_payload binary, block_max_score array<long>, block_score_offs array<long>, "
+    "scores_bytes long"
+)
+
+#: bumped when the on-disk layout changes incompatibly; manifests carry
+#: it so readers/resumers fail fast instead of misreading old dirs
+INDEX_FORMAT = 2
 
 
 @dataclass
@@ -142,19 +172,18 @@ def _phase_done(m: dict, name: str, path: str) -> bool:
     return name in m["phases"] and os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def encode_postings_df(
+def encode_structure_df(
     tf: DataFrame,
     meta: DataFrame,
     stats: DataFrame,
     cfg: IndexConfig,
-    n_docs: int,
-    avgdl: float,
 ) -> DataFrame:
-    """The postings-encode plan: enrich tf with doc_len/df, shard by
-    doc hash, sort within shards, stream-encode per partition.
+    """The structure-encode plan: enrich tf with doc_len (df enters only
+    the sub-shard split decision, never the payloads), shard by doc
+    hash, sort within shards, stream-encode per partition.
     Deterministic: identical inputs produce byte-identical payloads at
     any parallelism (tests assert full-vs-incremental identity)."""
-    k1, b, quant, block_size = cfg.k1, cfg.b, QUANT, cfg.block_size
+    block_size = cfg.block_size
     hot = cfg.hot_df_threshold
     n_shards = cfg.n_shards
 
@@ -175,7 +204,6 @@ def encode_postings_df(
         )
     )
 
-    import math as _math
     import numpy as _np
 
     def encode_stream(batches) -> "pd.DataFrame":
@@ -191,7 +219,6 @@ def encode_postings_df(
             docs_a = pdf["doc_id"].to_numpy()
             tfs_a = pdf["tf"].to_numpy()
             dls_a = pdf["doc_len"].to_numpy()
-            dfs_a = pdf["df"].to_numpy()
             shards_a = pdf["shard"].to_numpy()
             change = _np.empty(len(pdf), dtype=bool)
             change[0] = True
@@ -207,13 +234,8 @@ def encode_postings_df(
             out = []
             for a, b_e in zip(starts, ends):
                 tfs = tfs_a[a:b_e]
-                dls = dls_a[a:b_e]
-                df_g = int(dfs_a[a])
-                idf = _math.log(1.0 + (n_docs - df_g + 0.5) / (df_g + 0.5))
-                scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
-                scores_q = _np.floor(scores * quant + 0.5).astype(_np.int64)
-                enc = codec.encode_postings(
-                    docs_a[a:b_e], tfs, scores_q, block_size=block_size, presorted=True
+                enc = codec.encode_structure(
+                    docs_a[a:b_e], tfs, dls_a[a:b_e], block_size=block_size, presorted=True
                 )
                 out.append({
                     "shard": int(shards_a[a]),
@@ -223,14 +245,14 @@ def encode_postings_df(
                     "cf": int(tfs.sum()),
                     "docs_payload": enc.docs_payload,
                     "tfs_payload": enc.tfs_payload,
-                    "scores_payload": enc.scores_payload,
+                    "dls_payload": enc.dls_payload,
                     "block_firsts": enc.block_firsts.tolist(),
                     "block_lasts": enc.block_lasts.tolist(),
                     "block_counts": enc.block_counts.tolist(),
-                    "block_max_score": enc.block_max_score.tolist(),
                     "block_doc_offs": enc.block_doc_offs.tolist(),
                     "block_tf_offs": enc.block_tf_offs.tolist(),
-                    "block_score_offs": enc.block_score_offs.tolist(),
+                    "block_dl_offs": enc.block_dl_offs.tolist(),
+                    "payload_bytes": len(enc.docs_payload) + len(enc.tfs_payload) + len(enc.dls_payload),
                 })
             return pd.DataFrame(out)
 
@@ -258,11 +280,73 @@ def encode_postings_df(
             yield emit(carry)
 
     return (
-        enriched.select("shard", "term", "sub_shard", "doc_id", "tf", "doc_len", "df")
+        enriched.select("shard", "term", "sub_shard", "doc_id", "tf", "doc_len")
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "term", "sub_shard", "doc_id")
-        .mapInPandas(encode_stream, POSTINGS_SCHEMA)
+        .mapInPandas(encode_stream, STRUCTURE_SCHEMA)
     )
+
+
+def score_postings_df(
+    structure: DataFrame,
+    stats: DataFrame,
+    cfg: IndexConfig,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """The score-refresh plan: structure rows ⋈ broadcast dictionary
+    (term, df) → mapInPandas recompute+re-encode.  NO shuffle, NO sort
+    — each task decodes its rows' tfs/dls, applies the BM25 kernel with
+    the current global stats, and emits the score stream block-aligned
+    to the existing structure.  Bit-identical to scores computed at
+    encode time (same elementwise float64 expression over the same
+    values; tests assert byte identity), so incremental updates stay
+    rank-exact while only this light pass reruns corpus-wide."""
+    k1, b, quant = cfg.k1, cfg.b, QUANT
+
+    import math as _math
+    import numpy as _np
+
+    cols = structure.select(
+        "shard", "term", "sub_shard", "n_docs",
+        "tfs_payload", "dls_payload", "block_counts",
+    )
+    j = cols.join(F.broadcast(stats.select("term", "df")), "term")
+
+    def score_stream(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            # plain zip over column arrays — iterrows costs ~100µs/row
+            # of Series construction, which dominates at millions of
+            # lists; the per-list work itself is vectorized numpy
+            for shard, term, sub, n_d, tfs_p, dls_p, counts, df_g in zip(
+                pdf["shard"].to_numpy(), pdf["term"], pdf["sub_shard"].to_numpy(),
+                pdf["n_docs"].to_numpy(), pdf["tfs_payload"], pdf["dls_payload"],
+                pdf["block_counts"], pdf["df"].to_numpy(),
+            ):
+                n_d = int(n_d)
+                tfs = codec.varint_decode(tfs_p, n_d)
+                dls = codec.varint_decode(dls_p, n_d)
+                idf = _math.log(1.0 + (n_docs - int(df_g) + 0.5) / (int(df_g) + 0.5))
+                scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
+                scores_q = _np.floor(scores * quant + 0.5).astype(_np.int64)
+                payload, maxes, offs = codec.encode_scores(
+                    scores_q, _np.asarray(counts, dtype=_np.int64)
+                )
+                out.append({
+                    "shard": int(shard),
+                    "term": term,
+                    "sub_shard": int(sub),
+                    "scores_payload": payload,
+                    "block_max_score": maxes.tolist(),
+                    "block_score_offs": offs.tolist(),
+                    "scores_bytes": len(payload),
+                })
+            yield pd.DataFrame(out)
+
+    return j.mapInPandas(score_stream, SCORES_SCHEMA)
 
 
 def build_index(
@@ -281,13 +365,21 @@ def build_index(
     manifest = load_manifest(index_dir) if resume else {"phases": {}, "metrics": {}, "config": None}
     if manifest["config"] not in (None, cfg.to_json()):
         raise ValueError("index_dir was built with a different config; pass resume=False")
+    if manifest["phases"] and manifest.get("format") != INDEX_FORMAT:
+        raise ValueError(
+            f"index_dir holds format {manifest.get('format')} (current {INDEX_FORMAT}); "
+            "rebuild with resume=False"
+        )
     manifest["config"] = cfg.to_json()
+    manifest["format"] = INDEX_FORMAT
 
     t_start = time.time()
     tf_path = os.path.join(index_dir, "tf.parquet")
     meta_path = os.path.join(index_dir, "docmeta.parquet")
     dict_path = os.path.join(index_dir, "dictionary.parquet")
-    post_path = os.path.join(index_dir, "postings.parquet")
+    struct_rel, scores_rel = "structure_g0.parquet", "scores_v0.parquet"
+    struct_path = os.path.join(index_dir, struct_rel)
+    scores_path = os.path.join(index_dir, scores_rel)
     lineage_path = os.path.join(index_dir, "lineage.parquet")
 
     base = docs if not cfg.id_cols else docs.withColumn("doc_id", F.xxhash64(*cfg.id_cols))
@@ -302,10 +394,15 @@ def build_index(
     # default; Arrow fused tokenize+count for pluggable Python tokenizers)
     if not _phase_done(manifest, "tf", tf_path):
         t0 = time.time()
-        tf = _tokenize(base, cfg)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        # row count folded into the write via observe — the old
+        # write + full re-read + count round trip was pure memory
+        # bandwidth and the dominant scaling drag (BENCH.md round 1)
+        tf = _tokenize(base, cfg).observe(obs, F.count(F.lit(1)).alias("rows"))
         tf.write.mode("overwrite").parquet(tf_path)
-        n = spark.read.parquet(tf_path).count()
-        manifest["phases"]["tf"] = {"rows": n, "wall_sec": time.time() - t0}
+        manifest["phases"]["tf"] = {"rows": int(obs.get["rows"]), "wall_sec": time.time() - t0}
         _save_manifest(index_dir, manifest)
     tf = spark.read.parquet(tf_path)
 
@@ -318,11 +415,19 @@ def build_index(
         ).join(doclens, "doc_id", "left").fillna(0, subset=["doc_len"])
         meta.write.mode("overwrite").parquet(meta_path)
         meta_r = spark.read.parquet(meta_path)
-        n = meta_r.count()
-        # duplicate natural keys (or a hash collision) would silently
-        # merge tf rows and duplicate docmeta rows, corrupting postings
-        # — same guard add_documents applies to deltas
-        n_dup = meta_r.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+        # one pass over the written meta: row count + the duplicate
+        # guard (duplicate natural keys or a hash collision would
+        # silently merge tf rows and corrupt postings — same guard
+        # add_documents applies to deltas)
+        chk = (
+            meta_r.groupBy("doc_id").count()
+            .agg(
+                F.sum("count").alias("n"),
+                F.sum((F.col("count") > 1).cast("long")).alias("dups"),
+            )
+            .collect()[0]
+        )
+        n, n_dup = int(chk["n"] or 0), int(chk["dups"] or 0)
         if n_dup:
             raise ValueError(
                 f"{n_dup} duplicate doc_ids in input (duplicate natural keys "
@@ -367,57 +472,127 @@ def build_index(
     n_docs = int(manifest["metrics"]["total_docs"])
     avgdl = float(manifest["metrics"]["avgdl"])
 
-    # ---- phase 4: encoded postings, doc-partitioned shards
-    if not _phase_done(manifest, "postings", post_path):
-        t0 = time.time()
-        postings = encode_postings_df(tf, meta, stats, cfg, n_docs, avgdl)
-        postings.write.mode("overwrite").partitionBy("shard").parquet(post_path)
+    # ---- phase 4: structure (doc-local payloads), doc-partitioned shards
+    from pyspark.sql import Observation
 
-        post_r = spark.read.parquet(post_path)
-        lineage = post_r.groupBy("shard").agg(
-            F.count("*").alias("n_lists"),
-            F.sum("n_docs").alias("n_postings"),
-            F.sum(F.length("docs_payload") + F.length("tfs_payload") + F.length("scores_payload")).alias("payload_bytes"),
+    if not _phase_done(manifest, "structure", struct_path):
+        t0 = time.time()
+        obs = Observation()
+        structure = encode_structure_df(tf, meta, stats, cfg).observe(
+            obs,
+            F.count(F.lit(1)).alias("lists"),
+            F.sum("n_docs").alias("postings"),
+            F.sum("payload_bytes").alias("bytes"),
+        )
+        structure.write.mode("overwrite").parquet(struct_path)
+        row = obs.get
+        manifest["phases"]["structure"] = {
+            "rows": int(row["lists"] or 0), "wall_sec": time.time() - t0
+        }
+        manifest["metrics"].update(
+            n_postings=int(row["postings"] or 0),
+            structure_bytes=int(row["bytes"] or 0),
+        )
+        _save_manifest(index_dir, manifest)
+
+    # ---- phase 5: scores (global-stat-dependent), shuffle-free map
+    if not _phase_done(manifest, "scores", scores_path):
+        t0 = time.time()
+        structure_r = spark.read.parquet(struct_path)
+        obs = Observation()
+        scores = score_postings_df(structure_r, stats, cfg, n_docs, avgdl).observe(
+            obs, F.count(F.lit(1)).alias("lists"), F.sum("scores_bytes").alias("bytes")
+        )
+        scores.write.mode("overwrite").parquet(scores_path)
+        row = obs.get
+        manifest["phases"]["scores"] = {
+            "rows": int(row["lists"] or 0), "wall_sec": time.time() - t0
+        }
+        manifest["metrics"]["scores_bytes"] = int(row["bytes"] or 0)
+        # per-shard lineage (north_rule): int/sidecar columns only — the
+        # binary payloads are never re-read for metrics
+        lineage = (
+            structure_r.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_lists"),
+                F.sum("n_docs").alias("n_postings"),
+                F.sum("payload_bytes").alias("structure_bytes"),
+            )
+            .join(
+                spark.read.parquet(scores_path)
+                .groupBy("shard").agg(F.sum("scores_bytes").alias("scores_bytes")),
+                "shard", "left",
+            )
         )
         lineage.write.mode("overwrite").parquet(lineage_path)
-        lin = spark.read.parquet(lineage_path).agg(
-            F.sum("n_postings").alias("p"), F.sum("payload_bytes").alias("bytes")
-        ).collect()[0]
-        wall = time.time() - t0
-        manifest["phases"]["postings"] = {"rows": post_r.count(), "wall_sec": wall}
-        manifest["metrics"].update(
-            n_postings=int(lin["p"] or 0),
-            payload_bytes=int(lin["bytes"] or 0),
-            postings_per_sec=(int(lin["p"] or 0) / wall if wall > 0 else 0.0),
-        )
+        m = manifest["metrics"]
+        m["payload_bytes"] = int(m.get("structure_bytes", 0)) + int(m["scores_bytes"])
+        wall = manifest["phases"]["structure"]["wall_sec"] + (time.time() - t0)
+        m["postings_per_sec"] = m["n_postings"] / wall if wall > 0 else 0.0
         _save_manifest(index_dir, manifest)
 
     manifest["metrics"]["build_wall_sec_total"] = round(
         sum(p["wall_sec"] for p in manifest["phases"].values()), 3
     )
-    manifest.setdefault("paths", _default_paths())
+    manifest.setdefault("paths", {
+        "tf": ["tf.parquet"],
+        "docmeta": ["docmeta.parquet"],
+        "dictionary": "dictionary.parquet",
+        "structure": {str(s): struct_rel for s in range(cfg.n_shards)},
+        "scores": scores_rel,
+        "lineage": "lineage.parquet",
+    })
     _save_manifest(index_dir, manifest)
     return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
 
 
-def _default_paths() -> dict:
-    return {
-        "tf": ["tf.parquet"],
-        "docmeta": ["docmeta.parquet"],
-        "dictionary": "dictionary.parquet",
-        "postings": "postings.parquet",
-        "lineage": "lineage.parquet",
-    }
-
-
 def index_paths(manifest: dict) -> dict:
-    """Current relative artifact paths (versioned after add_documents)."""
-    return manifest.get("paths") or _default_paths()
+    """Current relative artifact paths (versioned after updates).
+    ``structure`` is a shard -> owning-file map: incremental updates
+    re-point only the shards they re-encoded."""
+    p = manifest.get("paths")
+    if not p:
+        raise ValueError("no built index (manifest has no paths)")
+    return p
+
+
+def _read_structure(spark: SparkSession, index_dir: str, paths: dict) -> DataFrame:
+    """Union of the structure files, each filtered to the shards it
+    currently owns (older files may also contain superseded rows for
+    shards later re-encoded — the owner map is the source of truth)."""
+    by_path: dict[str, list[int]] = {}
+    for s, rel in paths["structure"].items():
+        by_path.setdefault(rel, []).append(int(s))
+    parts = [
+        spark.read.parquet(os.path.join(index_dir, rel)).filter(
+            F.col("shard").isin(shards)
+        )
+        for rel, shards in sorted(by_path.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def postings_view(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The combined logical postings table: structure ⋈ scores on
+    (shard, term, sub_shard) — what queries and identity tests read."""
+    manifest = load_manifest(index_dir)
+    p = index_paths(manifest)
+    structure = _read_structure(spark, index_dir, p)
+    scores = spark.read.parquet(os.path.join(index_dir, p["scores"]))
+    return structure.join(scores, ["shard", "term", "sub_shard"])
 
 
 def _load_cfg(manifest: dict, index_dir: str) -> IndexConfig:
     if manifest["config"] is None:
         raise ValueError(f"{index_dir} has no built index")
+    if manifest.get("format") != INDEX_FORMAT:
+        raise ValueError(
+            f"{index_dir} holds index format {manifest.get('format')} "
+            f"(current {INDEX_FORMAT}); rebuild with resume=False"
+        )
     cj = dict(manifest["config"])
     cj["id_cols"] = tuple(cj.get("id_cols") or ())
     return IndexConfig(**cj)
@@ -430,23 +605,40 @@ def _tombstones(spark: SparkSession, index_dir: str, manifest: dict) -> DataFram
     return spark.read.parquet(os.path.join(index_dir, rel))
 
 
-def _rebuild_derived(
+def _update_derived(
     spark: SparkSession,
     index_dir: str,
     manifest: dict,
     cfg: IndexConfig,
     tf_all: DataFrame,
     meta_all: DataFrame,
+    changed_shards: list[int] | None,
+    struct_rel: str,
     version: int,
     phase_name: str,
     t_start: float,
     paths_update: dict,
 ) -> BuildResult:
-    """Recompute dictionary + postings (+ consolidated docmeta) over the
-    given live tf/meta into versioned dirs, then flip the manifest
-    pointers atomically.  Shared by add_documents / delete_documents."""
+    """Shared incremental-update tail (add/delete/compact):
+
+    - dictionary + docmeta: recomputed globally (cheap salted agg over
+      tf generations — a columnar scan, no payload work);
+    - structure: re-encoded ONLY for ``changed_shards`` (None = all) —
+      the heavy repartition+sort+encode shuffle is O(changed shards),
+      untouched shards keep their existing files via the owner map;
+    - scores: refreshed for the WHOLE index by the shuffle-free map
+      pass (exact global idf/avgdl demands it; it touches only the
+      light score stream).
+
+    Exception: if any term's sub-shard split factor changed (its df
+    crossed a hot_df_threshold multiple), its lists re-bucket in every
+    shard, so we fall back to a full structure re-encode — detected by
+    comparing old/new dictionaries, recorded in the manifest."""
+    from pyspark.sql import Observation
+
+    paths = index_paths(manifest)
     dict_rel = f"dictionary_v{version}.parquet"
-    post_rel = f"postings_v{version}.parquet"
+    scores_rel = f"scores_v{version}.parquet"
     lin_rel = f"lineage_v{version}.parquet"
     meta_rel = f"docmeta_v{version}.parquet"
 
@@ -464,32 +656,88 @@ def _rebuild_derived(
     n_docs_all = int(dl["n"])
     avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
 
-    postings = encode_postings_df(tf_all, meta_r, stats_r, cfg, n_docs_all, avgdl)
-    postings.write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(index_dir, post_rel)
+    n_shards, hot = cfg.n_shards, cfg.hot_df_threshold
+
+    def _factor(dfc: F.Column) -> F.Column:
+        # mirror of encode_structure_df's sub-shard split factor
+        return F.when(
+            dfc > F.lit(hot * n_shards),
+            F.ceil(dfc / F.lit(hot * n_shards)).cast("int"),
+        ).otherwise(F.lit(1))
+
+    shards = None if changed_shards is None else sorted(set(changed_shards))
+    n_factor_changed = 0
+    if shards is not None:
+        old_stats = spark.read.parquet(os.path.join(index_dir, paths["dictionary"]))
+        n_factor_changed = (
+            old_stats.select("term", _factor(F.col("df")).alias("f_old"))
+            .join(stats_r.select("term", _factor(F.col("df")).alias("f_new")), "term", "full")
+            .filter(F.coalesce("f_old", F.lit(1)) != F.coalesce("f_new", F.lit(1)))
+            .count()
+        )
+        if n_factor_changed:
+            shards = None
+
+    if shards is None:
+        tf_enc = tf_all
+        owners = {str(s): struct_rel for s in range(n_shards)}
+        n_touched = n_shards
+    else:
+        tf_enc = tf_all.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").isin(shards)
+        )
+        owners = {**paths["structure"], **{str(s): struct_rel for s in shards}}
+        n_touched = len(shards)
+
+    obs_s = Observation()
+    struct_delta = encode_structure_df(tf_enc, meta_r, stats_r, cfg).observe(
+        obs_s, F.count(F.lit(1)).alias("lists")
     )
-    post_r = spark.read.parquet(os.path.join(index_dir, post_rel))
-    lineage = post_r.groupBy("shard").agg(
-        F.count("*").alias("n_lists"),
-        F.sum("n_docs").alias("n_postings"),
-        F.sum(F.length("docs_payload") + F.length("tfs_payload") + F.length("scores_payload")).alias("payload_bytes"),
+    struct_delta.write.mode("overwrite").parquet(os.path.join(index_dir, struct_rel))
+    n_reencoded = int(obs_s.get["lists"] or 0)
+
+    new_paths = {
+        **paths, **paths_update,
+        "docmeta": [meta_rel], "dictionary": dict_rel,
+        "structure": owners, "scores": scores_rel, "lineage": lin_rel,
+    }
+    structure_all = _read_structure(spark, index_dir, new_paths)
+    obs_sc = Observation()
+    scores_df = score_postings_df(structure_all, stats_r, cfg, n_docs_all, avgdl).observe(
+        obs_sc, F.sum("scores_bytes").alias("bytes")
+    )
+    scores_df.write.mode("overwrite").parquet(os.path.join(index_dir, scores_rel))
+    scores_bytes = int(obs_sc.get["bytes"] or 0)
+
+    lineage = (
+        structure_all.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_lists"),
+            F.sum("n_docs").alias("n_postings"),
+            F.sum("payload_bytes").alias("structure_bytes"),
+        )
+        .join(
+            spark.read.parquet(os.path.join(index_dir, scores_rel))
+            .groupBy("shard").agg(F.sum("scores_bytes").alias("scores_bytes")),
+            "shard", "left",
+        )
     )
     lineage.write.mode("overwrite").parquet(os.path.join(index_dir, lin_rel))
     lin = spark.read.parquet(os.path.join(index_dir, lin_rel)).agg(
-        F.sum("n_postings").alias("p"), F.sum("payload_bytes").alias("bytes")
+        F.sum("n_postings").alias("p"), F.sum("structure_bytes").alias("sb")
     ).collect()[0]
 
     wall = time.time() - t_start
-    manifest["paths"] = {
-        **index_paths(manifest),
-        **paths_update,
-        "docmeta": [meta_rel],
-        "dictionary": dict_rel,
-        "postings": post_rel,
-        "lineage": lin_rel,
-    }
+    manifest["paths"] = new_paths
     manifest["version"] = version
-    manifest["phases"][phase_name] = {"rows": int(lin["p"] or 0), "wall_sec": wall}
+    manifest["phases"][phase_name] = {
+        "rows": n_reencoded,
+        "wall_sec": wall,
+        "shards_touched": n_touched,
+        "n_shards": n_shards,
+        "full_reencode": n_touched == n_shards,
+        "factor_changed_terms": n_factor_changed,
+    }
     manifest["metrics"].update(
         total_tokens=int(srow["tok"] or 0),
         total_docs=n_docs_all,
@@ -497,7 +745,9 @@ def _rebuild_derived(
         avgdl=avgdl,
         skew_ratio=termstats.skew_ratio(stats_r),
         n_postings=int(lin["p"] or 0),
-        payload_bytes=int(lin["bytes"] or 0),
+        structure_bytes=int(lin["sb"] or 0),
+        scores_bytes=scores_bytes,
+        payload_bytes=int(lin["sb"] or 0) + scores_bytes,
         postings_per_sec=(int(lin["p"] or 0) / wall if wall > 0 else 0.0),
     )
     manifest["metrics"]["build_wall_sec_total"] = round(
@@ -515,17 +765,21 @@ def add_documents(
     """Incremental update: add documents to an existing index with
     EXACT global scores (BM25 idf/avgdl reflect the merged corpus).
 
-    What is reused vs recomputed:
+    What is reused vs recomputed (O(delta) design, see module docstring):
     - phase 1/2 of prior generations (tokenized tf + docmeta parquet)
       are reused as-is — the raw text of old documents is never
-      re-scanned, which is the dominant cost at corpus scale;
-    - the derived dictionary + postings are recomputed over the merged
-      tf into NEW versioned dirs (dictionary_v<k>/postings_v<k>), then
-      the manifest pointer flips atomically — readers opened before the
-      flip keep a consistent old view.  (The LSM alternative — delta
-      segments merged at query time — trades exact global idf for
-      cheaper updates; rejected here because north_rule requires
-      rank-identical scores.)
+      re-scanned;
+    - structure postings are re-encoded ONLY for shards the new docs
+      hash into (the heavy shuffle is O(delta-shards)); untouched
+      shards keep their files via the manifest owner map;
+    - dictionary + docmeta rebuild globally (cheap aggs), and scores
+      refresh index-wide through the shuffle-free map pass — the
+      unavoidable exact-global-idf cost, confined to the light score
+      stream.  (The LSM alternative — delta segments merged at query
+      time — trades exact global idf for cheaper updates; rejected
+      because north_rule requires rank-identical scores.)
+    The manifest pointer flips atomically — readers opened before the
+    flip keep a consistent old view.
 
     Raises on doc_id collisions (same natural key already indexed, or
     previously deleted — re-adding a tombstoned id needs compaction).
@@ -580,9 +834,17 @@ def add_documents(
     if tombs is not None:
         tf_all = tf_all.join(tombs.select("doc_id"), "doc_id", "left_anti")
     meta_all = meta_old.unionByName(meta_new)
-    return _rebuild_derived(
-        spark, index_dir, manifest, cfg, tf_all, meta_all, version,
-        f"delta_g{gen}", t_start, paths_update={"tf": paths["tf"] + [tf_rel]},
+    shards_new = [
+        int(r["s"])
+        for r in meta_new.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards)).cast("int").alias("s")
+        ).distinct().collect()
+    ]
+    return _update_derived(
+        spark, index_dir, manifest, cfg, tf_all, meta_all,
+        changed_shards=shards_new, struct_rel=f"structure_g{gen}.parquet",
+        version=version, phase_name=f"delta_g{gen}", t_start=t_start,
+        paths_update={"tf": paths["tf"] + [tf_rel]},
     )
 
 
@@ -593,10 +855,11 @@ def delete_documents(
 ) -> BuildResult:
     """Incremental delete with EXACT global scores: the doc_ids are
     tombstoned (their tokenized tf generations stay on disk but are
-    filtered at every derived rebuild), and dictionary + postings are
-    recomputed over the surviving documents — BM25 idf/df/avgdl reflect
-    the post-delete corpus, identical to a from-scratch build without
-    those docs (tests assert payload-level identity).
+    filtered at every derived rebuild); structure re-encodes only the
+    shards the deleted docs hashed into, scores refresh index-wide —
+    BM25 idf/df/avgdl reflect the post-delete corpus, identical to a
+    from-scratch build without those docs (tests assert payload-level
+    identity).
 
     ``doc_ids``: a one-column DataFrame or a Python sequence of ids.
     Raises if any id is not live in the index."""
@@ -626,9 +889,17 @@ def delete_documents(
         *[os.path.join(index_dir, p) for p in paths["tf"]]
     ).join(all_tombs, "doc_id", "left_anti")
     meta_all = meta_old.join(ids, "doc_id", "left_anti")
-    return _rebuild_derived(
-        spark, index_dir, manifest, cfg, tf_all, meta_all, version,
-        f"delete_v{version}", t_start, paths_update={"tombstones": tomb_rel},
+    shards_del = [
+        int(r["s"])
+        for r in ids.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards)).cast("int").alias("s")
+        ).distinct().collect()
+    ]
+    return _update_derived(
+        spark, index_dir, manifest, cfg, tf_all, meta_all,
+        changed_shards=shards_del, struct_rel=f"structure_del_v{version}.parquet",
+        version=version, phase_name=f"delete_v{version}", t_start=t_start,
+        paths_update={"tombstones": tomb_rel},
     )
 
 
@@ -655,9 +926,11 @@ def compact(spark: SparkSession, index_dir: str) -> BuildResult:
     meta_live = spark.read.parquet(
         *[os.path.join(index_dir, p) for p in paths["docmeta"]]
     )
-    res = _rebuild_derived(
-        spark, index_dir, manifest, cfg, tf_live, meta_live, version,
-        f"compact_v{version}", t_start, paths_update={"tf": [tf_rel]},
+    res = _update_derived(
+        spark, index_dir, manifest, cfg, tf_live, meta_live,
+        changed_shards=None, struct_rel=f"structure_compact_v{version}.parquet",
+        version=version, phase_name=f"compact_v{version}", t_start=t_start,
+        paths_update={"tf": [tf_rel]},
     )
     # tombstones are folded into the compacted tf -> drop the pointer
     m2 = load_manifest(index_dir)

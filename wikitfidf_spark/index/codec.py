@@ -174,6 +174,103 @@ def encode_postings(
     )
 
 
+@dataclass
+class EncodedStructure:
+    """The score-free two-thirds of a posting list: doc ids, tfs and doc
+    lengths.  Everything here depends ONLY on the documents of its own
+    shard — global stats (df, n_docs, avgdl) never enter — so an
+    incremental update re-encodes structure solely for shards whose doc
+    set changed.  Scores (idf/avgdl-dependent, hence invalidated by ANY
+    corpus change) live in a separate stream encoded by
+    :func:`encode_scores` from the decoded tfs/dls."""
+    n: int
+    docs_payload: bytes
+    tfs_payload: bytes
+    dls_payload: bytes
+    block_firsts: np.ndarray
+    block_lasts: np.ndarray
+    block_counts: np.ndarray
+    block_doc_offs: np.ndarray
+    block_tf_offs: np.ndarray
+    block_dl_offs: np.ndarray
+
+
+def encode_structure(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    presorted: bool = False,
+) -> EncodedStructure:
+    """Vectorized encode of the global-stat-free streams (docs delta +
+    varint, tfs varint, doc-lens varint) with block sidecars."""
+    if presorted:
+        d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+        t = np.ascontiguousarray(tfs, dtype=np.uint64)
+        l = np.ascontiguousarray(dls, dtype=np.uint64)
+    else:
+        order = np.argsort(doc_ids, kind="stable")
+        d = np.asarray(doc_ids, dtype=np.int64)[order]
+        t = np.asarray(tfs, dtype=np.uint64)[order]
+        l = np.asarray(dls, dtype=np.uint64)[order]
+    n = len(d)
+    u = to_unsigned(d)
+    n_blocks = (n + block_size - 1) // block_size
+    starts = np.arange(n_blocks) * block_size
+    ends = np.minimum(starts + block_size, n)
+
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = u[1:] - u[:-1]
+    deltas[starts] = 0
+
+    d_lens = varint_lengths(deltas)
+    t_lens = varint_lengths(t)
+    l_lens = varint_lengths(l)
+    d_cum = np.concatenate(([0], np.cumsum(d_lens)))
+    t_cum = np.concatenate(([0], np.cumsum(t_lens)))
+    l_cum = np.concatenate(([0], np.cumsum(l_lens)))
+    return EncodedStructure(
+        n=n,
+        docs_payload=varint_encode(deltas, d_lens),
+        tfs_payload=varint_encode(t, t_lens),
+        dls_payload=varint_encode(l, l_lens),
+        block_firsts=d[starts],
+        block_lasts=d[ends - 1],
+        block_counts=(ends - starts).astype(np.int32),
+        block_doc_offs=d_cum[starts],
+        block_tf_offs=t_cum[starts],
+        block_dl_offs=l_cum[starts],
+    )
+
+
+def encode_scores(
+    scores_q: np.ndarray, block_counts: np.ndarray
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Encode the score stream for an existing structure's blocking:
+    (scores_payload, block_max_score, block_score_offs).  ``scores_q``
+    must be in the structure's doc order."""
+    s = np.ascontiguousarray(scores_q, dtype=np.uint64)
+    counts = np.asarray(block_counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    s_lens = varint_lengths(s)
+    s_cum = np.concatenate(([0], np.cumsum(s_lens)))
+    maxes = (
+        np.maximum.reduceat(s.view(np.int64), starts)
+        if len(s)
+        else np.zeros(0, np.int64)
+    )
+    return varint_encode(s, s_lens), maxes.astype(np.int64), s_cum[starts]
+
+
+def decode_tfs_dls(enc_row) -> tuple[np.ndarray, np.ndarray]:
+    """Score-refresh decode: (tfs, dls) from a structure row — exactly
+    the arrays the BM25 kernel consumes, in stored doc order."""
+    n = int(enc_row["n_docs"])
+    tfs = varint_decode(enc_row["tfs_payload"], n)
+    dls = varint_decode(enc_row["dls_payload"], n)
+    return tfs, dls
+
+
 def decode_block_docs(
     docs_payload: bytes | memoryview,
     block_firsts: np.ndarray,
