@@ -421,6 +421,13 @@ def q_events_windowed(spark, sf_dir):
     return stream_jobs.windowed_counts(_t(spark, sf_dir, "events"), "1 hour")
 
 
+def q_events_dedup(spark, sf_dir):
+    """Exact event dedup on (user, type, ts) — the batch anchor of the
+    streaming withWatermark+dropDuplicates job (streaming/jobs.py),
+    parity-tested in tests/test_pipeline_ops.py."""
+    return stream_jobs.dedup_events(_t(spark, sf_dir, "events"))
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user (lag + running sum)."""
     return stream_jobs.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
@@ -500,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "events_windowed": q_events_windowed,
+        "events_dedup": q_events_dedup,
         "sessionize": q_sessionize,
         "lineitem_pricing": q_lineitem_pricing,
         "broadcast_join_agg": q_broadcast_join_agg,
@@ -891,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(floor(value * 1000000 + 0.5)::bigint)::double / 1e6 AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "events_dedup": "SELECT DISTINCT user_id, event_type, ts FROM events",
         "sessionize": """
             WITH marked AS (
               SELECT user_id, ts, event_id,

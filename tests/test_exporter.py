@@ -88,3 +88,45 @@ def test_delete(spark, out_dir):
     e.delete()
     with pytest.raises(FileNotFoundError):
         ex.Exporter.from_dir(spark, out_dir)
+
+
+def test_compat_artifacts_reference_shapes(spark, tmp_path):
+    """write_compat_artifacts: single gzip file per artifact, valid
+    JSON, reference shapes (flat {word: cf}; {doc: {TopicID, Tot,
+    Words}}; {topic: {word: n}}; {doc: {TopicID, Abs, Rel}}) — the
+    drop-in format for consumers of the reference's files."""
+    import json
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+    d = str(tmp_path / "compat")
+    ex.write_compat_artifacts(
+        spark, docs, d, FLAGGED,
+        ex.Limits(words_pages=3, global_words=4, topic_words=2),
+    )
+
+    def load(name):
+        with gzip.open(os.path.join(d, name)) as f:
+            return json.load(f)
+
+    words = load("GlobalWords_topN.json.gz")
+    # flat {word: cf}, top-4 by collection frequency
+    assert len(words) == 4 and words["gamma"] == 4 and words["alpha"] == 3
+
+    pages = load("GlobalPagesTFIDF_topN.json.gz")
+    assert set(pages) == {"1", "2", "3", "4"}
+    p1 = pages["1"]
+    assert p1["TopicID"] == "python" and p1["Tot"] == 5
+    assert len(p1["Words"]) == 3  # words_pages limit
+    exp = tfidf_py(2, 5, 2, 4)  # beta: tf=2, doc_len=5, df=2, N=4
+    assert p1["Words"]["beta"] == exp
+
+    topics = load("GlobalTopicsWords_topN.json.gz")
+    assert set(topics) == {"python", "go"}
+    assert all(len(w) <= 2 for w in topics.values())  # topic_words limit
+    # docs-in-topic-containing semantics: alpha is in both python docs
+    assert topics["python"]["alpha"] == 2
+    assert topics["go"] == {"beta": 1, "clean": 1}  # all-ties -> term asc
+
+    bad = load("BadWordsReport.json.gz")
+    assert set(bad) == {"1", "2"}  # clean docs drop out
+    assert bad["2"] == {"TopicID": "python", "Abs": 1, "Rel": 0.2}

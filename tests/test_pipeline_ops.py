@@ -159,6 +159,29 @@ def test_streaming_parity_with_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """withWatermark + dropDuplicates over a finite source must equal
+    the batch distinct on the same keys (single availableNow trigger ->
+    state spans the whole input)."""
+    import shutil
+
+    src_dir = tmp_path / "events_dedup_stream"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet")
+    batch = {
+        (r["user_id"], r["event_type"], r["ts"])
+        for r in stream_jobs.dedup_events(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ).collect()
+    }
+    sdf = stream_jobs.stream_dedup_events(spark, str(src_dir))
+    got = {
+        (r["user_id"], r["event_type"], r["ts"])
+        for r in stream_jobs.run_stream_to_memory(spark, sdf, "t_dedup", "append").collect()
+    }
+    assert got == batch and len(got) > 0
+
+
 def _events_stream_dir(tmp_path):
     import shutil
 

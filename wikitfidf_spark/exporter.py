@@ -86,7 +86,43 @@ def export_artifacts(
     topics left stemmed; unmatched terms pass through via coalesce)."""
     lim = limits or Limits()
     os.makedirs(out_dir, exist_ok=True)
+    frames = _artifact_frames(
+        spark, docs, flagged_terms, lim,
+        doc_id=doc_id, topic=topic, text=text, stem_py=stem_py,
+    )
 
+    def write(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").option("compression", "gzip").json(
+            os.path.join(out_dir, name)
+        )
+
+    write(frames["pages"], GLOBAL_PAGES_TFIDF)
+    write(frames["words"], GLOBAL_WORDS)
+    write(frames["topics"], GLOBAL_TOPICS_WORDS)
+    write(frames["badwords"], BADWORDS_REPORT)
+
+    totals = frames["totals"]
+    import json as _json
+
+    with open(os.path.join(out_dir, TOTALS), "w") as f:
+        _json.dump(totals, f)
+    _unpersist_frames(frames)
+    return totals
+
+
+def _artifact_frames(
+    spark: SparkSession,
+    docs: DataFrame,
+    flagged_terms: list[str],
+    lim: "Limits",
+    *,
+    doc_id: str,
+    topic: str,
+    text: str,
+    stem_py,
+) -> dict:
+    """The four artifact DataFrames + totals, shared by the partitioned
+    JSONL writer (the scale path) and the reference-shape compat writer."""
     tf = termstats.term_frequencies(
         docs, doc_id=doc_id, text=text, extra_cols=(topic,)
     )
@@ -102,11 +138,6 @@ def export_artifacts(
     stats = termstats.global_term_stats(tf.select(doc_id, "term", "tf"), doc_id=doc_id)
     total_tokens, total_docs = termstats.totals(tf, doc_id=doc_id)
 
-    def write(df: DataFrame, name: str) -> None:
-        df.write.mode("overwrite").option("compression", "gzip").json(
-            os.path.join(out_dir, name)
-        )
-
     # GlobalPagesTFIDF_topN (S13 + S17): per-doc top-N by reference tfidf
     tfidf = scoring.tfidf_scores(
         tf.select(doc_id, "term", "tf"), stats, doclens, total_docs, doc_id=doc_id
@@ -114,33 +145,146 @@ def export_artifacts(
     pages_top = topk.top_n_words_per_doc(tfidf, lim.words_pages, doc_id=doc_id)
     if dictionary is not None:  # destemmer.pyx:45-82 (after top-N, like the reference)
         pages_top = stemdict.destem(pages_top, dictionary)
-    write(pages_top, GLOBAL_PAGES_TFIDF)
 
     # GlobalWords_topN (S18): top-N by collection frequency
     words_top = topk.top_n_global_terms(stats, lim.global_words)
     if dictionary is not None:  # destemmer.pyx:85-101
         words_top = stemdict.destem(words_top, dictionary)
-    write(words_top, GLOBAL_WORDS)
 
     # GlobalTopicsWords_topN (S15 + S19): docs-in-topic-containing-term
     topic_counts = termstats.topic_term_doc_counts(tf, doc_id=doc_id, topic=topic)
-    write(topk.top_n_terms_per_topic(topic_counts, lim.topic_words, topic=topic), GLOBAL_TOPICS_WORDS)
+    topics_top = topk.top_n_terms_per_topic(topic_counts, lim.topic_words, topic=topic)
 
     # BadWordsReport (S16): distinct flagged terms per doc
     report = bw.badwords_report(
         tf.select(doc_id, topic, "term", "tf"), doclens, flagged_terms,
         doc_id=doc_id, topic=topic,
     )
-    write(report, BADWORDS_REPORT)
+    return {
+        "pages": pages_top,
+        "words": words_top,
+        "topics": topics_top,
+        "badwords": report,
+        "doclens": doclens,
+        "totals": {"total_tokens": total_tokens, "total_docs": total_docs},
+        "_tf": tf,
+        "_dictionary": dictionary,
+    }
 
-    totals = {"total_tokens": total_tokens, "total_docs": total_docs}
+
+def _unpersist_frames(frames: dict) -> None:
+    frames["_tf"].unpersist()
+    if frames["_dictionary"] is not None:
+        frames["_dictionary"].unpersist()
+
+
+def write_compat_artifacts(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    flagged_terms: list[str],
+    limits: Limits | None = None,
+    *,
+    doc_id: str = "doc_id",
+    topic: str = "lang",
+    text: str = "text",
+    stem_py=None,
+) -> dict:
+    """Reference-exact artifact files for drop-in consumers: each
+    artifact is ONE gzip (level 9 — badwords.go:80,
+    topwordspageextractor.pyx:62-63) holding a single JSON dict in the
+    reference's shapes:
+
+    - ``GlobalWords_topN.json.gz``      {word: cf}
+      (topwordspageextractor.pyx:44-51 — sentinel rows filtered)
+    - ``GlobalPagesTFIDF_topN.json.gz`` {doc: {TopicID, Tot, Words:{word: tfidf}}}
+      (structures.TfidfTopNWordPage)
+    - ``GlobalTopicsWords_topN.json.gz``{topic: {word: n_docs}}
+      (topicwords.go:131)
+    - ``BadWordsReport.json.gz``        {doc: {TopicID, Abs, Rel}}
+      (structures.BadWordsReport)
+
+    Single-writer by design — the reference's single-file shape IS a
+    single-writer bottleneck, which is why :func:`export_artifacts`
+    (partitioned JSONL) remains the scale path.  Rows stream through
+    ``toLocalIterator`` so the driver holds one partition at a time,
+    never the whole artifact.  Deviation: files are strict valid JSON;
+    the reference's streamed writers leave a trailing ``,\\n`` before
+    the closing brace (a latent quirk its line-wise readers tolerate).
+    """
+    import gzip as _gzip
     import json as _json
 
-    with open(os.path.join(out_dir, TOTALS), "w") as f:
-        _json.dump(totals, f)
-    tf.unpersist()
-    if dictionary is not None:
-        dictionary.unpersist()
+    lim = limits or Limits()
+    os.makedirs(out_dir, exist_ok=True)
+    frames = _artifact_frames(
+        spark, docs, flagged_terms, lim,
+        doc_id=doc_id, topic=topic, text=text, stem_py=stem_py,
+    )
+
+    def stream_dict(name: str, entries) -> None:
+        with _gzip.GzipFile(
+            filename=os.path.join(out_dir, name), mode="w", compresslevel=9
+        ) as gz:
+            gz.write(b"{")
+            first = True
+            for key, value in entries:
+                chunk = f"{_json.dumps(str(key))}: {_json.dumps(value)}"
+                gz.write((chunk if first else ",\n" + chunk).encode("utf-8"))
+                first = False
+            gz.write(b"}")
+
+    stream_dict(
+        "GlobalWords_topN.json.gz",
+        ((r["term"], int(r["cf"])) for r in frames["words"].toLocalIterator()),
+    )
+
+    # pages: group the per-(doc, term) top-N rows into one entry per doc.
+    # Rows arrive doc-clustered (window partitioned by doc) after a sort.
+    def page_entries():
+        cur_id, cur = None, None
+        tot_by_doc = frames["doclens"]
+        pages = (
+            frames["pages"]
+            .join(tot_by_doc, doc_id)
+            .join(docs.select(doc_id, F.col(topic).alias("_topic")), doc_id)
+            .orderBy(doc_id, "rank")
+        )
+        for r in pages.toLocalIterator():
+            if r[doc_id] != cur_id:
+                if cur_id is not None:
+                    yield cur_id, cur
+                cur_id = r[doc_id]
+                cur = {"TopicID": r["_topic"], "Tot": int(r["doc_len"]), "Words": {}}
+            cur["Words"][r["term"]] = r["tfidf"]
+        if cur_id is not None:
+            yield cur_id, cur
+
+    stream_dict("GlobalPagesTFIDF_topN.json.gz", page_entries())
+
+    def topic_entries():
+        cur_t, cur = None, None
+        for r in frames["topics"].orderBy(topic, "rank").toLocalIterator():
+            if r[topic] != cur_t:
+                if cur_t is not None:
+                    yield cur_t, cur
+                cur_t, cur = r[topic], {}
+            cur[r["term"]] = int(r["n_docs"])
+        if cur_t is not None:
+            yield cur_t, cur
+
+    stream_dict("GlobalTopicsWords_topN.json.gz", topic_entries())
+
+    stream_dict(
+        "BadWordsReport.json.gz",
+        (
+            (r[doc_id], {"TopicID": r[topic], "Abs": int(r["abs"]), "Rel": r["rel"]})
+            for r in frames["badwords"].toLocalIterator()
+        ),
+    )
+
+    totals = frames["totals"]
+    _unpersist_frames(frames)
     return totals
 
 

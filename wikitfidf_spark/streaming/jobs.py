@@ -50,6 +50,32 @@ def stream_windowed_counts(
     return windowed_counts(stream, window)
 
 
+def dedup_events(events: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type", "ts")) -> DataFrame:
+    """Exact event dedup on a key tuple — the batch anchor for the
+    streaming variant (same projection + distinct semantics)."""
+    return events.select(*keys).distinct()
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    events_path: str,
+    keys: tuple[str, ...] = ("user_id", "event_type", "ts"),
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: ``withWatermark + dropDuplicates`` — the
+    Structured Streaming stateful-dedup shape for at-least-once
+    sources.  State is bounded by the watermark: a key older than the
+    watermark is evicted, so a duplicate arriving later than
+    ``watermark`` would re-emit — the standard trade; tests drive it
+    with availableNow and assert parity with :func:`dedup_events`."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+        .withWatermark("ts", watermark)
+    )
+    return stream.select(*keys).dropDuplicates(list(keys))
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
