@@ -84,6 +84,27 @@ def main() -> None:
                  "total_docs", "total_tokens", "build_wall_sec_total")
     }
 
+    # ---- incremental add: 1% new docs into the freshly built index.
+    # The O(delta) design means this should cost a small fraction of the
+    # full build (structure re-encode scoped to changed shards + the
+    # shuffle-free score refresh); the per-update breakdown lands in
+    # the manifest (shards_touched, full_reencode).
+    from wikitfidf_spark.index.build import add_documents, load_manifest
+
+    # a different seed yields disjoint natural keys (commit embeds the
+    # seed) -> clean delta with no doc_id collisions
+    delta = make_code_files(spark, n_docs=max(1, n_docs // 100), seed=43)
+    add_res = timed("index_add_1pct", lambda: add_documents(spark, delta, idx_dir))
+    ph = load_manifest(idx_dir)["phases"].get("delta_g1", {})
+    extras["incremental_add"] = {
+        "n_new_docs": int(add_res.metrics["total_docs"]) - n_docs,
+        "existing_shards_reencoded": ph.get("existing_shards_reencoded"),
+        "new_shards": ph.get("new_shards"),
+        "add_sec_vs_build_sec": round(
+            timings["index_add_1pct"] / timings["index_build"], 3
+        ),
+    }
+
     idx = InvertedIndex(spark, idx_dir)
     queries = make_queries(100)
     # warm-up (JIT, parquet footer cache), then the measured batch

@@ -53,9 +53,21 @@ def dirs(spark, tmp_path_factory):
     return full_dir, inc_dir, delta_docs
 
 
-def test_postings_byte_identical_to_full_build(spark, dirs):
+def test_postings_byte_identical_after_compact(spark, dirs, tmp_path):
+    """add_documents writes the delta as a new shard generation, so the
+    physical layout differs from a fresh build until compaction; after
+    ``compact`` the index must be byte-identical to the fresh build
+    over the union (compaction runs on a copy so the other tests keep
+    the pre-compact state)."""
+    import shutil
+
+    from wikitfidf_spark.index.build import compact
+
     full_dir, inc_dir, _ = dirs
-    assert _postings_rows(spark, full_dir) == _postings_rows(spark, inc_dir)
+    cdir = str(tmp_path / "inc_compacted")
+    shutil.copytree(inc_dir, cdir)
+    compact(spark, cdir)
+    assert _postings_rows(spark, full_dir) == _postings_rows(spark, cdir)
 
 
 def test_metrics_and_paths_updated(spark, dirs):
@@ -79,38 +91,28 @@ def test_query_results_identical(spark, dirs):
     assert get(full_dir) == get(inc_dir)
 
 
-def test_add_rewrites_only_changed_shards(spark, tmp_path):
-    """The O(delta) claim, proven from the manifest: a delta whose docs
-    all hash to ONE shard re-encodes structure for that shard only —
-    the other shards keep pointing at the base structure file, whose
-    bytes are untouched — while the result stays byte-identical to a
-    fresh build over the union."""
-    docs = make_code_files(spark, n_docs=400, seed=42).cache()
-    shard_of = F.pmod(F.xxhash64(F.xxhash64("repo", "path", "commit")), F.lit(4)).cast("int")
-    base_docs = docs.filter(shard_of != 0)
-    delta_docs = docs.filter(shard_of == 0)
-    assert delta_docs.count() > 0
-
-    full_dir = str(tmp_path / "idx_full_1shard")
-    inc_dir = str(tmp_path / "idx_inc_1shard")
-    build_index(spark, docs, full_dir, CFG, resume=False)
-    build_index(spark, base_docs, inc_dir, CFG, resume=False)
-    add_documents(spark, delta_docs, inc_dir)
-
+def test_add_touches_no_existing_shard(spark, dirs):
+    """The O(delta) claim, proven from the manifest: an add encodes the
+    delta into a fresh generation of shard ids; every pre-existing
+    shard keeps pointing at the base structure file (whose bytes are
+    untouched on disk), and the delta file holds only generation
+    shards."""
+    _, inc_dir, _ = dirs
     m = load_manifest(inc_dir)
     owners = index_paths(m)["structure"]
-    assert owners["0"] == "structure_g1.parquet"
-    assert all(owners[str(s)] == "structure_g0.parquet" for s in (1, 2, 3))
+    # canonical shards 0..3 untouched; generation shards 4..7 are new
+    assert all(owners[str(s)] == "structure_g0.parquet" for s in range(4))
+    assert all(owners[str(s)] == "structure_g1.parquet" for s in range(4, 8))
     ph = m["phases"]["delta_g1"]
-    assert ph["shards_touched"] == 1 and not ph["full_reencode"]
-    # the delta structure file holds ONLY the re-encoded shard
+    assert ph["existing_shards_reencoded"] == 0
+    assert ph["new_shards"] == 4
     delta_shards = {
         r["shard"]
         for r in spark.read.parquet(os.path.join(inc_dir, "structure_g1.parquet"))
         .select("shard").distinct().collect()
     }
-    assert delta_shards == {0}
-    assert _postings_rows(spark, full_dir) == _postings_rows(spark, inc_dir)
+    assert delta_shards <= {4, 5, 6, 7}
+    assert m["next_shard_base"] == 8
 
 
 def test_collision_rejected(spark, dirs):

@@ -97,13 +97,38 @@ def test_lsh_near_dup_plan_has_no_cartesian(spark):
 
 
 def test_postings_term_lookup_prunes_row_groups(spark, tmp_path_factory):
-    """Term lookups must push the term predicate into the postings scan
-    (rows are written term-sorted per shard, so row-group min/max
-    statistics serve the lookup)."""
+    """Term lookups must push the term predicate into BOTH postings
+    scans — structure and scores are each written term-sorted per
+    shard, so row-group min/max statistics serve the lookup, and the
+    post-filter join sees only the queried terms' rows."""
     d = str(tmp_path_factory.mktemp("idx_plan"))
     docs = make_code_files(spark, n_docs=300, seed=42)
     build_index(spark, docs, d, IndexConfig(n_shards=2, n_salts=2), resume=False)
     idx = InvertedIndex(spark, d)
     scan = idx.postings.filter(F.col("term") == "arg_cfg_get")
     e = explain_str(scan)
-    assert "PushedFilters" in e and "EqualTo(term,arg_cfg_get)" in e
+    assert "PushedFilters" in e
+    assert e.count("EqualTo(term,arg_cfg_get)") >= 2  # structure AND scores scans
+
+
+def test_score_refresh_plan_is_shuffle_free(spark, tmp_path_factory):
+    """The incremental-update cornerstone: score_postings_df must be a
+    pure map over the structure scan — a broadcast dictionary join and
+    mapInPandas, with NO hash-partitioning exchange and NO sort-merge
+    join anywhere (that is what makes index-wide score refresh cheap)."""
+    from wikitfidf_spark.index.build import score_postings_df, load_manifest
+
+    d = str(tmp_path_factory.mktemp("idx_scoreplan"))
+    docs = make_code_files(spark, n_docs=300, seed=42)
+    cfg = IndexConfig(n_shards=2, n_salts=2)
+    build_index(spark, docs, d, cfg, resume=False)
+    m = load_manifest(d)
+    structure = spark.read.parquet(os.path.join(d, "structure_g0.parquet"))
+    stats = spark.read.parquet(os.path.join(d, "dictionary.parquet"))
+    scores = score_postings_df(
+        structure, stats, cfg, m["metrics"]["total_docs"], m["metrics"]["avgdl"]
+    )
+    p = plan(scores)
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

@@ -14,20 +14,29 @@ Postings are SPLIT into two artifacts along the incremental-update
 fault line:
 
 - **structure** holds everything that depends only on a shard's own
-  documents (doc ids, tfs, doc lengths, block layout).  An incremental
-  add/delete re-encodes structure ONLY for shards whose doc set changed
-  — the heavy repartition+sort+encode shuffle runs over just those
-  shards' rows, and untouched shards keep their bytes (the manifest
-  maps shard -> owning structure file).
+  documents (doc ids, tfs, doc lengths, block layout).  A shard's
+  structure bytes change only when its OWN doc set changes:
+  * ``add_documents`` assigns new docs to NEW shard ids (a fresh
+    generation of ``n_shards`` shards per delta, Lucene-segment style)
+    — existing shards are never re-encoded, the delta encode is
+    O(delta);
+  * ``delete_documents`` re-encodes only the shards the deleted docs
+    live in (looked up from docmeta, which records each doc's shard);
+  * ``compact`` folds all generations back into the canonical
+    ``xxhash64(doc_id) % n_shards`` placement — after compaction the
+    index is byte-identical to a fresh build over the live corpus
+    (tests assert it), and the per-query shard fan-out returns to
+    ``n_shards``.
+  The manifest maps shard id -> owning structure file.
 - **scores** hold the BM25 impacts, which depend on GLOBAL stats (idf
   from df/n_docs, avgdl) and are therefore invalidated by ANY corpus
   change.  They are refreshed by a shuffle-free map pass
   (:func:`score_postings_df`): decode tfs+dls from structure, recompute
   with the new dictionary, re-encode — no sort, no shuffle, exact
-  scores (rank-identity preserved; tests assert byte identity with a
-  fresh build).  This is the O(delta)-shuffle design the exact-score
-  requirement permits: only the light score stream pays O(corpus) work
-  per update, as embarrassingly-parallel map tasks.
+  scores.  Every update therefore stays rank-identical to a fresh
+  build (exact global idf/avgdl — no segment-local approximation),
+  while the only O(corpus) work per update is this embarrassingly
+  parallel map over the light score stream.
 
 Partitioning strategy (the 100 TB story):
 - The index is **document-partitioned**: ``shard = xxhash64(doc_id) %
@@ -178,20 +187,21 @@ def encode_structure_df(
     stats: DataFrame,
     cfg: IndexConfig,
 ) -> DataFrame:
-    """The structure-encode plan: enrich tf with doc_len (df enters only
-    the sub-shard split decision, never the payloads), shard by doc
-    hash, sort within shards, stream-encode per partition.
+    """The structure-encode plan: enrich tf with (doc_len, shard) from
+    docmeta (docmeta is the single source of truth for placement —
+    canonical hash shards for fresh builds, generation shards for
+    deltas; df enters only the sub-shard split decision, never the
+    payloads), sort within shards, stream-encode per partition.
     Deterministic: identical inputs produce byte-identical payloads at
     any parallelism (tests assert full-vs-incremental identity)."""
     block_size = cfg.block_size
     hot = cfg.hot_df_threshold
     n_shards = cfg.n_shards
 
-    doclens = meta.select("doc_id", "doc_len")
+    doclens = meta.select("doc_id", "doc_len", "shard")
     enriched = (
         tf.join(doclens, "doc_id")
         .join(stats.select("term", "df"), "term")
-        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
         .withColumn(
             "sub_shard",
             F.when(
@@ -410,9 +420,15 @@ def build_index(
     if not _phase_done(manifest, "docmeta", meta_path):
         t0 = time.time()
         doclens = termstats.doc_lengths(tf)
-        meta = base.select(
-            "doc_id", *cfg.id_cols, F.col(cfg.topic_col).alias("topic"), "content_sha256"
-        ).join(doclens, "doc_id", "left").fillna(0, subset=["doc_len"])
+        meta = (
+            base.select(
+                "doc_id", *cfg.id_cols, F.col(cfg.topic_col).alias("topic"), "content_sha256"
+            )
+            .join(doclens, "doc_id", "left").fillna(0, subset=["doc_len"])
+            # canonical placement; docmeta is the authority deltas and
+            # deletes consult (generation shards diverge from the hash)
+            .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards)).cast("int"))
+        )
         meta.write.mode("overwrite").parquet(meta_path)
         meta_r = spark.read.parquet(meta_path)
         # one pass over the written meta: row count + the duplicate
@@ -542,6 +558,8 @@ def build_index(
         "scores": scores_rel,
         "lineage": "lineage.parquet",
     })
+    # generation shards for future deltas start above the canonical range
+    manifest.setdefault("next_shard_base", cfg.n_shards)
     _save_manifest(index_dir, manifest)
     return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
 
@@ -611,29 +629,35 @@ def _update_derived(
     manifest: dict,
     cfg: IndexConfig,
     tf_all: DataFrame,
+    tf_enc: DataFrame,
     meta_all: DataFrame,
-    changed_shards: list[int] | None,
+    owned_shards: list[int],
     struct_rel: str,
     version: int,
     phase_name: str,
     t_start: float,
     paths_update: dict,
+    *,
+    reset_owners: bool = False,
 ) -> BuildResult:
     """Shared incremental-update tail (add/delete/compact):
 
     - dictionary + docmeta: recomputed globally (cheap salted agg over
       tf generations — a columnar scan, no payload work);
-    - structure: re-encoded ONLY for ``changed_shards`` (None = all) —
-      the heavy repartition+sort+encode shuffle is O(changed shards),
-      untouched shards keep their existing files via the owner map;
+    - structure: ``tf_enc`` (the delta generation for adds, the
+      affected shards' docs for deletes, everything for compact) is
+      encoded into ``struct_rel``, which becomes the owner of
+      ``owned_shards``; all other shards keep their existing files
+      untouched (``reset_owners`` drops them — compaction);
     - scores: refreshed for the WHOLE index by the shuffle-free map
       pass (exact global idf/avgdl demands it; it touches only the
       light score stream).
 
-    Exception: if any term's sub-shard split factor changed (its df
-    crossed a hot_df_threshold multiple), its lists re-bucket in every
-    shard, so we fall back to a full structure re-encode — detected by
-    comparing old/new dictionaries, recorded in the manifest."""
+    Sub-shard split factors are evaluated with the stats current at
+    each shard's encode time; shards encoded in different generations
+    may therefore split a hot term differently — harmless (sub-lists
+    stay doc-disjoint per shard) and erased by compaction, which
+    re-encodes everything with one dictionary."""
     from pyspark.sql import Observation
 
     paths = index_paths(manifest)
@@ -642,8 +666,13 @@ def _update_derived(
     lin_rel = f"lineage_v{version}.parquet"
     meta_rel = f"docmeta_v{version}.parquet"
 
-    meta_all.write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
-    meta_r = spark.read.parquet(os.path.join(index_dir, meta_rel))
+    if "docmeta" in paths_update:
+        # caller keeps docmeta generational (adds append a generation
+        # file) — no O(corpus) consolidation rewrite per delta
+        meta_r = meta_all
+    else:
+        meta_all.write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
+        meta_r = spark.read.parquet(os.path.join(index_dir, meta_rel))
 
     stats = termstats.global_term_stats(tf_all, n_salts=cfg.n_salts)
     stats.write.mode("overwrite").parquet(os.path.join(index_dir, dict_rel))
@@ -656,38 +685,11 @@ def _update_derived(
     n_docs_all = int(dl["n"])
     avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
 
-    n_shards, hot = cfg.n_shards, cfg.hot_df_threshold
-
-    def _factor(dfc: F.Column) -> F.Column:
-        # mirror of encode_structure_df's sub-shard split factor
-        return F.when(
-            dfc > F.lit(hot * n_shards),
-            F.ceil(dfc / F.lit(hot * n_shards)).cast("int"),
-        ).otherwise(F.lit(1))
-
-    shards = None if changed_shards is None else sorted(set(changed_shards))
-    n_factor_changed = 0
-    if shards is not None:
-        old_stats = spark.read.parquet(os.path.join(index_dir, paths["dictionary"]))
-        n_factor_changed = (
-            old_stats.select("term", _factor(F.col("df")).alias("f_old"))
-            .join(stats_r.select("term", _factor(F.col("df")).alias("f_new")), "term", "full")
-            .filter(F.coalesce("f_old", F.lit(1)) != F.coalesce("f_new", F.lit(1)))
-            .count()
-        )
-        if n_factor_changed:
-            shards = None
-
-    if shards is None:
-        tf_enc = tf_all
-        owners = {str(s): struct_rel for s in range(n_shards)}
-        n_touched = n_shards
+    owned = sorted(set(owned_shards))
+    if reset_owners:
+        owners = {str(s): struct_rel for s in owned}
     else:
-        tf_enc = tf_all.filter(
-            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").isin(shards)
-        )
-        owners = {**paths["structure"], **{str(s): struct_rel for s in shards}}
-        n_touched = len(shards)
+        owners = {**paths["structure"], **{str(s): struct_rel for s in owned}}
 
     obs_s = Observation()
     struct_delta = encode_structure_df(tf_enc, meta_r, stats_r, cfg).observe(
@@ -697,8 +699,10 @@ def _update_derived(
     n_reencoded = int(obs_s.get["lists"] or 0)
 
     new_paths = {
-        **paths, **paths_update,
-        "docmeta": [meta_rel], "dictionary": dict_rel,
+        **paths,
+        **({} if "docmeta" in paths_update else {"docmeta": [meta_rel]}),
+        **paths_update,
+        "dictionary": dict_rel,
         "structure": owners, "scores": scores_rel, "lineage": lin_rel,
     }
     structure_all = _read_structure(spark, index_dir, new_paths)
@@ -730,13 +734,16 @@ def _update_derived(
     wall = time.time() - t_start
     manifest["paths"] = new_paths
     manifest["version"] = version
+    prior_owned = set(paths["structure"])
     manifest["phases"][phase_name] = {
         "rows": n_reencoded,
         "wall_sec": wall,
-        "shards_touched": n_touched,
-        "n_shards": n_shards,
-        "full_reencode": n_touched == n_shards,
-        "factor_changed_terms": n_factor_changed,
+        # how many PRE-EXISTING shards this update re-encoded (adds: 0 —
+        # new docs land in fresh generation shards; deletes: the shards
+        # the dead docs lived in; compact: all)
+        "existing_shards_reencoded": len(prior_owned & {str(s) for s in owned}),
+        "new_shards": len({str(s) for s in owned} - prior_owned),
+        "total_shards": len(owners),
     }
     manifest["metrics"].update(
         total_tokens=int(srow["tok"] or 0),
@@ -769,15 +776,18 @@ def add_documents(
     - phase 1/2 of prior generations (tokenized tf + docmeta parquet)
       are reused as-is — the raw text of old documents is never
       re-scanned;
-    - structure postings are re-encoded ONLY for shards the new docs
-      hash into (the heavy shuffle is O(delta-shards)); untouched
-      shards keep their files via the manifest owner map;
+    - structure: the new docs are encoded into a FRESH generation of
+      shard ids (segment-style); NO existing shard is re-encoded —
+      the heavy shuffle+sort+encode is O(delta).  Query fan-out grows
+      by n_shards per un-compacted generation; ``compact`` folds
+      generations back to canonical placement (byte-identical to a
+      fresh build);
     - dictionary + docmeta rebuild globally (cheap aggs), and scores
-      refresh index-wide through the shuffle-free map pass — the
-      unavoidable exact-global-idf cost, confined to the light score
-      stream.  (The LSM alternative — delta segments merged at query
-      time — trades exact global idf for cheaper updates; rejected
-      because north_rule requires rank-identical scores.)
+      refresh index-wide through the shuffle-free map pass — so BM25
+      idf/avgdl are EXACT for the merged corpus and every query stays
+      rank-identical to a fresh build (unlike classic LSM segments,
+      which approximate global idf between merges — rejected because
+      north_rule requires rank-identical scores).
     The manifest pointer flips atomically — readers opened before the
     flip keep a consistent old view.
 
@@ -805,9 +815,19 @@ def add_documents(
     tf_new.write.mode("overwrite").parquet(os.path.join(index_dir, tf_rel))
     tf_new = spark.read.parquet(os.path.join(index_dir, tf_rel))
     doclens_new = termstats.doc_lengths(tf_new)
-    meta_new = base.select(
-        "doc_id", *cfg.id_cols, F.col(cfg.topic_col).alias("topic"), "content_sha256"
-    ).join(doclens_new, "doc_id", "left").fillna(0, subset=["doc_len"])
+    # new docs land in a FRESH generation of shard ids: existing shards'
+    # doc sets are untouched, so no existing structure is re-encoded
+    shard_base = int(manifest.get("next_shard_base", cfg.n_shards))
+    meta_new = (
+        base.select(
+            "doc_id", *cfg.id_cols, F.col(cfg.topic_col).alias("topic"), "content_sha256"
+        )
+        .join(doclens_new, "doc_id", "left").fillna(0, subset=["doc_len"])
+        .withColumn(
+            "shard",
+            (F.lit(shard_base) + F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards))).cast("int"),
+        )
+    )
     meta_new.write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
     meta_new = spark.read.parquet(os.path.join(index_dir, meta_rel))
 
@@ -835,16 +855,17 @@ def add_documents(
         tf_all = tf_all.join(tombs.select("doc_id"), "doc_id", "left_anti")
     meta_all = meta_old.unionByName(meta_new)
     shards_new = [
-        int(r["s"])
-        for r in meta_new.select(
-            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards)).cast("int").alias("s")
-        ).distinct().collect()
+        int(r["shard"]) for r in meta_new.select("shard").distinct().collect()
     ]
+    manifest["next_shard_base"] = shard_base + cfg.n_shards
     return _update_derived(
-        spark, index_dir, manifest, cfg, tf_all, meta_all,
-        changed_shards=shards_new, struct_rel=f"structure_g{gen}.parquet",
+        spark, index_dir, manifest, cfg, tf_all, tf_new, meta_all,
+        owned_shards=shards_new, struct_rel=f"structure_g{gen}.parquet",
         version=version, phase_name=f"delta_g{gen}", t_start=t_start,
-        paths_update={"tf": paths["tf"] + [tf_rel]},
+        paths_update={
+            "tf": paths["tf"] + [tf_rel],
+            "docmeta": paths["docmeta"] + [meta_rel],
+        },
     )
 
 
@@ -889,15 +910,18 @@ def delete_documents(
         *[os.path.join(index_dir, p) for p in paths["tf"]]
     ).join(all_tombs, "doc_id", "left_anti")
     meta_all = meta_old.join(ids, "doc_id", "left_anti")
+    # docmeta records each doc's shard (canonical or generation) —
+    # exactly the shards whose structure must re-encode
     shards_del = [
-        int(r["s"])
-        for r in ids.select(
-            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards)).cast("int").alias("s")
-        ).distinct().collect()
+        int(r["shard"])
+        for r in meta_old.join(ids, "doc_id").select("shard").distinct().collect()
     ]
+    # surviving docs of the affected shards = the re-encode input
+    affected_docs = meta_all.filter(F.col("shard").isin(shards_del)).select("doc_id")
+    tf_enc = tf_all.join(affected_docs, "doc_id", "left_semi")
     return _update_derived(
-        spark, index_dir, manifest, cfg, tf_all, meta_all,
-        changed_shards=shards_del, struct_rel=f"structure_del_v{version}.parquet",
+        spark, index_dir, manifest, cfg, tf_all, tf_enc, meta_all,
+        owned_shards=shards_del, struct_rel=f"structure_del_v{version}.parquet",
         version=version, phase_name=f"delete_v{version}", t_start=t_start,
         paths_update={"tombstones": tomb_rel},
     )
@@ -923,14 +947,19 @@ def compact(spark: SparkSession, index_dir: str) -> BuildResult:
     tf_rel = f"tf_compact_v{version}.parquet"
     tf_all.write.mode("overwrite").parquet(os.path.join(index_dir, tf_rel))
     tf_live = spark.read.parquet(os.path.join(index_dir, tf_rel))
+    # fold generation shards back to canonical hash placement — after
+    # this the index is byte-identical to a fresh build over the live
+    # corpus and query fan-out returns to n_shards
     meta_live = spark.read.parquet(
         *[os.path.join(index_dir, p) for p in paths["docmeta"]]
-    )
+    ).withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards)).cast("int"))
+    manifest["next_shard_base"] = cfg.n_shards
     res = _update_derived(
-        spark, index_dir, manifest, cfg, tf_live, meta_live,
-        changed_shards=None, struct_rel=f"structure_compact_v{version}.parquet",
+        spark, index_dir, manifest, cfg, tf_live, tf_live, meta_live,
+        owned_shards=list(range(cfg.n_shards)),
+        struct_rel=f"structure_compact_v{version}.parquet",
         version=version, phase_name=f"compact_v{version}", t_start=t_start,
-        paths_update={"tf": [tf_rel]},
+        paths_update={"tf": [tf_rel]}, reset_owners=True,
     )
     # tombstones are folded into the compacted tf -> drop the pointer
     m2 = load_manifest(index_dir)
