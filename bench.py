@@ -80,7 +80,8 @@ def main() -> None:
     extras["build"] = {
         k: (round(v, 3) if isinstance(v, float) else v)
         for k, v in res.metrics.items()
-        if k in ("n_postings", "payload_bytes", "postings_per_sec", "skew_ratio",
+        if k in ("n_postings", "payload_bytes", "postings_per_sec",
+                 "structure_postings_per_sec", "skew_ratio",
                  "total_docs", "total_tokens", "build_wall_sec_total")
     }
 

@@ -60,10 +60,18 @@ def main() -> None:
     n_rows = idx.topk_batch(queries).count()
     query_sec = time.time() - t0
 
+    from wikitfidf_spark.index.build import load_manifest
+
+    phase_walls = {
+        k: round(v["wall_sec"], 2)
+        for k, v in load_manifest(idx_dir)["phases"].items()
+    }
+
     print(json.dumps({
         "cores": cores,
         "n_docs": args.docs,
         "build_sec": round(build_sec, 3),
+        "phases": phase_walls,
         "postings": int(res.metrics["n_postings"]),
         "postings_per_sec": round(res.metrics["n_postings"] / build_sec, 1),
         "n_queries": args.queries,

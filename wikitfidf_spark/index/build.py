@@ -543,8 +543,13 @@ def build_index(
         lineage.write.mode("overwrite").parquet(lineage_path)
         m = manifest["metrics"]
         m["payload_bytes"] = int(m.get("structure_bytes", 0)) + int(m["scores_bytes"])
-        wall = manifest["phases"]["structure"]["wall_sec"] + (time.time() - t0)
+        wall_s = manifest["phases"]["structure"]["wall_sec"]
+        wall = wall_s + (time.time() - t0)
         m["postings_per_sec"] = m["n_postings"] / wall if wall > 0 else 0.0
+        # breakdown: the structure encode is the round-1-comparable
+        # number; the scores pass is the extra exact-refresh stage the
+        # O(delta) update design buys
+        m["structure_postings_per_sec"] = m["n_postings"] / wall_s if wall_s > 0 else 0.0
         _save_manifest(index_dir, manifest)
 
     manifest["metrics"]["build_wall_sec_total"] = round(
@@ -639,6 +644,7 @@ def _update_derived(
     paths_update: dict,
     *,
     reset_owners: bool = False,
+    meta_enc: DataFrame | None = None,
 ) -> BuildResult:
     """Shared incremental-update tail (add/delete/compact):
 
@@ -692,7 +698,10 @@ def _update_derived(
         owners = {**paths["structure"], **{str(s): struct_rel for s in owned}}
 
     obs_s = Observation()
-    struct_delta = encode_structure_df(tf_enc, meta_r, stats_r, cfg).observe(
+    # meta_enc restricts the encode's (doc_len, shard) join to the rows
+    # being re-encoded — for a delta generation that's the delta's own
+    # docmeta, not an O(corpus) join against the full table
+    struct_delta = encode_structure_df(tf_enc, meta_enc if meta_enc is not None else meta_r, stats_r, cfg).observe(
         obs_s, F.count(F.lit(1)).alias("lists")
     )
     struct_delta.write.mode("overwrite").parquet(os.path.join(index_dir, struct_rel))
@@ -866,6 +875,7 @@ def add_documents(
             "tf": paths["tf"] + [tf_rel],
             "docmeta": paths["docmeta"] + [meta_rel],
         },
+        meta_enc=meta_new,
     )
 
 
@@ -917,13 +927,14 @@ def delete_documents(
         for r in meta_old.join(ids, "doc_id").select("shard").distinct().collect()
     ]
     # surviving docs of the affected shards = the re-encode input
-    affected_docs = meta_all.filter(F.col("shard").isin(shards_del)).select("doc_id")
-    tf_enc = tf_all.join(affected_docs, "doc_id", "left_semi")
+    meta_affected = meta_all.filter(F.col("shard").isin(shards_del))
+    tf_enc = tf_all.join(meta_affected.select("doc_id"), "doc_id", "left_semi")
     return _update_derived(
         spark, index_dir, manifest, cfg, tf_all, tf_enc, meta_all,
         owned_shards=shards_del, struct_rel=f"structure_del_v{version}.parquet",
         version=version, phase_name=f"delete_v{version}", t_start=t_start,
         paths_update={"tombstones": tomb_rel},
+        meta_enc=meta_affected,
     )
 
 

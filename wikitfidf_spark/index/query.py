@@ -283,9 +283,11 @@ class InvertedIndex:
         from .build import _read_structure, index_paths
 
         p = index_paths(self.manifest)
-        structure = _read_structure(spark, index_dir, p)
-        scores = spark.read.parquet(os.path.join(index_dir, p["scores"]))
-        self.postings = structure.join(scores, ["shard", "term", "sub_shard"])
+        self.structure = _read_structure(spark, index_dir, p)
+        self.scores = spark.read.parquet(os.path.join(index_dir, p["scores"]))
+        self.postings = self.structure.join(
+            self.scores, ["shard", "term", "sub_shard"]
+        )
         self.dictionary = spark.read.parquet(os.path.join(index_dir, p["dictionary"]))
         self.docmeta = spark.read.parquet(
             *[os.path.join(index_dir, d) for d in p["docmeta"]]
@@ -319,19 +321,44 @@ class InvertedIndex:
         if not all_terms:
             return self._empty_result()
         qspec = [(q.query_id, list(q.terms), q.mode, q.k) for q in queries]
-        # project away the streams the scorers never touch (tfs, dls)
-        # BEFORE the per-shard shuffle — ~40% less bytes moved
-        rows = self.postings.filter(F.col("term").isin(all_terms)).select(
-            "shard", "term", "sub_shard", "n_docs",
-            "docs_payload", "scores_payload",
-            "block_firsts", "block_lasts", "block_counts",
-            "block_max_score", "block_doc_offs", "block_score_offs",
+        # structure and scores rows are UNIONED (not JVM-joined) and
+        # matched per (term, sub_shard) inside the per-shard group:
+        # filters still push into both parquet scans, the one shuffle on
+        # shard is unchanged, and the broadcast-build + join-probe cost
+        # the join paid per batch disappears.  tfs/dls streams are
+        # projected away BEFORE the shuffle — the scorers never read
+        # them (~40% less bytes moved).
+        term_filter = F.col("term").isin(all_terms)
+        s_rows = self.structure.filter(term_filter).select(
+            "shard", "term", "sub_shard", "n_docs", "docs_payload",
+            "block_firsts", "block_lasts", "block_counts", "block_doc_offs",
         )
+        c_rows = self.scores.filter(term_filter).select(
+            "shard", "term", "sub_shard",
+            "scores_payload", "block_max_score", "block_score_offs",
+        )
+        rows = s_rows.unionByName(c_rows, allowMissingColumns=True)
+
+        def merged_lists(pdf: pd.DataFrame) -> list[dict]:
+            """Match a shard's structure half-rows with their score
+            half-rows by (term, sub_shard); unpaired halves (can't
+            happen in a consistent index) are dropped."""
+            by_key: dict = {}
+            for r in pdf.to_dict("records"):
+                d = by_key.setdefault((r["term"], r["sub_shard"]), {})
+                for k, v in r.items():
+                    if v is None or (isinstance(v, float) and v != v):
+                        continue  # the union's null padding
+                    d[k] = v
+            return [
+                d for d in by_key.values()
+                if "docs_payload" in d and "scores_payload" in d
+            ]
 
         def per_shard_wand(key, pdf: pd.DataFrame) -> pd.DataFrame:
             # one group = one doc-partitioned shard -> scores complete here
             by_term: dict[str, list] = {}
-            for _, r in pdf.iterrows():
+            for r in merged_lists(pdf):
                 by_term.setdefault(r["term"], []).append(r)
             out = []
             for qid, terms, mode, k in qspec:
@@ -347,7 +374,7 @@ class InvertedIndex:
         def per_shard_taat(key, pdf: pd.DataFrame) -> pd.DataFrame:
             # decode each (term, sub_shard) list exactly once
             decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
-            for _, r in pdf.iterrows():
+            for r in merged_lists(pdf):
                 docs, scores = codec.decode_docs_scores(r)
                 decoded.setdefault(r["term"], []).append((docs, scores))
             out_q, out_d, out_s = [], [], []
@@ -425,7 +452,7 @@ class InvertedIndex:
 
         def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in pdf_iter:
-                for _, r in pdf.iterrows():
+                for r in pdf.to_dict("records"):
                     docs, tfs, scores = codec.decode_all(r)
                     yield pd.DataFrame({
                         "term": r["term"],
