@@ -274,16 +274,22 @@ def _cached_index(spark, sf_dir):
     # cache key = full path + source file fingerprint + config: two
     # corpora sharing a dir basename (or regenerated data at the same
     # path) must not reuse a stale index
+    from wikitfidf_spark.index.build import INDEX_FORMAT
+
     src = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(src)
         fp = f"{st.st_size}|{st.st_mtime_ns}"
-    except OSError:  # catalog-table source: no local file to fingerprint
-        fp = "catalog"
-    from wikitfidf_spark.index.build import INDEX_FORMAT
+        key = f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}|fmt{INDEX_FORMAT}"
+        idx_dir = f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
+    except OSError:
+        # catalog-table source: no local file to fingerprint, and the
+        # table's contents can change under the same identifier — a
+        # content-blind cache would silently serve a stale index, so
+        # build fresh per run instead
+        import tempfile
 
-    key = f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}|fmt{INDEX_FORMAT}"
-    idx_dir = f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
+        idx_dir = tempfile.mkdtemp(prefix="wikitfidf_idx_nocache_")
     build_index(spark, docs, idx_dir, cfg)  # resumes instantly if built
     return InvertedIndex(spark, idx_dir)
 
@@ -548,12 +554,14 @@ def _minhash_cte_sql() -> str:
     return f"""
             tarr AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS toks FROM documents),
             terms AS (
+              -- zero-token docs drop out (empty/NULL shingle), exactly
+              -- like the Spark side's term != '' filter
               SELECT DISTINCT doc_id, term FROM (
                 SELECT doc_id,
                        unnest(list_transform(range(1, greatest(len(toks) - {k - 1}, 1) + 1),
                               i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS term
                 FROM tarr
-              )
+              ) WHERE term IS NOT NULL AND term != ''
             ),
             sig AS (SELECT doc_id, {mins} FROM terms GROUP BY doc_id),
             bands AS (

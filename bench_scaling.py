@@ -170,9 +170,11 @@ def _phase_table(lo: dict, hi: dict) -> str:
     rows = []
     for k in lo["phases"]:
         a, b = lo["phases"][k], hi["phases"].get(k)
-        if not b:
-            continue
-        rows.append(f"| {k} | {a} | {b} | {a / b:.2f}x | {a / b / 4:.2f} |")
+        if b is None:
+            rows.append(f"| {k} | {a:.2f} | — | — | — |")
+        else:
+            b = max(b, 1e-4)  # guard sub-resolution walls, never drop a phase
+            rows.append(f"| {k} | {a:.2f} | {b:.2f} | {a / b:.2f}x | {a / b / 4:.2f} |")
     body = "\n".join(rows)
     return f"""
 **Per-phase build scaling (best wall per phase across reps):**

@@ -65,6 +65,20 @@ def test_minhash_shingle_selectivity_and_recall(spark):
     assert len(pairs) < 0.01 * n * (n - 1) / 2, f"non-selective: {len(pairs)} candidates"
 
 
+def test_shingles_drop_tokenless_docs(spark):
+    """Docs with zero tokens (nothing matches the >=3-char grammar) must
+    vanish from the shingle sets — otherwise they'd all share the
+    empty-string shingle and become mutual near-dup candidates (and the
+    SQL oracle, whose empty slice yields NULL, would disagree)."""
+    docs = spark.createDataFrame(
+        [(1, "a = b + c"), (2, "alpha beta gamma"), (3, "x | y")],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingle_sets(docs)
+    assert {r["doc_id"] for r in sh.collect()} == {2}
+    assert dedup.minhash_candidates(sh).count() == 0
+
+
 def test_simhash_similarity(spark, docs_with_dups):
     tf = term_frequencies(docs_with_dups, text="text")
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(tf).collect()}

@@ -63,7 +63,7 @@ def main() -> None:
     from wikitfidf_spark.index.build import load_manifest
 
     phase_walls = {
-        k: round(v["wall_sec"], 2)
+        k: round(v["wall_sec"], 4)
         for k, v in load_manifest(idx_dir)["phases"].items()
     }
 

@@ -127,12 +127,17 @@ def _artifact_frames(
         docs, doc_id=doc_id, text=text, extra_cols=(topic,)
     )
     dictionary = None
+    tf_raw = None
     if stem_py is not None:
+        # cache the PRE-stem tf: it feeds both the stem-reverse
+        # dictionary and the stemmed tf — without it the full tokenize
+        # scan (the dominant cost) would run twice
+        tf_raw = tf.cache()
         stem_fn = stemdict.column_stemmer(stem_py)
         dictionary = stemdict.stem_dict(
-            tf.select("term").distinct(), stem_fn=stem_fn
+            tf_raw.select("term").distinct(), stem_fn=stem_fn
         ).cache()
-        tf = stemdict.stem_terms(tf, stem_fn)
+        tf = stemdict.stem_terms(tf_raw, stem_fn)
     tf = tf.cache()
     doclens = termstats.doc_lengths(tf, doc_id=doc_id)
     stats = termstats.global_term_stats(tf.select(doc_id, "term", "tf"), doc_id=doc_id)
@@ -168,12 +173,15 @@ def _artifact_frames(
         "doclens": doclens,
         "totals": {"total_tokens": total_tokens, "total_docs": total_docs},
         "_tf": tf,
+        "_tf_raw": tf_raw,
         "_dictionary": dictionary,
     }
 
 
 def _unpersist_frames(frames: dict) -> None:
     frames["_tf"].unpersist()
+    if frames["_tf_raw"] is not None:
+        frames["_tf_raw"].unpersist()
     if frames["_dictionary"] is not None:
         frames["_dictionary"].unpersist()
 

@@ -321,7 +321,12 @@ def score_postings_df(
         "shard", "term", "sub_shard", "n_docs",
         "tfs_payload", "dls_payload", "block_counts",
     )
-    j = cols.join(F.broadcast(stats.select("term", "df")), "term")
+    # no broadcast HINT: Catalyst broadcasts the slim (term, df)
+    # projection while it fits (the shuffle-free plan asserted in
+    # tests), and degrades to a shuffled join instead of a forced
+    # driver-side materialization when the vocabulary outgrows the
+    # broadcast threshold at extreme scale
+    j = cols.join(stats.select("term", "df"), "term")
 
     def score_stream(batches) -> "pd.DataFrame":
         for pdf in batches:
@@ -336,9 +341,9 @@ def score_postings_df(
                 pdf["n_docs"].to_numpy(), pdf["tfs_payload"], pdf["dls_payload"],
                 pdf["block_counts"], pdf["df"].to_numpy(),
             ):
-                n_d = int(n_d)
-                tfs = codec.varint_decode(tfs_p, n_d)
-                dls = codec.varint_decode(dls_p, n_d)
+                tfs, dls = codec.decode_tfs_dls(
+                    {"n_docs": int(n_d), "tfs_payload": tfs_p, "dls_payload": dls_p}
+                )
                 idf = _math.log(1.0 + (n_docs - int(df_g) + 0.5) / (int(df_g) + 0.5))
                 scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
                 scores_q = _np.floor(scores * quant + 0.5).astype(_np.int64)
@@ -887,10 +892,17 @@ def delete_documents(
     """Incremental delete with EXACT global scores: the doc_ids are
     tombstoned (their tokenized tf generations stay on disk but are
     filtered at every derived rebuild); structure re-encodes only the
-    shards the deleted docs hashed into, scores refresh index-wide —
-    BM25 idf/df/avgdl reflect the post-delete corpus, identical to a
-    from-scratch build without those docs (tests assert payload-level
-    identity).
+    shards the deleted docs lived in (looked up from docmeta), scores
+    refresh index-wide — BM25 idf/df/avgdl reflect the post-delete
+    corpus, so every query is rank-identical to a from-scratch build
+    without those docs.
+
+    Payload-level identity with a fresh build additionally holds as
+    long as no term's sub-shard split factor changed (df crossing a
+    ``hot_df_threshold * n_shards`` multiple re-buckets its lists in
+    shards this delete did not touch — query results stay exact, bytes
+    differ until ``compact``).  Tests assert the identity at test
+    scale, where df never crosses the threshold.
 
     ``doc_ids``: a one-column DataFrame or a Python sequence of ids.
     Raises if any id is not live in the index."""

@@ -268,9 +268,16 @@ class InvertedIndex:
     """Reader over an index directory produced by build.build_index."""
 
     def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        from .build import INDEX_FORMAT
+
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
+        if self.manifest.get("format") != INDEX_FORMAT:
+            raise ValueError(
+                f"{index_dir} holds index format {self.manifest.get('format')} "
+                f"(reader expects {INDEX_FORMAT}); rebuild with resume=False"
+            )
         m = self.manifest["metrics"]
         self.n_docs = int(m["total_docs"])
         self.avgdl = float(m["avgdl"])

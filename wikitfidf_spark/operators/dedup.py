@@ -64,8 +64,11 @@ def shingle_sets(
 ) -> DataFrame:
     """(doc_id, term) distinct k-token shingles — the set MinHash
     signatures are computed over.  Pure JVM SQL (transform + slice over
-    the token array); docs with < k tokens contribute one short shingle
-    so they never silently vanish from the signature."""
+    the token array); docs with 1..k-1 tokens contribute one short
+    shingle so they don't vanish, while ZERO-token docs are dropped
+    entirely (their only candidate shingle is the empty string, which
+    would make every token-less doc a mutual near-dup candidate — and
+    the SQL oracle's NULL-banding drops them too, so both sides agree)."""
     toks = docs.select(doc_id, tokens_col(text).alias("toks"))
     sh = toks.select(
         doc_id,
@@ -76,7 +79,7 @@ def shingle_sets(
             )
         ).alias("term"),
     )
-    return sh.distinct()
+    return sh.filter(F.col("term") != "").distinct()
 
 
 def _minhash_sig(tf: DataFrame, n_hashes: int, doc_id: str) -> DataFrame:
