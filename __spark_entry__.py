@@ -37,6 +37,8 @@ TFIDF_TERM = "dup"                             # degenerate single-term mode
 K1, B = 1.2, 0.75
 TOPK = 20
 LSH_PLANES = 4                                 # 16 buckets over the test embeddings
+IVF_CELLS = 8                                  # IVF coarse-quantizer cells
+IVF_NPROBE = 2                                 # cells probed per query
 NEAR_DUP_COS = 0.35                            # near-dup threshold (synthetic vecs top out ~0.51)
 EMB_DIM = 64                                   # embeddings.parquet vector dim (TESTDATA.md)
 
@@ -316,6 +318,18 @@ def q_index_taat_topk(spark, sf_dir):
     return out.select("doc_id", "score_q")
 
 
+def q_index_filtered_topk(spark, sf_dir):
+    """Metadata-filtered BM25 top-k over the index: same terms as the
+    unfiltered flagship, restricted to docs whose docmeta topic is
+    'en' — the filter+rank shape real search serving needs.  Scores of
+    surviving docs are identical to the unfiltered engine's (the oracle
+    checks rank AND score)."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.topk_filtered(BM25_OR_TERMS, TOPK, "OR", "topic = 'en'").select(
+        "doc_id", "score_q"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups: md5(text) -> representative + group size."""
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
@@ -358,6 +372,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     only within the query's bucket."""
     return similarity.cosine_topk_lsh(
         _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=LSH_PLANES
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN top-10: coarse-assign vectors to their nearest
+    quantizer cell (integer-quantized argmax — bit-identical across
+    engines), probe the query's nprobe nearest cells, brute-force
+    inside them.  The inverted-file scale path next to the LSH one."""
+    return similarity.cosine_topk_ivf(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10,
+        n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
     )
 
 
@@ -498,12 +523,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": q_bm25_and_topk,
         "index_wand_topk": q_index_wand_topk,
         "index_taat_topk": q_index_taat_topk,
+        "index_filtered_topk": q_index_filtered_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "content_sha256": q_content_sha256,
@@ -534,6 +561,17 @@ def _plane_values_sql() -> str:
         # of a float64 scalar is 'np.float64(...)', not a SQL literal
         for i in range(EMB_DIM)
         for j in range(LSH_PLANES)
+    )
+
+
+def _centroid_values_sql() -> str:
+    """The IVF coarse-quantizer matrix as a (cell, pos, coef) VALUES
+    literal — same repr round-trip contract as _plane_values_sql."""
+    cent = similarity.ivf_centroids(EMB_DIM, IVF_CELLS)
+    return ", ".join(
+        f"({j}, {i + 1}, {cent[j, i].item()!r})"
+        for j in range(IVF_CELLS)
+        for i in range(EMB_DIM)
     )
 
 
@@ -703,6 +741,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "index_wand_topk": _BM25_OR_BODY,  # the engine must be rank-identical
         "index_taat_topk": _BM25_OR_BODY,
+        "index_filtered_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q
+            FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+            WHERE d.lang = 'en'
+            GROUP BY sc.doc_id
+            ORDER BY score_q DESC, sc.doc_id ASC LIMIT {TOPK}
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*)::bigint AS n_dups
             FROM documents GROUP BY 1
@@ -778,6 +823,51 @@ def oracle_sql() -> dict[str, str]:
             sigs AS (SELECT vec_id, sum(bit * (1 << j))::bigint AS sig FROM bits GROUP BY 1),
             qsig AS (SELECT sig FROM sigs WHERE vec_id = 0),
             bucket AS (SELECT s.vec_id FROM sigs s, qsig WHERE s.sig = qsig.sig),
+            bv AS (SELECT v.* FROM v JOIN bucket USING (vec_id)),
+            q AS (SELECT x AS qx, pos FROM v WHERE vec_id = 0),
+            stats AS (
+              SELECT bv.vec_id,
+                     sum(floor(bv.x * q.qx * 1000000000 + 0.5)::bigint)::bigint AS dot_q,
+                     sum(floor(bv.x * bv.x * 1000000000 + 0.5)::bigint)::bigint AS norm2_q
+              FROM bv JOIN q USING (pos) GROUP BY bv.vec_id
+            ),
+            qn AS (SELECT norm2_q AS qnorm2_q FROM stats WHERE vec_id = 0)
+            SELECT vec_id,
+                   floor(dot_q::double / (sqrt(norm2_q::double) * sqrt(qnorm2_q::double)) * 1e6 + 0.5) / 1e6 AS cos
+            FROM stats CROSS JOIN qn
+            WHERE vec_id != 0
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": f"""
+            WITH cent(cell, pos, coef) AS (VALUES {_centroid_values_sql()}),
+            cn AS (
+              SELECT cell, sum(floor(coef::double * coef::double * 1000000000 + 0.5)::bigint)::bigint AS n2
+              FROM cent GROUP BY 1
+            ),
+            v AS (
+              SELECT vec_id, unnest(embedding)::double AS x, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT v.vec_id, c.cell,
+                     sum(floor(v.x * c.coef * 1000000000 + 0.5)::bigint)::bigint AS dot_q
+              FROM v JOIN cent c USING (pos) GROUP BY 1, 2
+            ),
+            obj AS (SELECT d.vec_id, d.cell, 2 * d.dot_q - cn.n2 AS o FROM dots d JOIN cn USING (cell)),
+            assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY o DESC, cell ASC) AS rn
+                FROM obj
+              ) WHERE rn = 1
+            ),
+            qcells AS (
+              SELECT cell FROM (
+                SELECT cell, row_number() OVER (ORDER BY o DESC, cell ASC) AS rn
+                FROM obj WHERE vec_id = 0
+              ) WHERE rn <= {IVF_NPROBE}
+            ),
+            bucket AS (SELECT a.vec_id FROM assign a JOIN qcells USING (cell)),
             bv AS (SELECT v.* FROM v JOIN bucket USING (vec_id)),
             q AS (SELECT x AS qx, pos FROM v WHERE vec_id = 0),
             stats AS (

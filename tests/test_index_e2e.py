@@ -109,6 +109,35 @@ def test_relational_equals_wand(spark, built, oracle):
         assert wand == rel, q
 
 
+def test_filtered_topk_global_scores_restricted_candidates(spark, built, corpus, oracle):
+    """topk_filtered must rank ONLY docs passing the docmeta predicate
+    while keeping GLOBAL BM25 stats (idf/avgdl from the whole corpus) —
+    filtering restricts candidates, never changes a survivor's score."""
+    from wikitfidf_spark.operators.scoring import bm25_quantized_py
+
+    tfs, dls, dfc, n, avgdl = oracle
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "lang").collect()
+    }
+    idx = InvertedIndex(spark, IDX_DIR)
+    term = max(dfc, key=lambda t: (dfc[t], t))  # hottest term: hits every lang
+    got = sorted(
+        ((r["doc_id"], r["score_q"]) for r in
+         idx.topk_filtered([term], 10, "OR", "topic = 'python'").collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    exp = {
+        d: bm25_quantized_py(c[term], dls[d], dfc[term], n, avgdl)
+        for d, c in tfs.items()
+        if langs[d] == "python" and term in c
+    }
+    exp = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == exp and len(got) > 0
+    assert all(langs[d] == "python" for d, _ in got)
+
+
 def test_degenerate_tfidf_mode(spark, built, oracle):
     """north_star: single-term query reproduces reference TF-IDF ranks."""
     tfs, dls, dfc, n, _ = oracle

@@ -122,6 +122,21 @@ def test_lsh_bucket_contains_self_neighbour(spark, vectors):
     assert 1 in got  # near-identical vector lands in the same bucket
 
 
+def test_ivf_topk_probes_cells(spark, vectors):
+    """IVF-flat: the planted near-duplicate shares the query's cell (a
+    near-identical vector has a near-identical quantizer objective), and
+    every returned cosine equals the exact brute-force value — cells
+    only restrict the candidate set, never change scores."""
+    ivf = similarity.cosine_topk_ivf(vectors, 0, 5, n_cells=4, nprobe=2).collect()
+    assert 1 in [r["vec_id"] for r in ivf]
+    brute = {
+        r["vec_id"]: r["cos"]
+        for r in similarity.cosine_topk_bruteforce(vectors, 0, 40).collect()
+    }
+    for r in ivf:
+        assert brute[r["vec_id"]] == r["cos"]
+
+
 def test_cosine_pairs_exact_finds_planted_pair(spark, vectors):
     pairs = similarity.cosine_pairs_exact(vectors, threshold=0.99).collect()
     assert (0, 1) in [(r["id_a"], r["id_b"]) for r in pairs]

@@ -494,6 +494,45 @@ class InvertedIndex:
             )
         )
 
+    def topk_filtered(
+        self,
+        terms: Sequence[str],
+        k: int = 10,
+        mode: str = "OR",
+        predicate: str = "true",
+    ) -> DataFrame:
+        """Metadata-filtered BM25 top-k: rank only documents whose
+        docmeta row satisfies ``predicate`` (any SQL expression over
+        docmeta columns — topic, doc_len, the id columns...).
+
+        Physical shape: decode the queried posting lists, LEFT-SEMI
+        join the allowed doc ids, aggregate, cut.  The allowed set is
+        produced by a pushed-down docmeta scan; at 10^12 docs
+        co-locate the semi join by bucketing docmeta on the same
+        doc-hash the shards use (filters selective enough to broadcast
+        get auto-broadcast by Catalyst).  Scores are the same exact
+        quantized impacts the unfiltered paths serve — filtering never
+        changes a surviving document's score."""
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
+        uniq = sorted(set(terms))
+        allowed = self.docmeta.filter(predicate).select("doc_id")
+        d = self.decoded(uniq).join(allowed, "doc_id", "left_semi")
+        agg = d.groupBy("doc_id").agg(
+            F.sum("score_q").alias("score_q"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+        if mode == "AND":
+            agg = agg.filter(F.col("n_terms") == len(uniq))
+        return (
+            agg.orderBy(F.desc("score_q"), F.asc("doc_id"))
+            .limit(k)
+            .select(
+                "doc_id", "score_q",
+                (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
+            )
+        )
+
     def tfidf_scores(self, terms: Sequence[str] | None = None) -> DataFrame:
         """Degenerate TF-IDF mode: reference formula (tfidf.go:100-103)
         over decoded postings — reproduces wikitfidf rankings."""

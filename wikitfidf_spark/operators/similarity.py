@@ -211,6 +211,93 @@ def cosine_pairs_lsh(
     )
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 9) -> np.ndarray:
+    """Seeded coarse-quantizer centroid matrix (n_cells, dim) — the one
+    definition shared by the Spark operator and the DuckDB oracle
+    literal.  A fixed random quantizer (not data-trained k-means) keeps
+    assignment deterministic and engine-independent; swap in trained
+    centroids for better recall where a training pass is acceptable."""
+    return np.random.RandomState(seed).randn(n_cells, dim)
+
+
+def ivf_assignments(
+    vecs: DataFrame,
+    n_cells: int = 8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 9,
+    emit_all: bool = False,
+) -> DataFrame:
+    """IVF coarse assignment: (id, cell) — nearest centroid by squared
+    L2, computed as argmax(2·x·c_j − ‖c_j‖²) over integer-quantized
+    dots so the winning cell is bit-identical at any parallelism and in
+    the SQL oracle; ties break to the smallest cell id.  With
+    ``emit_all`` every (id, cell, obj_q) row is emitted — used to rank
+    a query's nprobe nearest cells."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if cent is None:
+                cent = ivf_centroids(m.shape[1], n_cells, seed)
+                cn2 = np.floor(cent * cent * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            dots = (
+                np.floor(m[:, :, None] * cent.T[None, :, :] * DOT_QUANT + 0.5)
+                .astype(np.int64)
+                .sum(axis=1)
+            )
+            obj = 2 * dots - cn2[None, :]
+            if emit_all:
+                n, c = obj.shape
+                yield pd.DataFrame({
+                    id_col: np.repeat(pdf[id_col].to_numpy(), c),
+                    "cell": np.tile(np.arange(c, dtype=np.int32), n),
+                    "obj_q": obj.reshape(-1),
+                })
+            else:
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "cell": obj.argmax(axis=1).astype(np.int32),  # first max = smallest cell
+                })
+
+    schema = (
+        f"{id_col} long, cell int, obj_q long" if emit_all else f"{id_col} long, cell int"
+    )
+    return vecs.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def cosine_topk_ivf(
+    vecs: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 9,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-assign every vector to its nearest centroid
+    cell, probe the query's ``nprobe`` nearest cells, brute-force only
+    inside them — the classic inverted-file scale path (cells shard the
+    corpus; a probe touches ~nprobe/n_cells of the data).  Approximate:
+    recall rises with nprobe.  Exactness anchor = the brute-force op."""
+    assign = ivf_assignments(vecs, n_cells, id_col=id_col, vec_col=vec_col, seed=seed)
+    qobj = ivf_assignments(
+        vecs.filter(F.col(id_col) == query_id), n_cells,
+        id_col=id_col, vec_col=vec_col, seed=seed, emit_all=True,
+    )
+    qcells = (
+        qobj.orderBy(F.desc("obj_q"), F.asc("cell")).limit(nprobe).select("cell")
+    )
+    bucket_ids = assign.join(F.broadcast(qcells), "cell").select(id_col)
+    bucket = vecs.join(bucket_ids, id_col, "left_semi")
+    return cosine_topk_bruteforce(bucket, query_id, k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_topk_lsh(
     vecs: DataFrame,
     query_id: int,
