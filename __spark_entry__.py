@@ -430,6 +430,17 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_frame_samples(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: every-2nd 16-byte frame of
+    the binary payload, one row per sampled frame (hex-encoded so both
+    engines compare strings, not engine-specific binary types).  The
+    stand-in demuxer is deterministic byte-chunking; the Spark shape
+    (Arrow batch -> one-to-many fan-out) is production-real."""
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    fr = multimodal.sample_frames(media, frame_bytes=16, every_n=2)
+    return fr.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
 def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir))
 
@@ -535,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "content_sha256": q_content_sha256,
         "multimodal_features": q_multimodal_features,
+        "frame_samples": q_frame_samples,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -943,6 +955,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bytes, payload_sha256, p.pos::int AS pos,
                    (('0x' || substr(payload_sha256, p.pos * 2 + 1, 2))::bigint)::double / 255.0 AS value
             FROM f CROSS JOIN (SELECT unnest(range({multimodal.FEATURE_DIM})) AS pos) p
+        """,
+        "frame_samples": """
+            WITH f AS (
+              SELECT doc_id, hex(encode(text)) AS raw_hex,
+                     octet_length(encode(text))::bigint AS n
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, raw_hex,
+                     unnest(range(0, greatest(n // 16, 1), 2)) AS fi
+              FROM f
+            )
+            SELECT doc_id, fi::int AS frame_idx,
+                   substr(raw_hex, (fi * 32 + 1)::int, 32) AS frame_hex
+            FROM idx
         """,
         "token_counts": f"""
             SELECT doc_id,

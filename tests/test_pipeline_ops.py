@@ -166,6 +166,32 @@ def test_multimodal_plumbing(spark, docs_with_dups):
         assert all(0.0 <= x <= 1.0 for x in r["features"])
 
 
+def test_multimodal_resize_and_frame_sampling(spark, docs_with_dups):
+    """Resize + frame-sample plumbing: deterministic stand-ins behind
+    production Spark shape (Arrow batches, binary columns, one-to-many
+    frame fan-out with stable indices)."""
+    media = multimodal.attach_binary_payload(docs_with_dups)
+    rs = {r["doc_id"]: r for r in multimodal.resize_payload(media, target_bytes=10).collect()}
+    assert len(rs) == 4
+    for did, r in rs.items():
+        src = [x for x in docs_with_dups.collect() if x["doc_id"] == did][0]
+        expected = src["text"].encode()[:10].ljust(10, b"\x00")
+        assert bytes(r["payload"]) == expected and r["n_bytes"] == 10
+        assert r["media_meta"]["mime"] == "application/x-fake-resized"
+
+    frames = multimodal.sample_frames(media, frame_bytes=8, every_n=2).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    src1 = [x for x in docs_with_dups.collect() if x["doc_id"] == 1][0]["text"].encode()
+    got1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    n_frames = max(1, len(src1) // 8)
+    assert [r["frame_idx"] for r in got1] == list(range(0, n_frames, 2))
+    for r in got1:
+        j = r["frame_idx"]
+        assert bytes(r["frame"]) == src1[j * 8:(j + 1) * 8]
+
+
 def test_streaming_parity_with_batch(spark, tmp_path):
     """readStream + availableNow + memory sink == batch plan."""
     batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -43,6 +43,76 @@ def _decode_payload(payload: bytes) -> np.ndarray:
     return np.frombuffer(h[:FEATURE_DIM], dtype=np.uint8).astype(np.float64) / 255.0
 
 
+def resize_payload(
+    media: DataFrame,
+    target_bytes: int = 64,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing: (id, payload, media_meta) -> (id, resized
+    binary, updated meta).  A real deployment decodes + resamples
+    (PIL/ffmpeg — absent here); the deterministic stand-in truncates /
+    zero-pads to ``target_bytes`` so the schema, Arrow batching and
+    metadata update are the production shape and testable."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            resized = pdf[payload_col].map(
+                lambda b: bytes(b)[:target_bytes].ljust(target_bytes, b"\x00")
+            )
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": resized,
+                "n_bytes": resized.map(len),
+            })
+
+    return media.select(id_col, payload_col).mapInPandas(
+        fn, f"{id_col} long, payload binary, n_bytes long"
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("application/x-fake-resized").alias("mime"),
+            F.col("n_bytes").alias("n_bytes"),
+        ),
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 16,
+    every_n: int = 2,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame
+    (id, frame_idx, frame binary).  The stand-in treats the payload as
+    a stream of fixed-size ``frame_bytes`` frames and keeps every
+    ``every_n``-th — a real deployment swaps in a video demuxer; the
+    fan-out shape (one input row -> many frame rows, Arrow-batched,
+    order-stable frame_idx) is exactly what downstream per-frame
+    feature extraction consumes."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                n_frames = max(1, len(raw) // frame_bytes)
+                for j in range(0, n_frames, every_n):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(raw[j * frame_bytes:(j + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        fn, f"{id_col} long, frame_idx int, frame binary"
+    )
+
+
 def extract_features(
     media: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
