@@ -39,6 +39,8 @@ TOPK = 20
 LSH_PLANES = 4                                 # 16 buckets over the test embeddings
 IVF_CELLS = 8                                  # IVF coarse-quantizer cells
 IVF_NPROBE = 2                                 # cells probed per query
+FRAME_BYTES = 16                               # stand-in frame size (bytes)
+FRAME_EVERY = 2                                # keep every n-th frame
 NEAR_DUP_COS = 0.35                            # near-dup threshold (synthetic vecs top out ~0.51)
 EMB_DIM = 64                                   # embeddings.parquet vector dim (TESTDATA.md)
 
@@ -264,9 +266,13 @@ def q_bm25_and_topk(spark, sf_dir):
     )
 
 
+_NOCACHE_IDX_DIRS: dict[str, str] = {}  # per-process memo for catalog sources
+
+
 def _cached_index(spark, sf_dir):
-    """Build (once, cached on disk) the posting-list index over the
-    documents table."""
+    """Build (once per content fingerprint, cached on disk — or once
+    per process for catalog sources with no file to fingerprint) the
+    posting-list index over the documents table."""
     from wikitfidf_spark.index.build import build_index, IndexConfig
     from wikitfidf_spark.index.query import InvertedIndex
 
@@ -287,11 +293,17 @@ def _cached_index(spark, sf_dir):
     except OSError:
         # catalog-table source: no local file to fingerprint, and the
         # table's contents can change under the same identifier — a
-        # content-blind cache would silently serve a stale index, so
-        # build fresh per run instead
-        import tempfile
+        # content-blind disk cache would silently serve a stale index.
+        # Memoized per PROCESS instead: the three index queries of one
+        # driver run share one build, fresh runs rebuild.
+        memo_key = f"{os.path.abspath(src)}|{sorted(cfg.to_json().items())}"
+        idx_dir = _NOCACHE_IDX_DIRS.get(memo_key)
+        if idx_dir is None:
+            import tempfile
 
-        idx_dir = tempfile.mkdtemp(prefix="wikitfidf_idx_nocache_")
+            idx_dir = _NOCACHE_IDX_DIRS[memo_key] = tempfile.mkdtemp(
+                prefix="wikitfidf_idx_nocache_"
+            )
     build_index(spark, docs, idx_dir, cfg)  # resumes instantly if built
     return InvertedIndex(spark, idx_dir)
 
@@ -437,7 +449,7 @@ def q_frame_samples(spark, sf_dir):
     stand-in demuxer is deterministic byte-chunking; the Spark shape
     (Arrow batch -> one-to-many fan-out) is production-real."""
     media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
-    fr = multimodal.sample_frames(media, frame_bytes=16, every_n=2)
+    fr = multimodal.sample_frames(media, frame_bytes=FRAME_BYTES, every_n=FRAME_EVERY)
     return fr.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
@@ -956,7 +968,7 @@ def oracle_sql() -> dict[str, str]:
                    (('0x' || substr(payload_sha256, p.pos * 2 + 1, 2))::bigint)::double / 255.0 AS value
             FROM f CROSS JOIN (SELECT unnest(range({multimodal.FEATURE_DIM})) AS pos) p
         """,
-        "frame_samples": """
+        "frame_samples": f"""
             WITH f AS (
               SELECT doc_id, hex(encode(text)) AS raw_hex,
                      octet_length(encode(text))::bigint AS n
@@ -964,11 +976,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             idx AS (
               SELECT doc_id, raw_hex,
-                     unnest(range(0, greatest(n // 16, 1), 2)) AS fi
+                     unnest(range(0, greatest(n // {FRAME_BYTES}, 1), {FRAME_EVERY})) AS fi
               FROM f
             )
             SELECT doc_id, fi::int AS frame_idx,
-                   substr(raw_hex, (fi * 32 + 1)::int, 32) AS frame_hex
+                   substr(raw_hex, (fi * {FRAME_BYTES * 2} + 1)::int, {FRAME_BYTES * 2}) AS frame_hex
             FROM idx
         """,
         "token_counts": f"""

@@ -168,12 +168,15 @@ def _phase_table(lo: dict, hi: dict) -> str:
     if "phases" not in lo or "phases" not in hi:
         return ""
     rows = []
-    for k in lo["phases"]:
-        a, b = lo["phases"][k], hi["phases"].get(k)
-        if b is None:
-            rows.append(f"| {k} | {a:.2f} | — | — | — |")
+    keys = list(dict.fromkeys([*lo["phases"], *hi["phases"]]))  # union, ordered
+    for k in keys:
+        a, b = lo["phases"].get(k), hi["phases"].get(k)
+        if a is None or b is None or a <= 0 or b <= 0:
+            # missing or sub-resolution measurement: show the row, never
+            # fabricate a ratio from a clamped denominator
+            fmt = lambda x: "—" if x is None else (f"{x:.2f}" if x > 0 else "<res")
+            rows.append(f"| {k} | {fmt(a)} | {fmt(b)} | — | — |")
         else:
-            b = max(b, 1e-4)  # guard sub-resolution walls, never drop a phase
             rows.append(f"| {k} | {a:.2f} | {b:.2f} | {a / b:.2f}x | {a / b / 4:.2f} |")
     body = "\n".join(rows)
     return f"""

@@ -139,6 +139,22 @@ class BuildResult:
     metrics: dict = field(default_factory=dict)
 
 
+def _score_refresh_shuffled(scores_df: DataFrame) -> bool:
+    """True when Catalyst chose a shuffled (not broadcast) dictionary
+    join for the score refresh — happens once the vocabulary outgrows
+    spark.sql.autoBroadcastJoinThreshold.  Past that point the refresh
+    shuffles the tfs/dls payload columns on term and stops being the
+    cheap map pass; the flag is recorded in manifest metrics so the
+    degrade is visible, and the operator should raise the threshold or
+    pre-bucket structure+dictionary by term."""
+    try:
+        return "Exchange hashpartitioning" in (
+            scores_df._jdf.queryExecution().executedPlan().toString()
+        )
+    except Exception:
+        return False
+
+
 def _tokenize(base: DataFrame, cfg: IndexConfig) -> DataFrame:
     """Phase-1 tokenize per config: JVM codegen by default, the fused
     Arrow path for pluggable Python tokenizers/stemmers.  The one
@@ -530,6 +546,7 @@ def build_index(
             "rows": int(row["lists"] or 0), "wall_sec": time.time() - t0
         }
         manifest["metrics"]["scores_bytes"] = int(row["bytes"] or 0)
+        manifest["metrics"]["score_refresh_shuffled"] = _score_refresh_shuffled(scores)
         # per-shard lineage (north_rule): int/sidecar columns only — the
         # binary payloads are never re-read for metrics
         lineage = (
@@ -726,6 +743,7 @@ def _update_derived(
     )
     scores_df.write.mode("overwrite").parquet(os.path.join(index_dir, scores_rel))
     scores_bytes = int(obs_sc.get["bytes"] or 0)
+    manifest["metrics"]["score_refresh_shuffled"] = _score_refresh_shuffled(scores_df)
 
     lineage = (
         structure_all.groupBy("shard")

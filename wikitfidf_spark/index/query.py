@@ -474,25 +474,9 @@ class InvertedIndex:
         self, terms: Sequence[str], k: int = 10, mode: str = "OR"
     ) -> DataFrame:
         """Same answer as WAND via plain DataFrame ops (the correctness
-        mirror; also the ANSI-SQL-expressible formulation)."""
-        if mode not in ("OR", "AND"):
-            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
-        uniq = sorted(set(terms))
-        d = self.decoded(uniq)
-        agg = d.groupBy("doc_id").agg(
-            F.sum("score_q").alias("score_q"),
-            F.countDistinct("term").alias("n_terms"),
-        )
-        if mode == "AND":
-            agg = agg.filter(F.col("n_terms") == len(uniq))
-        return (
-            agg.orderBy(F.desc("score_q"), F.asc("doc_id"))
-            .limit(k)
-            .select(
-                "doc_id", "score_q",
-                (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
-            )
-        )
+        mirror; also the ANSI-SQL-expressible formulation).  Degenerate
+        unfiltered case of :meth:`topk_filtered` — one scoring body."""
+        return self.topk_filtered(terms, k, mode, "true")
 
     def topk_filtered(
         self,
@@ -516,8 +500,10 @@ class InvertedIndex:
         if mode not in ("OR", "AND"):
             raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
         uniq = sorted(set(terms))
-        allowed = self.docmeta.filter(predicate).select("doc_id")
-        d = self.decoded(uniq).join(allowed, "doc_id", "left_semi")
+        d = self.decoded(uniq)
+        if predicate.strip().lower() != "true":  # unfiltered: skip the semi join
+            allowed = self.docmeta.filter(predicate).select("doc_id")
+            d = d.join(allowed, "doc_id", "left_semi")
         agg = d.groupBy("doc_id").agg(
             F.sum("score_q").alias("score_q"),
             F.countDistinct("term").alias("n_terms"),

@@ -64,12 +64,12 @@ def resize_payload(
             )
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "payload": resized,
+                payload_col: resized,
                 "n_bytes": resized.map(len),
             })
 
     return media.select(id_col, payload_col).mapInPandas(
-        fn, f"{id_col} long, payload binary, n_bytes long"
+        fn, f"{id_col} long, {payload_col} binary, n_bytes long"
     ).withColumn(
         "media_meta",
         F.struct(
