@@ -331,15 +331,18 @@ def q_index_taat_topk(spark, sf_dir):
 
 
 def q_index_filtered_topk(spark, sf_dir):
-    """Metadata-filtered BM25 top-k over the index: same terms as the
-    unfiltered flagship, restricted to docs whose docmeta topic is
-    'en' — the filter+rank shape real search serving needs.  Scores of
-    surviving docs are identical to the unfiltered engine's (the oracle
-    checks rank AND score)."""
+    """Metadata-filtered BM25 top-k through the ENGINE's cogrouped TAAT
+    path (allowed docmeta ids co-shuffled by shard, vectorized mask):
+    same terms as the unfiltered flagship, restricted to docs whose
+    topic is 'en' — the filter+rank shape real search serving needs.
+    Scores of surviving docs are identical to the unfiltered engine's
+    (the oracle checks rank AND score); the relational mirror is
+    InvertedIndex.topk_filtered, parity-tested in tests."""
+    from wikitfidf_spark.index.query import Query
+
     idx = _cached_index(spark, sf_dir)
-    return idx.topk_filtered(BM25_OR_TERMS, TOPK, "OR", "topic = 'en'").select(
-        "doc_id", "score_q"
-    )
+    out = idx.topk_batch([Query(0, BM25_OR_TERMS, "OR", TOPK)], predicate="topic = 'en'")
+    return out.select("doc_id", "score_q")
 
 
 def q_dedup_exact(spark, sf_dir):

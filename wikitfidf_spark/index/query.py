@@ -302,7 +302,12 @@ class InvertedIndex:
 
     # ---------- batched top-k (TAAT default / WAND) ----------
 
-    def topk_batch(self, queries: Sequence[Query], strategy: str = "taat") -> DataFrame:
+    def topk_batch(
+        self,
+        queries: Sequence[Query],
+        strategy: str = "taat",
+        predicate: str | None = None,
+    ) -> DataFrame:
         """One Spark job for all queries → (query_id, doc_id, score_q,
         score, rank); the global merge is a window top-k over
         ≤ n_shards*k rows per query.  Both strategies are exact and
@@ -316,9 +321,19 @@ class InvertedIndex:
         - "wand": document-at-a-time block-max WAND with lazy block
           decode — fewer decoded blocks per query, Python-loop
           constant; wins for few queries over very long lists.
+
+        ``predicate`` (TAAT only): a SQL expression over docmeta
+        columns restricting every query in the batch to matching docs.
+        The allowed ids are COGROUPED with the posting rows on shard
+        (docmeta records each doc's shard, so the filter ids co-shuffle
+        with exactly the postings that can contain them — no broadcast,
+        no O(corpus) join) and applied as a vectorized mask before the
+        per-shard cut.  Scores of surviving docs are untouched.
         """
         if strategy not in ("taat", "wand"):
             raise ValueError(f"unknown strategy {strategy!r}: use 'taat' or 'wand'")
+        if predicate is not None and strategy != "taat":
+            raise ValueError("predicate filtering requires strategy='taat'")
         for q in queries:
             if q.mode not in ("OR", "AND"):
                 raise ValueError(f"query {q.query_id}: unknown mode {q.mode!r}: use 'OR' or 'AND'")
@@ -378,11 +393,17 @@ class InvertedIndex:
                     out.append((qid, doc, score))
             return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
 
-        def per_shard_taat(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def _taat(pdf: pd.DataFrame, allowed_u: np.ndarray | None) -> pd.DataFrame:
             # decode each (term, sub_shard) list exactly once
             decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
             for r in merged_lists(pdf):
                 docs, scores = codec.decode_docs_scores(r)
+                if allowed_u is not None:
+                    keep = np.isin(docs, allowed_u)
+                    if not keep.all():
+                        docs, scores = docs[keep], scores[keep]
+                    if not len(docs):
+                        continue
                 decoded.setdefault(r["term"], []).append((docs, scores))
             out_q, out_d, out_s = [], [], []
             for qid, terms, mode, k in qspec:
@@ -428,10 +449,26 @@ class InvertedIndex:
                 "score_q": np.concatenate(out_s),
             })
 
-        per_shard = per_shard_taat if strategy == "taat" else per_shard_wand
-        local = rows.groupBy("shard").applyInPandas(
-            per_shard, "query_id int, doc_id long, score_q long"
-        )
+        def per_shard_taat(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _taat(pdf, None)
+
+        def per_shard_taat_filtered(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
+            # cogrouped: apdf holds this shard's allowed doc ids with
+            # their native int64 dtype (a null-padded union would route
+            # them through float64 and corrupt xxhash-range ids)
+            return _taat(pdf, np.unique(apdf["doc_id"].to_numpy()))
+
+        out_schema = "query_id int, doc_id long, score_q long"
+        if predicate is not None:
+            allowed = self.docmeta.filter(predicate).select("shard", "doc_id")
+            local = (
+                rows.groupBy("shard")
+                .cogroup(allowed.groupBy("shard"))
+                .applyInPandas(per_shard_taat_filtered, out_schema)
+            )
+        else:
+            per_shard = per_shard_taat if strategy == "taat" else per_shard_wand
+            local = rows.groupBy("shard").applyInPandas(per_shard, out_schema)
         w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
         kmap = {q.query_id: q.k for q in queries}
         kdf = self.spark.createDataFrame(list(kmap.items()), "query_id int, k int")
