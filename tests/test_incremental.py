@@ -162,6 +162,25 @@ def test_delete_documents_equals_fresh_build(spark, tmp_path):
         add_documents(spark, dead_docs.limit(1), del_dir)
 
 
+def test_maybe_compact_policy(spark, tmp_path):
+    """maybe_compact is a no-op below the structure-file threshold and
+    folds generations above it (ingest-loop policy hook)."""
+    from wikitfidf_spark.index.build import maybe_compact
+
+    docs = make_code_files(spark, n_docs=120, seed=42).cache()
+    thirds = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(3))
+    d = str(tmp_path / "idx_policy")
+    build_index(spark, docs.filter(thirds == 0), d, CFG, resume=False)
+    add_documents(spark, docs.filter(thirds == 1), d)
+    assert maybe_compact(spark, d, max_structure_files=4) is None  # 2 files
+    add_documents(spark, docs.filter(thirds == 2), d)
+    res = maybe_compact(spark, d, max_structure_files=2)  # 3 files > 2
+    assert res is not None
+    m = load_manifest(d)
+    assert len(set(index_paths(m)["structure"].values())) == 1
+    assert len(index_paths(m)["tf"]) == 1
+
+
 def test_compact_clears_tombstones_and_allows_readd(spark, tmp_path):
     from wikitfidf_spark.index.build import compact, delete_documents, index_paths
 

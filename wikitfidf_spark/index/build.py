@@ -968,6 +968,23 @@ def delete_documents(
     )
 
 
+def maybe_compact(
+    spark: SparkSession, index_dir: str, max_structure_files: int = 8
+) -> BuildResult | None:
+    """Compaction policy hook for ingest loops: fold generations once
+    the structure owner map spans more than ``max_structure_files``
+    distinct files.  Each un-compacted delta adds a generation of
+    shards — query fan-out (and the per-query k-row merge width) grows
+    with them, so steady-state ingest should call this after every
+    add.  Returns the compaction result, or None while under the
+    threshold (cheap: one manifest read, no Spark job)."""
+    manifest = load_manifest(index_dir)
+    n_files = len(set(index_paths(manifest)["structure"].values()))
+    if n_files <= max_structure_files:
+        return None
+    return compact(spark, index_dir)
+
+
 def compact(spark: SparkSession, index_dir: str) -> BuildResult:
     """Consolidate all tf generations into one live parquet and clear
     the tombstone set (after which previously-deleted ids may be
