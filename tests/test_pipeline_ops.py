@@ -153,6 +153,68 @@ def test_cosine_pairs_lsh_subset_of_exact(spark, vectors):
     assert (0, 1) in {(a, b) for a, b, _ in lsh}  # planted near-dup shares the bucket
 
 
+def test_cosine_pairs_exact_guard(spark, vectors):
+    """The all-pairs anchor refuses to run above max_rows — the O(n²)
+    plan must not be invocable at scale by accident; the error points
+    at the banded LSH path."""
+    with pytest.raises(ValueError, match="cosine_pairs_lsh"):
+        similarity.cosine_pairs_exact(vectors, threshold=0.5, max_rows=10)
+    # explicit opt-out still works
+    forced = similarity.cosine_pairs_exact(vectors, threshold=0.99, max_rows=None).collect()
+    assert (0, 1) in [(r["id_a"], r["id_b"]) for r in forced]
+
+
+def test_banded_lsh_recall_on_planted_near_dups(spark):
+    """Banded near-dup LSH recall, quantified on PLANTED pairs (the
+    embedding analogue of corpus.py's DUP_EVERY): 400 background
+    vectors + 50 planted pairs with cosine in [0.62, 0.95].  With
+    P=12 planes x R=100 bands the per-pair candidate probability is
+    1-(1-p^12)^100 (p = 1-θ/π) ≈ 0.97 at cos 0.62 and ~1 above —
+    asserted ≥ 0.9 — while candidates stay far below n²/2 (the whole
+    point of banding over a single table, whose recall at this
+    operating point would be p^12 ≈ 3%)."""
+    rng = np.random.RandomState(42)
+    d, n_bg, n_plant = 64, 400, 50
+    bg = rng.randn(n_bg, d)
+    bases = rng.randn(n_plant, d)
+    targets = np.linspace(0.62, 0.95, n_plant)
+    partners = []
+    for i, t in enumerate(targets):
+        b = bases[i] / np.linalg.norm(bases[i])
+        r = rng.randn(d)
+        r -= (r @ b) * b
+        r /= np.linalg.norm(r)
+        v = t * b + np.sqrt(1 - t * t) * r
+        partners.append(v * np.linalg.norm(bases[i]))
+    m = np.vstack([bg, bases, np.array(partners)])
+    n = len(m)
+    vecs = spark.createDataFrame(
+        [(i, m[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    planted = {(n_bg + i, n_bg + n_plant + i) for i in range(n_plant)}
+
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_lsh(
+            vecs, threshold=0.6, n_planes=12, n_bands=100
+        ).collect()
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"banded LSH recall {recall} < 0.9 on planted near-dups"
+
+    # candidate volume: threshold=-1 keeps every candidate through the
+    # verify kernel -> the output IS the candidate set
+    candidates = similarity.cosine_pairs_lsh(
+        vecs, threshold=-1.0, n_planes=12, n_bands=100
+    ).count()
+    all_pairs = n * (n - 1) // 2
+    assert candidates < 0.10 * all_pairs, (
+        f"banding lost selectivity: {candidates} candidates vs {all_pairs} pairs"
+    )
+    # cross-band dedup: each candidate pair is verified exactly once
+    assert len(found) == len(set(found))
+
+
 def test_multimodal_plumbing(spark, docs_with_dups):
     media = multimodal.attach_binary_payload(docs_with_dups)
     feats = multimodal.extract_features(media).collect()
@@ -185,7 +247,8 @@ def test_multimodal_resize_and_frame_sampling(spark, docs_with_dups):
         by_doc.setdefault(r["doc_id"], []).append(r)
     src1 = [x for x in docs_with_dups.collect() if x["doc_id"] == 1][0]["text"].encode()
     got1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
-    n_frames = max(1, len(src1) // 8)
+    # ceil: the trailing partial frame is sampled too (short tail frame)
+    n_frames = max(1, -(-len(src1) // 8))
     assert [r["frame_idx"] for r in got1] == list(range(0, n_frames, 2))
     for r in got1:
         j = r["frame_idx"]

@@ -140,7 +140,27 @@ def test_available_language_gate():
     assert bw.available_language("simple") == ("english", True)
     assert bw.available_language("it") == ("italian", True)
     assert bw.available_language("xx") == (None, False)       # unknown code
-    assert bw.available_language("ja") == (None, False)       # mapped, no data shipped
+    # a mapped code whose data file is missing reports unavailable
+    # (data presence is part of availability — exercised via a dir that
+    # lacks the file, since every mapped language now ships data)
+    assert bw.available_language("ja", data_dir="/nonexistent") == (None, False)
+
+
+def test_available_language_full_truth_table():
+    """Every code LANGUAGES maps now ships a curated (original) word
+    list — the map and the data directory are consistent: all 23 codes
+    available, each list non-empty lowercase newline words, loadable by
+    the reference-format loader."""
+    from wikitfidf_spark.operators import badwords as bw
+
+    for code, name in bw.LANGUAGES.items():
+        got_name, ok = bw.available_language(code)
+        assert (got_name, ok) == (name, True), f"{code} -> {got_name}, {ok}"
+        terms = bw.flagged_terms_for_lang(code)
+        assert terms and len(terms) >= 8, f"{name}: {len(terms or [])} terms"
+        assert all(t == t.strip() and t == t.lower() for t in terms), name
+    # aliases share the english list
+    assert bw.flagged_terms_for_lang("cr") == bw.flagged_terms_for_lang("en")
 
 
 def test_badwords_report_for_lang_gates_and_loads(spark):

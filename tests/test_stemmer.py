@@ -23,6 +23,50 @@ def test_snowball_lite_rules():
     assert s("walk") == "walk"               # no suffix
 
 
+#: nltk-backed stemmers register at stemdict import when the lib is
+#: present; absent in this container -> the real-stemmer tests skip
+_HAS_NLTK = "snowball_en" in stemdict.STEMMERS
+_AVAILABLE = [k for k in ("snowball_lite", "snowball_en") if k in stemdict.STEMMERS]
+
+
+def test_stemmer_for_lang_reference_table():
+    """_get_stemmer parity (textnormalizer.pyx:112-121): Snowball
+    languages map iff nltk registered them, Arabic maps to ISRI, every
+    other language -> None (reference skips stemming, no silent
+    fallback)."""
+    if _HAS_NLTK:
+        assert stemdict.stemmer_for_lang("en") == "snowball_en"
+        assert stemdict.stemmer_for_lang("simple") == "snowball_simple"
+        if "isri_ar" in stemdict.STEMMERS:
+            assert stemdict.stemmer_for_lang("ar") == "isri_ar"
+    else:
+        assert stemdict.stemmer_for_lang("en") is None
+        assert stemdict.stemmer_for_lang("ar") is None
+    # outside the reference's table in ANY world
+    for lang in ("zh", "ja", "fi", "xx"):
+        assert stemdict.stemmer_for_lang(lang) is None
+    # idempotent re-registration never duplicates keys
+    assert stemdict.register_nltk_stemmers() == [] or not _HAS_NLTK
+
+
+@pytest.mark.parametrize("name", _AVAILABLE)
+def test_stem_dict_min_by_length_any_stemmer(spark, name):
+    """The (len, word)-min merge holds under every registered stemmer
+    — snowball_lite always, the real nltk Snowball when installed."""
+    stem = stemdict.STEMMERS[name]
+    assert stem("walking") == stem("walked") == stem("walks")
+    terms = spark.createDataFrame(
+        [("walking",), ("walked",), ("walks",)], "term string"
+    )
+    d = {
+        r["stem"]: r["original"]
+        for r in stemdict.stem_dict(
+            terms, stem_fn=stemdict.column_stemmer(stem)
+        ).collect()
+    }
+    assert d[stem("walking")] == "walks"  # shortest original
+
+
 def test_stem_dict_with_python_stemmer_min_by_length(spark):
     """The (len, word)-min merge (stemrevaggregator.go:53-61) must hold
     under a plugged Python stemmer lifted via column_stemmer."""

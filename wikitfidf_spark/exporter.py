@@ -209,16 +209,22 @@ def write_compat_artifacts(
       (structures.TfidfTopNWordPage)
     - ``GlobalTopicsWords_topN.json.gz``{topic: {word: n_docs}}
       (topicwords.go:131)
-    - ``BadWordsReport.json.gz``        {doc: {TopicID, Abs, Rel}}
-      (structures.BadWordsReport)
+    - ``BadWordsReport.json.gz``        {doc: {TopicID, Abs, Rel, BadW:{word: 1}}}
+      (structures.BadWordsReport; BadW values are always 1 because the
+      reference iterates the page's word-map KEYS, so its ``++`` branch
+      is dead code — badwords.go:135-143; replicated)
 
     Single-writer by design — the reference's single-file shape IS a
     single-writer bottleneck, which is why :func:`export_artifacts`
     (partitioned JSONL) remains the scale path.  Rows stream through
     ``toLocalIterator`` so the driver holds one partition at a time,
-    never the whole artifact.  Deviation: files are strict valid JSON;
-    the reference's streamed writers leave a trailing ``,\\n`` before
-    the closing brace (a latent quirk its line-wise readers tolerate).
+    never the whole artifact.  Deviations: files are strict valid JSON
+    (the reference's streamed writers leave a trailing ``,\\n`` before
+    the closing brace — a latent quirk its line-wise readers tolerate);
+    ``TopicID`` is this engine's topic value verbatim (a string topic
+    column stays a JSON string) where the reference hard-codes its
+    negapedia uint32 topic enum — there is no meaningful uint32 mapping
+    for arbitrary topic domains.
     """
     import gzip as _gzip
     import json as _json
@@ -283,13 +289,27 @@ def write_compat_artifacts(
 
     stream_dict("GlobalTopicsWords_topN.json.gz", topic_entries())
 
-    stream_dict(
-        "BadWordsReport.json.gz",
-        (
-            (r[doc_id], {"TopicID": r[topic], "Abs": int(r["abs"]), "Rel": r["rel"]})
-            for r in frames["badwords"].toLocalIterator()
-        ),
-    )
+    # BadW per-word map (badwords.go:148): rows arrive doc-clustered
+    # after the sort; every value is 1 — see the docstring quirk note
+    def badwords_entries():
+        flagged_df = spark.createDataFrame([(w,) for w in flagged_terms], "term string")
+        rows = (
+            frames["badwords"]
+            .join(frames["_tf"].select(doc_id, "term").join(F.broadcast(flagged_df), "term"), doc_id)
+            .orderBy(doc_id, "term")
+        )
+        cur_id, cur = None, None
+        for r in rows.toLocalIterator():
+            if r[doc_id] != cur_id:
+                if cur_id is not None:
+                    yield cur_id, cur
+                cur_id = r[doc_id]
+                cur = {"TopicID": r[topic], "Abs": int(r["abs"]), "Rel": r["rel"], "BadW": {}}
+            cur["BadW"][r["term"]] = 1
+        if cur_id is not None:
+            yield cur_id, cur
+
+    stream_dict("BadWordsReport.json.gz", badwords_entries())
 
     totals = frames["totals"]
     _unpersist_frames(frames)

@@ -587,6 +587,7 @@ def build_index(
     })
     # generation shards for future deltas start above the canonical range
     manifest.setdefault("next_shard_base", cfg.n_shards)
+    manifest.setdefault("next_gen", 1)
     _save_manifest(index_dir, manifest)
     return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
 
@@ -667,6 +668,7 @@ def _update_derived(
     *,
     reset_owners: bool = False,
     meta_enc: DataFrame | None = None,
+    drop_path_keys: tuple[str, ...] = (),
 ) -> BuildResult:
     """Shared incremental-update tail (add/delete/compact):
 
@@ -736,6 +738,12 @@ def _update_derived(
         "dictionary": dict_rel,
         "structure": owners, "scores": scores_rel, "lineage": lin_rel,
     }
+    # dropped pointers (e.g. compaction folding tombstones into tf) go
+    # in the SAME atomic save as the rest of the update — a second
+    # load/save window would let a crash strand a compacted index whose
+    # manifest still references tombstones
+    for k in drop_path_keys:
+        new_paths.pop(k, None)
     structure_all = _read_structure(spark, index_dir, new_paths)
     obs_sc = Observation()
     scores_df = score_postings_df(structure_all, stats_r, cfg, n_docs_all, avgdl).observe(
@@ -829,7 +837,12 @@ def add_documents(
     manifest = load_manifest(index_dir)
     cfg = _load_cfg(manifest, index_dir)
     paths = index_paths(manifest)
-    gen = len(paths["tf"])  # 1-based delta number
+    # monotonic generation counter persisted in the manifest — NOT
+    # len(paths["tf"]), which resets after compact() collapses tf to one
+    # file and would make a post-compaction add overwrite tf_g1/
+    # docmeta_g1/structure_g1 in place under readers holding a pre-flip
+    # manifest (fallback keeps pre-counter manifests working)
+    gen = int(manifest.get("next_gen", len(paths["tf"])))
     version = int(manifest.get("version", 0)) + 1
     t_start = time.time()
 
@@ -890,6 +903,7 @@ def add_documents(
         int(r["shard"]) for r in meta_new.select("shard").distinct().collect()
     ]
     manifest["next_shard_base"] = shard_base + cfg.n_shards
+    manifest["next_gen"] = gen + 1
     return _update_derived(
         spark, index_dir, manifest, cfg, tf_all, tf_new, meta_all,
         owned_shards=shards_new, struct_rel=f"structure_g{gen}.parquet",
@@ -1012,15 +1026,13 @@ def compact(spark: SparkSession, index_dir: str) -> BuildResult:
         *[os.path.join(index_dir, p) for p in paths["docmeta"]]
     ).withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards)).cast("int"))
     manifest["next_shard_base"] = cfg.n_shards
-    res = _update_derived(
+    # tombstones are folded into the compacted tf -> drop the pointer
+    # inside _update_derived's single atomic manifest save
+    return _update_derived(
         spark, index_dir, manifest, cfg, tf_live, tf_live, meta_live,
         owned_shards=list(range(cfg.n_shards)),
         struct_rel=f"structure_compact_v{version}.parquet",
         version=version, phase_name=f"compact_v{version}", t_start=t_start,
         paths_update={"tf": [tf_rel]}, reset_owners=True,
+        drop_path_keys=("tombstones",),
     )
-    # tombstones are folded into the compacted tf -> drop the pointer
-    m2 = load_manifest(index_dir)
-    m2["paths"].pop("tombstones", None)
-    _save_manifest(index_dir, m2)
-    return res

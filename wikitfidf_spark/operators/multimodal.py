@@ -101,7 +101,10 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(b)
-                n_frames = max(1, len(raw) // frame_bytes)
+                # ceil: the trailing partial frame is emitted (short),
+                # not silently dropped; an empty payload still yields
+                # one empty frame — consistent edge behavior
+                n_frames = max(1, -(-len(raw) // frame_bytes))
                 for j in range(0, n_frames, every_n):
                     ids.append(i)
                     idxs.append(j)

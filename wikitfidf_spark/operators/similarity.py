@@ -141,6 +141,54 @@ def hyperplane_signature(
     return vecs.select(id_col, vec_col).mapInPandas(make, f"{id_col} long, sig long")
 
 
+def hyperplane_band_signatures(
+    vecs: DataFrame,
+    n_planes: int = 8,
+    n_bands: int = 1,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """(id, band, sig): ``n_bands`` independent ``n_planes``-bit
+    signatures per vector — the banded (multi-table) form of
+    :func:`hyperplane_signature`, mirroring dedup.minhash_bands.  A pair
+    is a candidate when it collides in ANY band, so recall is
+    ``1-(1-p^P)^R`` instead of ``p^P`` — the standard OR-of-ANDs
+    amplification.  All ``P*R`` planes come from one seeded matrix
+    (``lsh_planes(dim, P*R, seed)``); band b uses columns
+    ``[b*P, (b+1)*P)``, so ``n_bands=1`` emits exactly the single-table
+    signature.  Same int64 quantization contract as everything else in
+    this module — bucket assignment is bit-identical at any parallelism
+    and in the SQL oracle."""
+    total = n_planes * n_bands
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if planes is None:
+                planes = lsh_planes(m.shape[1], total, seed)
+            sums = np.floor(m[:, :, None] * planes[None, :, :] * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            bits = (sums > 0).astype(np.int64)  # (n, P*R)
+            n = len(pdf)
+            shifts = np.arange(n_planes, dtype=np.int64)
+            sig = np.empty((n, n_bands), dtype=np.int64)
+            for b_i in range(n_bands):
+                sig[:, b_i] = (bits[:, b_i * n_planes:(b_i + 1) * n_planes] << shifts).sum(axis=1)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                "sig": sig.reshape(-1),  # row-major: matches the repeat
+            })
+
+    return vecs.select(id_col, vec_col).mapInPandas(
+        make, f"{id_col} long, band int, sig long"
+    )
+
+
 def _pair_score_fn(threshold: float):
     """The one quantized-cosine verify kernel shared by the exact and
     LSH near-dup paths — keeping it single-sourced is what guarantees
@@ -167,20 +215,39 @@ def _pair_score_fn(threshold: float):
     return score
 
 
+#: cosine_pairs_exact refuses above this many vectors unless overridden
+#: — the all-pairs anchor must not be invocable at scale by accident
+EXACT_PAIRS_MAX_ROWS = 50_000
+
+
 def cosine_pairs_exact(
     vecs: DataFrame,
     threshold: float,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     quantized cosine ≥ ``threshold``.  Exact baseline: broadcast
     nested-loop over Arrow batches (each batch scores against the full
-    broadcast side with one matrix product — no per-row Python).  At
-    10^9-vector scale swap the broadcast side for LSH-bucketed
-    candidates (``cosine_pairs_lsh``); this exact form is the oracle
-    anchor and the verify step of that path."""
+    broadcast side with one matrix product — no per-row Python).
+
+    Deliberately O(n²): this is the small-scale oracle anchor and the
+    source of the verify kernel — NOT a scale path (10^6 vectors would
+    be 5·10^11 pair rows).  It therefore guards itself: above
+    ``max_rows`` vectors it raises and points at ``cosine_pairs_lsh``
+    (banded LSH candidates + the same exact verify kernel).  Pass
+    ``max_rows=None`` to force the quadratic plan knowingly."""
+    if max_rows is not None:
+        n = vecs.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs_exact is the O(n^2) all-pairs anchor: {n} vectors > "
+                f"max_rows={max_rows} (~{n * (n - 1) // 2:,} pair rows). Use "
+                "cosine_pairs_lsh(n_planes=..., n_bands=...) at scale, or pass "
+                "max_rows=None to force."
+            )
     b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = (
         vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -193,20 +260,39 @@ def cosine_pairs_lsh(
     vecs: DataFrame,
     threshold: float,
     n_planes: int = 8,
+    n_bands: int = 1,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 7,
 ) -> DataFrame:
-    """Scale path for near-dup pairs: candidates = same LSH bucket
-    (shuffle on sig, no cross join), then exact quantized-cosine verify.
-    Approximate (misses cross-bucket pairs); recall rises with fewer
-    planes or multiple plane sets OR'd together."""
-    sig = hyperplane_signature(vecs, n_planes, id_col=id_col, vec_col=vec_col)
-    v = vecs.join(sig, id_col)
-    a = v.select(F.col("sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = v.select(F.col("sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select("id_a", "id_b", "va", "vb").mapInPandas(
+    """Scale path for near-dup pairs: candidates = collision in ANY of
+    ``n_bands`` independent ``n_planes``-bit signature bands (equi-join
+    per band + distinct — no cross join anywhere), then the exact
+    quantized-cosine verify kernel on the candidates only.
+
+    Recall per pair at angle θ is ``1-(1-p^P)^R`` with
+    ``p = 1-θ/π`` — banding (R>1) is how recall reaches ~1 for true
+    near-dups while candidates stay far below n²/2
+    (tests/test_pipeline_ops.py plants near-dups and asserts recall
+    ≥ 0.9 at cos ≥ 0.6 with P=12, R=100).  Vectors are attached AFTER
+    the distinct (two id equi-joins), so the band fan-out never
+    duplicates payload vectors."""
+    sig = hyperplane_band_signatures(
+        vecs, n_planes, n_bands, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    a = sig.select("band", "sig", F.col(id_col).alias("id_a"))
+    b = sig.select("band", "sig", F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cand = pairs.join(va, "id_a").join(vb, "id_b")
+    return cand.select("id_a", "id_b", "va", "vb").mapInPandas(
         _pair_score_fn(threshold), "id_a long, id_b long, cos double"
     )
 

@@ -61,6 +61,60 @@ def snowball_lite(word: str) -> str:
 #: named stemmers usable from JSON-serializable config (IndexConfig.stemmer)
 STEMMERS: dict[str, Callable[[str], str]] = {"snowball_lite": snowball_lite}
 
+#: the reference's Snowball language set (textnormalizer.pyx:113-115),
+#: mapped to nltk's SnowballStemmer constructor names
+_SNOWBALL_LANGS: dict[str, str] = {
+    "en": "english", "da": "danish", "nl": "dutch", "fr": "french",
+    "de": "german", "es": "spanish", "hu": "hungarian", "it": "italian",
+    "simple": "english", "no": "norwegian", "pt": "portuguese",
+    "ro": "romanian", "ru": "russian", "sv": "swedish",
+}
+
+
+def register_nltk_stemmers(registry: dict[str, Callable[[str], str]] = STEMMERS) -> list[str]:
+    """Register real linguistic stemmers when ``nltk`` is importable:
+    ``snowball_<code>`` per reference-supported language plus
+    ``isri_ar`` for Arabic — exactly the reference's ``_get_stemmer``
+    table (textnormalizer.pyx:112-121).  Import-guarded no-op (returns
+    ``[]``) when nltk is absent, leaving :func:`snowball_lite` as the
+    documented stand-in.  Returns the keys added (idempotent)."""
+    try:
+        from nltk.stem.snowball import SnowballStemmer
+    except Exception:
+        return []
+    added: list[str] = []
+    for code, name in _SNOWBALL_LANGS.items():
+        key = f"snowball_{code}"
+        if key not in registry:
+            registry[key] = SnowballStemmer(name).stem
+            added.append(key)
+    try:
+        from nltk.stem.isri import ISRIStemmer
+
+        if "isri_ar" not in registry:
+            registry["isri_ar"] = ISRIStemmer().stem
+            added.append("isri_ar")
+    except Exception:
+        pass
+    return added
+
+
+register_nltk_stemmers()
+
+
+def stemmer_for_lang(lang: str) -> str | None:
+    """``_get_stemmer`` parity (textnormalizer.pyx:112-121): the
+    STEMMERS key to use for a language, or ``None`` = skip stemming
+    (the reference skips unsupported languages rather than falling back
+    to an approximate stemmer; when nltk is absent no language maps, so
+    behavior stays honest — opt into ``snowball_lite`` explicitly)."""
+    if lang == "ar":
+        return "isri_ar" if "isri_ar" in STEMMERS else None
+    if lang in _SNOWBALL_LANGS:
+        key = f"snowball_{lang}"
+        return key if key in STEMMERS else None
+    return None
+
 
 def column_stemmer(stem_py: Callable[[str], str]) -> Callable[[Column], Column]:
     """Lift a plain ``str -> str`` stemmer to a Column function via an
