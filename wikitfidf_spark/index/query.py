@@ -287,11 +287,13 @@ class InvertedIndex:
         # logical postings table is structure ⋈ scores — both sides are
         # term-sorted within shards, and a term filter pushes into both
         # scans before the (small, post-filter) join.
-        from .build import _read_structure, index_paths
+        from .build import _read_scores, _read_structure, index_paths
 
         p = index_paths(self.manifest)
         self.structure = _read_structure(spark, index_dir, p)
-        self.scores = spark.read.parquet(os.path.join(index_dir, p["scores"]))
+        # single file after a full refresh, an owner map while
+        # deferred-refresh deltas are outstanding (bounded staleness)
+        self.scores = _read_scores(spark, index_dir, p)
         self.postings = self.structure.join(
             self.scores, ["shard", "term", "sub_shard"]
         )
