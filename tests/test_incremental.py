@@ -100,19 +100,21 @@ def test_add_touches_no_existing_shard(spark, dirs):
     _, inc_dir, _ = dirs
     m = load_manifest(inc_dir)
     owners = index_paths(m)["structure"]
-    # canonical shards 0..3 untouched; generation shards 4..7 are new
+    # canonical shards 0..3 untouched; the generation's shard count is
+    # density-sized to the delta (200 new docs at the live index's
+    # ~150 docs/shard -> 2 generation shards, not n_shards=4)
     assert all(owners[str(s)] == "structure_g0.parquet" for s in range(4))
-    assert all(owners[str(s)] == "structure_g1.parquet" for s in range(4, 8))
+    assert all(owners[str(s)] == "structure_g1.parquet" for s in (4, 5))
     ph = m["phases"]["delta_g1"]
     assert ph["existing_shards_reencoded"] == 0
-    assert ph["new_shards"] == 4
+    assert ph["new_shards"] == 2
     delta_shards = {
         r["shard"]
         for r in spark.read.parquet(os.path.join(inc_dir, "structure_g1.parquet"))
         .select("shard").distinct().collect()
     }
-    assert delta_shards <= {4, 5, 6, 7}
-    assert m["next_shard_base"] == 8
+    assert delta_shards <= {4, 5}
+    assert m["next_shard_base"] == 6
 
 
 def test_collision_rejected(spark, dirs):
@@ -229,7 +231,8 @@ def test_stale_add_defers_refresh_then_converges(spark, tmp_path):
     ph = m["phases"]["delta_g1_stale"]
     assert ph["score_refresh"] == "deferred"
     assert ph["existing_shards_reencoded"] == 0
-    assert ph["delta_encode_wall_sec"] > 0 and ph["delta_scores_wall_sec"] > 0
+    # the delta's epoch-stale scores are fused into its encode pass
+    assert ph["delta_encode_wall_sec"] > 0 and ph["fused_scores"] is True
     assert m["metrics"]["live_total_docs"] == 400
     assert m["metrics"]["total_docs"] < 400  # epoch-consistent metrics
 

@@ -97,18 +97,32 @@ def test_lsh_near_dup_plan_has_no_cartesian(spark):
 
 
 def test_postings_term_lookup_prunes_row_groups(spark, tmp_path_factory):
-    """Term lookups must push the term predicate into BOTH postings
-    scans — structure and scores are each written term-sorted per
-    shard, so row-group min/max statistics serve the lookup, and the
-    post-filter join sees only the queried terms' rows."""
+    """Term lookups must push the term predicate into the postings
+    scan(s) — files are written term-sorted per shard, so row-group
+    min/max statistics serve the lookup.  A fresh (fused) index serves
+    postings from ONE combined scan with one pushed filter; after an
+    exact-mode add splits scores into their own versioned file, BOTH
+    scans must carry the pushdown."""
+    from wikitfidf_spark.index.build import add_documents
+
     d = str(tmp_path_factory.mktemp("idx_plan"))
-    docs = make_code_files(spark, n_docs=300, seed=42)
-    build_index(spark, docs, d, IndexConfig(n_shards=2, n_salts=2), resume=False)
+    docs = make_code_files(spark, n_docs=330, seed=42)
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(11)) == 0
+    build_index(
+        spark, docs.filter(~split), d, IndexConfig(n_shards=2, n_salts=2), resume=False
+    )
     idx = InvertedIndex(spark, d)
-    scan = idx.postings.filter(F.col("term") == "arg_cfg_get")
-    e = explain_str(scan)
+    assert idx.combined is not None  # fused single-file state
+    e = explain_str(idx.postings.filter(F.col("term") == "arg_cfg_get"))
     assert "PushedFilters" in e
-    assert e.count("EqualTo(term,arg_cfg_get)") >= 2  # structure AND scores scans
+    assert e.count("EqualTo(term,arg_cfg_get)") == 1  # ONE combined scan
+
+    add_documents(spark, docs.filter(split), d)  # splits scores back out
+    idx2 = InvertedIndex(spark, d)
+    assert idx2.combined is None
+    e2 = explain_str(idx2.postings.filter(F.col("term") == "arg_cfg_get"))
+    assert "PushedFilters" in e2
+    assert e2.count("EqualTo(term,arg_cfg_get)") >= 2  # structure AND scores scans
 
 
 def test_score_refresh_plan_is_shuffle_free(spark, tmp_path_factory):

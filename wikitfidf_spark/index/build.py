@@ -887,13 +887,19 @@ def _update_derived(
     else:
         owners = {**paths["structure"], **{str(s): struct_rel for s in owned}}
 
+    # compact (reset_owners) re-encodes EVERY shard with the final
+    # stats, so the score stream fuses into the same pass (the fresh-
+    # build layout: one combined file, single-scan serving); partial
+    # updates keep the separate index-wide score map.
+    fuse = reset_owners
     obs_s = Observation()
     # meta_enc restricts the encode's (doc_len, shard) join to the rows
     # being re-encoded — for a delta generation that's the delta's own
     # docmeta, not an O(corpus) join against the full table
-    struct_delta = encode_structure_df(tf_enc, meta_enc if meta_enc is not None else meta_r, stats_r, cfg).observe(
-        obs_s, F.count(F.lit(1)).alias("lists")
-    )
+    struct_delta = encode_structure_df(
+        tf_enc, meta_enc if meta_enc is not None else meta_r, stats_r, cfg,
+        score_globals=(n_docs_all, avgdl) if fuse else None,
+    ).observe(obs_s, F.count(F.lit(1)).alias("lists"))
     struct_delta.write.mode("overwrite").parquet(os.path.join(index_dir, struct_rel))
     n_reencoded = int(obs_s.get["lists"] or 0)
 
@@ -902,7 +908,9 @@ def _update_derived(
         **({} if "docmeta" in paths_update else {"docmeta": [meta_rel]}),
         **paths_update,
         "dictionary": dict_rel,
-        "structure": owners, "scores": scores_rel, "lineage": lin_rel,
+        "structure": owners,
+        "scores": struct_rel if fuse else scores_rel,
+        "lineage": lin_rel,
     }
     # dropped pointers (e.g. compaction folding tombstones into tf) go
     # in the SAME atomic save as the rest of the update — a second
@@ -911,27 +919,43 @@ def _update_derived(
     for k in drop_path_keys:
         new_paths.pop(k, None)
     structure_all = _read_structure(spark, index_dir, new_paths)
-    obs_sc = Observation()
-    scores_df = score_postings_df(structure_all, stats_r, cfg, n_docs_all, avgdl).observe(
-        obs_sc, F.sum("scores_bytes").alias("bytes")
-    )
-    scores_df.write.mode("overwrite").parquet(os.path.join(index_dir, scores_rel))
-    scores_bytes = int(obs_sc.get["bytes"] or 0)
-    manifest["metrics"]["score_refresh_shuffled"] = _score_refresh_shuffled(scores_df)
-
-    lineage = (
-        structure_all.groupBy("shard")
-        .agg(
+    if fuse:
+        combined_r = spark.read.parquet(os.path.join(index_dir, struct_rel))
+        scores_bytes = int(
+            combined_r.agg(F.sum("scores_bytes").alias("b")).collect()[0]["b"] or 0
+        )
+        # degrade flag from the PLANNED (not run) refresh, as in build
+        manifest["metrics"]["score_refresh_shuffled"] = _score_refresh_shuffled(
+            score_postings_df(structure_all, stats_r, cfg, n_docs_all, avgdl)
+        )
+        lineage = combined_r.groupBy("shard").agg(
             F.count("*").alias("n_lists"),
             F.sum("n_docs").alias("n_postings"),
             F.sum("payload_bytes").alias("structure_bytes"),
+            F.sum("scores_bytes").alias("scores_bytes"),
         )
-        .join(
-            spark.read.parquet(os.path.join(index_dir, scores_rel))
-            .groupBy("shard").agg(F.sum("scores_bytes").alias("scores_bytes")),
-            "shard", "left",
+    else:
+        obs_sc = Observation()
+        scores_df = score_postings_df(structure_all, stats_r, cfg, n_docs_all, avgdl).observe(
+            obs_sc, F.sum("scores_bytes").alias("bytes")
         )
-    )
+        scores_df.write.mode("overwrite").parquet(os.path.join(index_dir, scores_rel))
+        scores_bytes = int(obs_sc.get["bytes"] or 0)
+        manifest["metrics"]["score_refresh_shuffled"] = _score_refresh_shuffled(scores_df)
+
+        lineage = (
+            structure_all.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_lists"),
+                F.sum("n_docs").alias("n_postings"),
+                F.sum("payload_bytes").alias("structure_bytes"),
+            )
+            .join(
+                spark.read.parquet(os.path.join(index_dir, scores_rel))
+                .groupBy("shard").agg(F.sum("scores_bytes").alias("scores_bytes")),
+                "shard", "left",
+            )
+        )
     lineage.write.mode("overwrite").parquet(os.path.join(index_dir, lin_rel))
     lin = spark.read.parquet(os.path.join(index_dir, lin_rel)).agg(
         F.sum("n_postings").alias("p"), F.sum("structure_bytes").alias("sb")
@@ -1052,6 +1076,19 @@ def add_documents(
     # new docs land in a FRESH generation of shard ids: existing shards'
     # doc sets are untouched, so no existing structure is re-encoded
     shard_base = int(manifest.get("next_shard_base", cfg.n_shards))
+    # the generation's shard COUNT is sized to the delta, not to
+    # cfg.n_shards: a 0.1% delta into a 32-shard index should not fan
+    # out into 32 near-empty shards (per-add fixed costs, tiny files,
+    # and +n_shards query merge width per un-compacted delta).  Target
+    # the live index's docs-per-shard density, clamped to [1, n_shards];
+    # compact() folds everything back to canonical hash placement, so
+    # the byte-identity invariant is untouched.
+    n_new_docs = int(base.count())
+    live = int(
+        manifest["metrics"].get("live_total_docs", manifest["metrics"]["total_docs"])
+    )
+    per_shard = max(1, live // max(1, cfg.n_shards))
+    g_shards = max(1, min(cfg.n_shards, -(-n_new_docs // per_shard)))
     meta_new = (
         base.select(
             "doc_id", *cfg.id_cols, F.col(cfg.topic_col).alias("topic"), "content_sha256"
@@ -1059,7 +1096,7 @@ def add_documents(
         .join(doclens_new, "doc_id", "left").fillna(0, subset=["doc_len"])
         .withColumn(
             "shard",
-            (F.lit(shard_base) + F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards))).cast("int"),
+            (F.lit(shard_base) + F.pmod(F.xxhash64("doc_id"), F.lit(g_shards))).cast("int"),
         )
     )
     meta_new.write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
@@ -1091,7 +1128,7 @@ def add_documents(
     shards_new = [
         int(r["shard"]) for r in meta_new.select("shard").distinct().collect()
     ]
-    manifest["next_shard_base"] = shard_base + cfg.n_shards
+    manifest["next_shard_base"] = shard_base + g_shards
     manifest["next_gen"] = gen + 1
     if not refresh_scores:
         return _add_stale(
@@ -1135,29 +1172,19 @@ def _add_stale(
 
     paths = index_paths(manifest)
     struct_rel = f"structure_g{gen}.parquet"
-    scores_rel = f"scores_g{gen}.parquet"
 
-    # delta-local stats: O(delta).  df feeds only the sub-shard split
-    # decision (harmless per-generation divergence, erased by compact)
-    # and the new-term idf fallback below.
-    stats_delta = termstats.global_term_stats(tf_new, n_salts=cfg.n_salts)
-
-    t_enc = time.time()
-    obs_s = Observation()
-    struct_delta = encode_structure_df(tf_new, meta_new, stats_delta, cfg).observe(
-        obs_s, F.count(F.lit(1)).alias("lists")
-    )
-    struct_delta.write.mode("overwrite").parquet(os.path.join(index_dir, struct_rel))
-    n_lists = int(obs_s.get["lists"] or 0)
-    enc_wall = time.time() - t_enc
-
-    # epoch-stale scores for the delta shards: epoch df where the term
-    # is known, the delta's own df for brand-new terms (any choice is
-    # stale; this one keeps idf finite and monotone), epoch n_docs/avgdl
+    # epoch-stale stats for the delta: epoch df where the term is
+    # known, the delta's own df for brand-new terms (any choice is
+    # stale; this one keeps idf finite and monotone — and tracks the
+    # merged-corpus df an exact-mode add would use far more closely
+    # than delta-local df), epoch n_docs/avgdl.  Both the sub-shard
+    # split decision and the scores use this one stats frame.  Cost:
+    # O(delta) salted agg + one columnar scan of the epoch dictionary.
     epoch = manifest.get("score_epoch") or {
         "n_docs": manifest["metrics"]["total_docs"],
         "avgdl": manifest["metrics"]["avgdl"],
     }
+    stats_delta = termstats.global_term_stats(tf_new, n_salts=cfg.n_salts)
     stale_dict = spark.read.parquet(
         os.path.join(index_dir, paths["dictionary"])
     ).select("term", F.col("df").alias("df_epoch"))
@@ -1166,24 +1193,36 @@ def _add_stale(
         .join(stale_dict, "term", "left")
         .select("term", F.coalesce("df_epoch", "df").alias("df"))
     )
-    t_sc = time.time()
-    struct_r = spark.read.parquet(os.path.join(index_dir, struct_rel))
-    obs_sc = Observation()
-    scores_df = score_postings_df(
-        struct_r, stats_sc, cfg, int(epoch["n_docs"]), float(epoch["avgdl"])
-    ).observe(obs_sc, F.sum("scores_bytes").alias("bytes"))
-    scores_df.write.mode("overwrite").parquet(os.path.join(index_dir, scores_rel))
-    delta_scores_bytes = int(obs_sc.get["bytes"] or 0)
-    sc_wall = time.time() - t_sc
+
+    # ONE fused pass: structure + epoch-stale scores together (the same
+    # combined-schema layout fresh builds write) — no second job, no
+    # structure re-read for a scores pass
+    t_enc = time.time()
+    obs_s = Observation()
+    combined = encode_structure_df(
+        tf_new, meta_new, stats_sc, cfg,
+        score_globals=(int(epoch["n_docs"]), float(epoch["avgdl"])),
+    ).observe(
+        obs_s,
+        F.count(F.lit(1)).alias("lists"),
+        F.sum("scores_bytes").alias("sbytes"),
+    )
+    combined.write.mode("overwrite").parquet(os.path.join(index_dir, struct_rel))
+    row = obs_s.get
+    n_lists = int(row["lists"] or 0)
+    delta_scores_bytes = int(row["sbytes"] or 0)
+    enc_wall = time.time() - t_enc
+    sc_wall = 0.0  # fused into the encode pass
 
     # owner maps: structure as usual; scores converts the single-file
-    # pointer to an owner map on the first deferred delta
+    # pointer to an owner map on the first deferred delta (the delta's
+    # score entries point at the combined file)
     sc_owned = paths["scores"]
     if isinstance(sc_owned, str):
         sc_owned = {s: sc_owned for s in paths["structure"]}
     else:
         sc_owned = dict(sc_owned)
-    sc_owned.update({str(s): scores_rel for s in shards_new})
+    sc_owned.update({str(s): struct_rel for s in shards_new})
 
     manifest["paths"] = {
         **paths,
@@ -1202,7 +1241,8 @@ def _add_stale(
         # the split the bench reports: what an exact-mode add would
         # additionally pay is the refresh, absent here by construction
         "delta_encode_wall_sec": enc_wall,
-        "delta_scores_wall_sec": sc_wall,
+        "delta_scores_wall_sec": sc_wall,  # 0.0: fused into the encode
+        "fused_scores": True,
         "existing_shards_reencoded": 0,
         "new_shards": len(set(shards_new)),
         "total_shards": len(manifest["paths"]["structure"]),

@@ -294,8 +294,22 @@ class InvertedIndex:
         # single file after a full refresh, an owner map while
         # deferred-refresh deltas are outstanding (bounded staleness)
         self.scores = _read_scores(spark, index_dir, p)
-        self.postings = self.structure.join(
-            self.scores, ["shard", "term", "sub_shard"]
+        # fused single-file state (fresh build / post-compact before any
+        # exact-mode update): structure and scores live in the SAME
+        # combined-schema file — serve from ONE scan instead of scanning
+        # it twice and re-pairing the halves.  This is the steady-state
+        # serving layout; generation deltas fall back to the two-sided
+        # plan below until the next compact.
+        sc_p = p["scores"]
+        self.combined = None
+        if isinstance(sc_p, str) and set(p["structure"].values()) == {sc_p}:
+            cand = spark.read.parquet(os.path.join(index_dir, sc_p))
+            if "scores_payload" in cand.columns:
+                self.combined = cand
+        self.postings = (
+            self.combined
+            if self.combined is not None
+            else self.structure.join(self.scores, ["shard", "term", "sub_shard"])
         )
         self.dictionary = spark.read.parquet(os.path.join(index_dir, p["dictionary"]))
         self.docmeta = spark.read.parquet(
@@ -353,15 +367,25 @@ class InvertedIndex:
         # projected away BEFORE the shuffle — the scorers never read
         # them (~40% less bytes moved).
         term_filter = F.col("term").isin(all_terms)
-        s_rows = self.structure.filter(term_filter).select(
-            "shard", "term", "sub_shard", "n_docs", "docs_payload",
-            "block_firsts", "block_lasts", "block_counts", "block_doc_offs",
-        )
-        c_rows = self.scores.filter(term_filter).select(
-            "shard", "term", "sub_shard",
-            "scores_payload", "block_max_score", "block_score_offs",
-        )
-        rows = s_rows.unionByName(c_rows, allowMissingColumns=True)
+        if self.combined is not None:
+            # fused single-file index: ONE term-pruned scan yields rows
+            # already carrying both halves (merged_lists passes them
+            # through) — no second scan, no union padding, no pairing
+            rows = self.combined.filter(term_filter).select(
+                "shard", "term", "sub_shard", "n_docs", "docs_payload",
+                "block_firsts", "block_lasts", "block_counts", "block_doc_offs",
+                "scores_payload", "block_max_score", "block_score_offs",
+            )
+        else:
+            s_rows = self.structure.filter(term_filter).select(
+                "shard", "term", "sub_shard", "n_docs", "docs_payload",
+                "block_firsts", "block_lasts", "block_counts", "block_doc_offs",
+            )
+            c_rows = self.scores.filter(term_filter).select(
+                "shard", "term", "sub_shard",
+                "scores_payload", "block_max_score", "block_score_offs",
+            )
+            rows = s_rows.unionByName(c_rows, allowMissingColumns=True)
 
         def merged_lists(pdf: pd.DataFrame) -> list[dict]:
             """Match a shard's structure half-rows with their score
