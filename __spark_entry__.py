@@ -33,6 +33,7 @@ from wikitfidf_spark.streaming import jobs as stream_jobs
 FLAGGED = ["slow", "error", "legacy"]          # badwords-analogue list
 BM25_OR_TERMS = ["join", "hash", "dup"]        # hot+hot+rare: exercises WAND
 BM25_AND_TERMS = ["dup", "join"]               # rare ∧ hot conjunction
+PHRASE_TERMS = ["part", "filter"]              # adjacent pair present at every SF
 TFIDF_TERM = "dup"                             # degenerate single-term mode
 K1, B = 1.2, 0.75
 TOPK = 20
@@ -411,6 +412,27 @@ def q_index_incremental_topk(spark, sf_dir):
     return out.select("doc_id", "score_q")
 
 
+def q_index_phrase_topk(spark, sf_dir):
+    """Exact-phrase top-k through the ENGINE: docs containing
+    PHRASE_TERMS as consecutive tokens, ranked by the phrase terms'
+    BM25 sum.  Positions live in a separate optional artifact
+    (index/positions.py) cogrouped with the posting shards; the oracle
+    reproduces adjacency with a position self-join over the same
+    tokenizer stream."""
+    idx = _cached_index(spark, sf_dir)
+    from wikitfidf_spark.index.build import load_manifest
+    from wikitfidf_spark.index.positions import build_positions
+
+    m = load_manifest(idx.index_dir)
+    if int(m.get("positions_version", -1)) != int(m.get("version", 0)):
+        docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
+        build_positions(spark, docs, idx.index_dir)
+        from wikitfidf_spark.index.query import InvertedIndex
+
+        idx = InvertedIndex(spark, idx.index_dir)  # re-read manifest
+    return idx.phrase_topk(PHRASE_TERMS, TOPK).select("doc_id", "score_q")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups: md5(text) -> representative + group size."""
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
@@ -631,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_taat_topk": q_index_taat_topk,
         "index_filtered_topk": q_index_filtered_topk,
         "index_incremental_topk": q_index_incremental_topk,
+        "index_phrase_topk": q_index_phrase_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_pairs": q_jaccard_pairs,
@@ -731,6 +754,27 @@ _AND_SQL = ", ".join(f"'{t}'" for t in BM25_AND_TERMS)
 _BM25_OR_BODY = _BM25_CTE % {"terms": _OR_SQL} + f"""
 SELECT doc_id, sum(score_q)::bigint AS score_q
 FROM sc GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+_PHRASE_SQL = ", ".join(f"'{t}'" for t in PHRASE_TERMS)
+# phrase oracle: the BM25 CTE over the phrase's terms, restricted to
+# docs where a position self-join over the SAME tokenizer stream finds
+# the terms at consecutive positions (zipped unnests give 0-based token
+# positions — identical semantics to index/positions.py)
+_BM25_PHRASE_BODY = _BM25_CTE % {"terms": _PHRASE_SQL} + f"""
+, ptok AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS l FROM documents)
+),
+phrase_docs AS (
+  SELECT DISTINCT a.doc_id
+  FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PHRASE_TERMS[0]}' AND b.term = '{PHRASE_TERMS[1]}'
+)
+SELECT doc_id, sum(score_q)::bigint AS score_q
+FROM sc WHERE doc_id IN (SELECT doc_id FROM phrase_docs)
+GROUP BY doc_id
 ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
 """
 
@@ -852,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "index_taat_topk": _BM25_OR_BODY,
         # bounded-staleness ingest converges to exact full-corpus scores
         "index_incremental_topk": _BM25_OR_BODY,
+        "index_phrase_topk": _BM25_PHRASE_BODY,
         "index_filtered_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
             SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q
             FROM sc JOIN documents d ON d.doc_id = sc.doc_id

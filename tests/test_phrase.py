@@ -1,0 +1,155 @@
+"""Positional postings + phrase top-k: vectorized adjacency kernel unit
+tests and engine end-to-end against a Python brute-force oracle."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wikitfidf_spark.corpus import make_code_files
+from wikitfidf_spark.index.build import IndexConfig, build_index, load_manifest
+from wikitfidf_spark.index.positions import build_positions, verify_phrase_docs
+from wikitfidf_spark.index.query import InvertedIndex, Query
+from wikitfidf_spark.tokenize import tokenize_py
+
+CFG = IndexConfig(n_shards=4, n_salts=2, block_size=32)
+
+
+# ---------- kernel unit tests ----------
+
+def _pdf(rows):
+    return pd.DataFrame(rows, columns=["term", "doc_id", "poss"])
+
+
+def test_verify_adjacent_pair():
+    got = verify_phrase_docs(
+        _pdf([("a", 1, [0, 5]), ("b", 1, [1]), ("a", 2, [3]), ("b", 2, [5])]),
+        ["a", "b"],
+    )
+    assert got.tolist() == [1]  # doc 2: positions 3,5 not adjacent
+
+
+def test_verify_three_term_chain_and_repeats():
+    # doc 7 holds "a a b" at positions 10,11,12; doc 8 holds "b a" at
+    # 2,3 (has both terms but never "a a b")
+    rows = [
+        ("a", 7, [2, 10, 11]), ("b", 7, [12]),
+        ("a", 8, [3]), ("b", 8, [2]),
+    ]
+    assert verify_phrase_docs(_pdf(rows), ["a", "a", "b"]).tolist() == [7]
+    assert verify_phrase_docs(_pdf(rows), ["b", "a"]).tolist() == [8]
+    assert verify_phrase_docs(_pdf(rows), ["a", "b"]).tolist() == [7]
+
+
+def test_verify_missing_term_or_empty():
+    assert len(verify_phrase_docs(_pdf([("a", 1, [0])]), ["a", "b"])) == 0
+    assert len(verify_phrase_docs(_pdf([]), ["a", "b"])) == 0
+
+
+def test_verify_negative_doc_ids():
+    # xxhash64 doc ids span the full signed range; the packed int64 key
+    # must not corrupt them
+    d = -(2**62) - 12345
+    got = verify_phrase_docs(_pdf([("a", d, [3]), ("b", d, [4])]), ["a", "b"])
+    assert got.tolist() == [d]
+
+
+# ---------- engine end-to-end ----------
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    docs = make_code_files(spark, n_docs=400, seed=42).cache()
+    d = str(tmp_path_factory.mktemp("idx_phrase"))
+    build_index(spark, docs, d, CFG, resume=False)
+    build_positions(spark, docs, d)
+    return docs, d
+
+
+def _phrase_docs_py(rows, terms):
+    """Brute-force oracle: doc_ids whose token stream contains terms
+    consecutively."""
+    out = set()
+    for r in rows:
+        toks = tokenize_py(r["content"])
+        for i in range(len(toks) - len(terms) + 1):
+            if toks[i:i + len(terms)] == terms:
+                out.add(r["doc_id"])
+                break
+    return out
+
+
+def test_phrase_topk_matches_bruteforce(spark, built):
+    docs, d = built
+    rows = docs.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).select(
+        "doc_id", "content"
+    ).collect()
+    # pick a phrase that actually occurs in >= 2 docs: the most common
+    # adjacent pair in the corpus
+    pair_docs = collections.Counter()
+    for r in rows:
+        toks = tokenize_py(r["content"])
+        for a, b in set(zip(toks, toks[1:])):
+            pair_docs[(a, b)] += 1
+    (t1, t2), n_docs_expected = pair_docs.most_common(1)[0]
+    assert n_docs_expected >= 2
+
+    idx = InvertedIndex(spark, d)
+    got = idx.phrase_topk([t1, t2], k=10_000).collect()
+    expected = _phrase_docs_py(rows, [t1, t2])
+    assert {r["doc_id"] for r in got} == expected
+    # scores equal the AND query's BM25 sums for the same docs
+    and_scores = {
+        r["doc_id"]: r["score_q"]
+        for r in idx.topk_batch([Query(0, [t1, t2], "AND", 10_000)]).collect()
+    }
+    for r in got:
+        assert r["score_q"] == and_scores[r["doc_id"]]
+    # ranked (score desc, doc asc)
+    seq = [(-r["score_q"], r["doc_id"]) for r in sorted(got, key=lambda x: x["rank"])]
+    assert seq == sorted(seq)
+
+
+def test_phrase_topk_no_match_and_guards(spark, built):
+    _, d = built
+    idx = InvertedIndex(spark, d)
+    assert idx.phrase_topk(["zz_nonexistent_a", "zz_nonexistent_b"], k=5).count() == 0
+    with pytest.raises(ValueError, match="at least 2"):
+        idx.phrase_topk(["solo"], k=5)
+
+
+def test_phrase_positions_staleness_guard(spark, built, tmp_path):
+    """An index updated after build_positions refuses phrase queries
+    until positions are rebuilt (version mismatch)."""
+    import shutil
+
+    from wikitfidf_spark.index.build import add_documents
+
+    docs, d = built
+    d2 = str(tmp_path / "idx_phrase_stale")
+    shutil.copytree(d, d2)
+    add_documents(spark, make_code_files(spark, n_docs=20, seed=77), d2)
+    idx = InvertedIndex(spark, d2)
+    with pytest.raises(ValueError, match="stale"):
+        idx.phrase_topk(["part", "filter"], k=5)
+
+
+def test_positions_lengths_match_tf(spark, built):
+    """len(poss) == tf per (doc, term) — positions and tf come from the
+    same token stream."""
+    from wikitfidf_spark.index.build import index_paths
+    import os
+
+    _, d = built
+    m = load_manifest(d)
+    pos = spark.read.parquet(os.path.join(d, index_paths(m)["positions"]))
+    tf = spark.read.parquet(os.path.join(d, index_paths(m)["tf"][0]))
+    joined = (
+        pos.select("doc_id", "term", F.size("poss").alias("np"))
+        .join(tf, ["doc_id", "term"], "full")
+        .filter((F.col("np") != F.col("tf")) | F.col("np").isNull() | F.col("tf").isNull())
+    )
+    assert joined.count() == 0

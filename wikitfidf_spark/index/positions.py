@@ -1,0 +1,170 @@
+"""Positional postings + phrase verification.
+
+The base index stores doc/tf/score streams only — enough for every
+bag-of-words query but not for phrases.  Positions are a SEPARATE,
+optional artifact (``positions.parquet``): one row per (shard, term,
+doc_id) holding that doc's token positions for the term as a plain
+``array<int>`` column, written term-sorted within doc-partitioned
+shards.
+
+Design notes (the 100 TB story):
+- Plain Parquet columns rather than the custom varint codec: parquet's
+  delta/bit-pack encodings already compress monotone position lists
+  well, and the phrase path reads positions for only the 2-3 queried
+  terms — a term-pruned, row-group-prunable scan, never a full-index
+  decode.  The custom codec stays where serving is hot (doc/score
+  streams).
+- Placement comes from docmeta (the placement authority), so position
+  rows co-shuffle with exactly the posting shards that can contain
+  them; phrase verification cogroups the two sides on shard with no
+  broadcast and no O(corpus) join.
+- Verification is vectorized: per shard, (doc, position) pairs are
+  packed into int64 keys (compact doc index << 32 | position) and the
+  adjacency chain is repeated ``np.intersect1d`` — no per-doc Python
+  loop.
+
+Reference scope note: wikitfidf has no phrase/proximity queries (its
+pipeline is bag-of-words TF-IDF; SURVEY.md §2) — this is an engine
+extension along the fulltext_index axis.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tokenize import TOKEN_REGEX
+
+POSITIONS_SCHEMA = "doc_id long, term string, poss array<int>"
+
+
+def positions_df(docs: DataFrame, *, text_col: str = "content", stem_py=None) -> DataFrame:
+    """One Arrow pass: tokenize each doc and emit per-(doc, term) token
+    position lists (0-based index in the doc's token stream — the same
+    stream the tf path counts, so ``len(poss) == tf`` per row).
+    ``stem_py`` mirrors the tf path's pluggable stemmer: positions are
+    recorded against the stemmed term."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_REGEX)
+            flat = [t for lst in toks for t in lst]
+            if stem_py is not None:
+                memo: dict[str, str] = {}
+                flat = [memo.setdefault(t, stem_py(t)) for t in flat]
+            lens = toks.str.len().to_numpy()
+            if not len(flat):
+                continue
+            exploded = pd.DataFrame({
+                "_row": np.repeat(pdf.index.to_numpy(), lens),
+                "term": flat,
+                # positions restart at 0 for each doc
+                "pos": np.concatenate([np.arange(n, dtype=np.int32) for n in lens if n]),
+            })
+            grouped = (
+                exploded.groupby(["_row", "term"], sort=False)["pos"]
+                .agg(list).rename("poss").reset_index()
+            )
+            out = grouped.merge(
+                pdf[["doc_id"]].rename_axis("_row").reset_index(), on="_row", how="left"
+            )[["doc_id", "term", "poss"]]
+            yield out
+
+    return docs.select("doc_id", text_col).mapInPandas(fn, POSITIONS_SCHEMA)
+
+
+def build_positions(spark: SparkSession, docs: DataFrame, index_dir: str) -> dict:
+    """Build the positions artifact for an EXISTING index over the same
+    corpus: tokenize with positions, attach each doc's shard from
+    docmeta (placement authority — generation shards included), write
+    term-sorted within shard partitions, register in the manifest.
+
+    ``docs`` must be the index's full live corpus (same id_cols/text
+    config); rebuilding after adds/deletes/compacts is the caller's
+    job — the artifact records the manifest version it was built at,
+    and readers refuse a stale one."""
+    from .build import _load_cfg, _save_manifest, index_paths, load_manifest
+    from ..operators.stemdict import STEMMERS
+
+    manifest = load_manifest(index_dir)
+    if not manifest.get("paths"):
+        raise ValueError("no built index at " + index_dir)
+    cfg = _load_cfg(manifest, index_dir)
+    paths = index_paths(manifest)
+    t0 = time.time()
+
+    base = docs if not cfg.id_cols else docs.withColumn(
+        "doc_id", F.xxhash64(*cfg.id_cols)
+    )
+    stem_py = None if cfg.stemmer in (None, "none") else STEMMERS[cfg.stemmer]
+    pos = positions_df(base, text_col=cfg.text_col, stem_py=stem_py)
+    placement = spark.read.parquet(
+        *[os.path.join(index_dir, p) for p in paths["docmeta"]]
+    ).select("doc_id", "shard")
+    rel = f"positions_v{int(manifest.get('version', 0))}.parquet"
+    (
+        pos.join(placement, "doc_id")
+        .repartition(cfg.n_shards, "shard")
+        .sortWithinPartitions("shard", "term", "doc_id")
+        .select("shard", "term", "doc_id", "poss")
+        .write.mode("overwrite").parquet(os.path.join(index_dir, rel))
+    )
+    manifest["paths"]["positions"] = rel
+    manifest["positions_version"] = int(manifest.get("version", 0))
+    manifest["phases"][f"positions_v{manifest['positions_version']}"] = {
+        "rows": 0, "wall_sec": time.time() - t0,
+    }
+    _save_manifest(index_dir, manifest)
+    return {"path": rel, "wall_sec": time.time() - t0}
+
+
+def verify_phrase_docs(pos_pdf: pd.DataFrame, terms: list[str]):
+    """Vectorized adjacency chain over one shard's position rows
+    ``(term, doc_id, poss)``: returns the np.ndarray of doc_ids
+    containing ``terms`` as consecutive tokens.  Repeated terms in the
+    phrase are supported (each step intersects against the term's
+    occurrence set, so "a a b" requires positions p, p+1∈pos(a),
+    p+2∈pos(b))."""
+    import numpy as np
+
+    if pos_pdf.empty:
+        return np.empty(0, dtype=np.int64)
+    by_term: dict[str, list] = {t: [] for t in terms}
+    for r in pos_pdf.itertuples(index=False):
+        if r.term in by_term:
+            by_term[r.term].append((r.doc_id, r.poss))
+    if any(not by_term[t] for t in terms):
+        return np.empty(0, dtype=np.int64)
+
+    # compact doc index so (doc << 32 | pos) packs into int64 without
+    # overflow (doc_id itself is a full-range xxhash64)
+    all_docs = np.unique(
+        np.concatenate([
+            np.fromiter((d for d, _ in rows), dtype=np.int64, count=len(rows))
+            for rows in by_term.values()
+        ])
+    )
+
+    def encoded(term: str) -> np.ndarray:
+        rows = by_term[term]
+        docs = np.fromiter((d for d, _ in rows), dtype=np.int64, count=len(rows))
+        idx = np.searchsorted(all_docs, docs)
+        lens = np.fromiter((len(p) for _, p in rows), dtype=np.int64, count=len(rows))
+        poss = np.concatenate([np.asarray(p, dtype=np.int64) for _, p in rows])
+        return (np.repeat(idx, lens) << 32) | poss
+
+    cur = encoded(terms[0]) + 1
+    for t in terms[1:]:
+        cur = np.intersect1d(cur, encoded(t), assume_unique=False) + 1
+    if not len(cur):
+        return np.empty(0, dtype=np.int64)
+    return all_docs[np.unique((cur - 1) >> 32)]

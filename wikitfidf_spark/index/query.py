@@ -256,6 +256,86 @@ def wand_top_k(
     return [(-d, s) for s, d in out]
 
 
+def _merged_lists(pdf: pd.DataFrame) -> list[dict]:
+    """Match a shard's structure half-rows with their score half-rows
+    by (term, sub_shard); unpaired halves (can't happen in a consistent
+    index) are dropped.  Rows from a fused combined-file scan already
+    carry both halves and pass straight through."""
+    by_key: dict = {}
+    for r in pdf.to_dict("records"):
+        d = by_key.setdefault((r["term"], r["sub_shard"]), {})
+        for k, v in r.items():
+            if v is None or (isinstance(v, float) and v != v):
+                continue  # the union's null padding
+            d[k] = v
+    return [
+        d for d in by_key.values()
+        if "docs_payload" in d and "scores_payload" in d
+    ]
+
+
+def _taat_kernel(
+    pdf: pd.DataFrame, qspec: list, allowed_u: "np.ndarray | None"
+) -> pd.DataFrame:
+    """One shard's term-at-a-time evaluation for a query batch: decode
+    each (term, sub_shard) list exactly once, mask to ``allowed_u`` if
+    given, then per query np.unique + add.at + lexsort top-k with exact
+    (score desc, doc asc) tie-break."""
+    decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    for r in _merged_lists(pdf):
+        docs, scores = codec.decode_docs_scores(r)
+        if allowed_u is not None:
+            keep = np.isin(docs, allowed_u)
+            if not keep.all():
+                docs, scores = docs[keep], scores[keep]
+            if not len(docs):
+                continue
+        decoded.setdefault(r["term"], []).append((docs, scores))
+    out_q, out_d, out_s = [], [], []
+    for qid, terms, mode, k in qspec:
+        uniq_terms = sorted(set(terms))
+        present = [t for t in uniq_terms if t in decoded]
+        if not present:
+            continue
+        if mode == "AND" and len(present) < len(uniq_terms):
+            continue
+        d_parts = [d for t in present for d, _ in decoded[t]]
+        s_parts = [s for t in present for _, s in decoded[t]]
+        docs = np.concatenate(d_parts)
+        scores = np.concatenate(s_parts)
+        u, inv, cnt = np.unique(docs, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sums, inv, scores)
+        if mode == "AND":
+            # sub-lists of one term are doc-disjoint, so count ==
+            # number of distinct matching terms
+            m = cnt == len(present)
+            u, sums = u[m], sums[m]
+        if not len(u):
+            continue
+        if len(u) > k:
+            # top-k with exact (score desc, doc asc) tie-break: cut
+            # with argpartition on score, widen the cut to include all
+            # ties at the boundary, then sort
+            part = np.argpartition(-sums, k - 1)[:k]
+            thresh = sums[part].min()
+            cand = np.flatnonzero(sums >= thresh)
+        else:
+            cand = np.arange(len(u))
+        order = np.lexsort((u[cand], -sums[cand]))[:k]
+        sel = cand[order]
+        out_q.append(np.full(len(sel), qid, dtype=np.int32))
+        out_d.append(u[sel])
+        out_s.append(sums[sel])
+    if not out_q:
+        return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
+    return pd.DataFrame({
+        "query_id": np.concatenate(out_q),
+        "doc_id": np.concatenate(out_d),
+        "score_q": np.concatenate(out_s),
+    })
+
+
 @dataclass
 class Query:
     query_id: int
@@ -366,47 +446,12 @@ class InvertedIndex:
         # the join paid per batch disappears.  tfs/dls streams are
         # projected away BEFORE the shuffle — the scorers never read
         # them (~40% less bytes moved).
-        term_filter = F.col("term").isin(all_terms)
-        if self.combined is not None:
-            # fused single-file index: ONE term-pruned scan yields rows
-            # already carrying both halves (merged_lists passes them
-            # through) — no second scan, no union padding, no pairing
-            rows = self.combined.filter(term_filter).select(
-                "shard", "term", "sub_shard", "n_docs", "docs_payload",
-                "block_firsts", "block_lasts", "block_counts", "block_doc_offs",
-                "scores_payload", "block_max_score", "block_score_offs",
-            )
-        else:
-            s_rows = self.structure.filter(term_filter).select(
-                "shard", "term", "sub_shard", "n_docs", "docs_payload",
-                "block_firsts", "block_lasts", "block_counts", "block_doc_offs",
-            )
-            c_rows = self.scores.filter(term_filter).select(
-                "shard", "term", "sub_shard",
-                "scores_payload", "block_max_score", "block_score_offs",
-            )
-            rows = s_rows.unionByName(c_rows, allowMissingColumns=True)
-
-        def merged_lists(pdf: pd.DataFrame) -> list[dict]:
-            """Match a shard's structure half-rows with their score
-            half-rows by (term, sub_shard); unpaired halves (can't
-            happen in a consistent index) are dropped."""
-            by_key: dict = {}
-            for r in pdf.to_dict("records"):
-                d = by_key.setdefault((r["term"], r["sub_shard"]), {})
-                for k, v in r.items():
-                    if v is None or (isinstance(v, float) and v != v):
-                        continue  # the union's null padding
-                    d[k] = v
-            return [
-                d for d in by_key.values()
-                if "docs_payload" in d and "scores_payload" in d
-            ]
+        rows = self._posting_rows(all_terms)
 
         def per_shard_wand(key, pdf: pd.DataFrame) -> pd.DataFrame:
             # one group = one doc-partitioned shard -> scores complete here
             by_term: dict[str, list] = {}
-            for r in merged_lists(pdf):
+            for r in _merged_lists(pdf):
                 by_term.setdefault(r["term"], []).append(r)
             out = []
             for qid, terms, mode, k in qspec:
@@ -419,70 +464,14 @@ class InvertedIndex:
                     out.append((qid, doc, score))
             return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
 
-        def _taat(pdf: pd.DataFrame, allowed_u: np.ndarray | None) -> pd.DataFrame:
-            # decode each (term, sub_shard) list exactly once
-            decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
-            for r in merged_lists(pdf):
-                docs, scores = codec.decode_docs_scores(r)
-                if allowed_u is not None:
-                    keep = np.isin(docs, allowed_u)
-                    if not keep.all():
-                        docs, scores = docs[keep], scores[keep]
-                    if not len(docs):
-                        continue
-                decoded.setdefault(r["term"], []).append((docs, scores))
-            out_q, out_d, out_s = [], [], []
-            for qid, terms, mode, k in qspec:
-                uniq_terms = sorted(set(terms))
-                present = [t for t in uniq_terms if t in decoded]
-                if not present:
-                    continue
-                if mode == "AND" and len(present) < len(uniq_terms):
-                    continue
-                d_parts = [d for t in present for d, _ in decoded[t]]
-                s_parts = [s for t in present for _, s in decoded[t]]
-                docs = np.concatenate(d_parts)
-                scores = np.concatenate(s_parts)
-                u, inv, cnt = np.unique(docs, return_inverse=True, return_counts=True)
-                sums = np.zeros(len(u), dtype=np.int64)
-                np.add.at(sums, inv, scores)
-                if mode == "AND":
-                    # sub-lists of one term are doc-disjoint, so count ==
-                    # number of distinct matching terms
-                    m = cnt == len(present)
-                    u, sums = u[m], sums[m]
-                if not len(u):
-                    continue
-                if len(u) > k:
-                    # top-k with exact (score desc, doc asc) tie-break:
-                    # cut with argpartition on score, widen the cut to
-                    # include all ties at the boundary, then sort
-                    part = np.argpartition(-sums, k - 1)[:k]
-                    thresh = sums[part].min()
-                    cand = np.flatnonzero(sums >= thresh)
-                else:
-                    cand = np.arange(len(u))
-                order = np.lexsort((u[cand], -sums[cand]))[:k]
-                sel = cand[order]
-                out_q.append(np.full(len(sel), qid, dtype=np.int32))
-                out_d.append(u[sel])
-                out_s.append(sums[sel])
-            if not out_q:
-                return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
-            return pd.DataFrame({
-                "query_id": np.concatenate(out_q),
-                "doc_id": np.concatenate(out_d),
-                "score_q": np.concatenate(out_s),
-            })
-
         def per_shard_taat(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            return _taat(pdf, None)
+            return _taat_kernel(pdf, qspec, None)
 
         def per_shard_taat_filtered(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
             # cogrouped: apdf holds this shard's allowed doc ids with
             # their native int64 dtype (a null-padded union would route
             # them through float64 and corrupt xxhash-range ids)
-            return _taat(pdf, np.unique(apdf["doc_id"].to_numpy()))
+            return _taat_kernel(pdf, qspec, np.unique(apdf["doc_id"].to_numpy()))
 
         out_schema = "query_id int, doc_id long, score_q long"
         if predicate is not None:
@@ -495,8 +484,37 @@ class InvertedIndex:
         else:
             per_shard = per_shard_taat if strategy == "taat" else per_shard_wand
             local = rows.groupBy("shard").applyInPandas(per_shard, out_schema)
+        return self._rank_and_limit(local, {q.query_id: q.k for q in queries})
+
+    def topk(self, terms: Sequence[str], k: int = 10, mode: str = "OR") -> DataFrame:
+        return self.topk_batch([Query(0, list(terms), mode, k)]).drop("query_id")
+
+    def _posting_rows(self, all_terms: list[str]) -> DataFrame:
+        """Term-pruned posting rows for the per-shard scorers: ONE
+        combined-file scan in the fused state, else structure+scores
+        scans unioned with null padding (matched back up per
+        (term, sub_shard) by _merged_lists inside the shard group)."""
+        term_filter = F.col("term").isin(all_terms)
+        if self.combined is not None:
+            return self.combined.filter(term_filter).select(
+                "shard", "term", "sub_shard", "n_docs", "docs_payload",
+                "block_firsts", "block_lasts", "block_counts", "block_doc_offs",
+                "scores_payload", "block_max_score", "block_score_offs",
+            )
+        s_rows = self.structure.filter(term_filter).select(
+            "shard", "term", "sub_shard", "n_docs", "docs_payload",
+            "block_firsts", "block_lasts", "block_counts", "block_doc_offs",
+        )
+        c_rows = self.scores.filter(term_filter).select(
+            "shard", "term", "sub_shard",
+            "scores_payload", "block_max_score", "block_score_offs",
+        )
+        return s_rows.unionByName(c_rows, allowMissingColumns=True)
+
+    def _rank_and_limit(self, local: DataFrame, kmap: dict[int, int]) -> DataFrame:
+        """Global merge: per-query window top-k over the ≤ shards*k
+        shard-local results."""
         w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
-        kmap = {q.query_id: q.k for q in queries}
         kdf = self.spark.createDataFrame(list(kmap.items()), "query_id int, k int")
         return (
             local.withColumn("rank", F.row_number().over(w))
@@ -509,8 +527,63 @@ class InvertedIndex:
             )
         )
 
-    def topk(self, terms: Sequence[str], k: int = 10, mode: str = "OR") -> DataFrame:
-        return self.topk_batch([Query(0, list(terms), mode, k)]).drop("query_id")
+    def phrase_topk(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+        """Exact-phrase top-k: docs containing ``terms`` as CONSECUTIVE
+        tokens (tokenizer stream order), ranked by the sum of the
+        terms' BM25 scores, (score desc, doc asc) ties — i.e. the AND
+        query restricted to adjacency-verified docs.
+
+        Plan: the positions artifact (build_positions) and the posting
+        rows are both term-pruned scans COGROUPED on shard — positions
+        rows co-shuffle with exactly the posting shards that can hold
+        their docs (placement comes from docmeta on both sides), no
+        broadcast, no O(corpus) join.  Adjacency is verified per shard
+        with the vectorized int64-packed intersect chain
+        (positions.verify_phrase_docs), then the standard TAAT kernel
+        scores the surviving docs; the global merge is the usual
+        ≤ shards*k window."""
+        from .build import index_paths
+        from .positions import verify_phrase_docs
+
+        terms = list(terms)
+        if len(terms) < 2:
+            raise ValueError("phrase_topk needs at least 2 terms")
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        p = index_paths(self.manifest)
+        rel = p.get("positions")
+        if not rel:
+            raise ValueError(
+                "index has no positions artifact — run build_positions first"
+            )
+        if int(self.manifest.get("positions_version", -1)) != int(
+            self.manifest.get("version", 0)
+        ):
+            raise ValueError(
+                "positions artifact is stale (built at index version "
+                f"{self.manifest.get('positions_version')}, index is at "
+                f"{self.manifest.get('version', 0)}) — rebuild positions"
+            )
+        pos_rows = (
+            self.spark.read.parquet(os.path.join(self.index_dir, rel))
+            .filter(F.col("term").isin(terms))
+            .select("shard", "term", "doc_id", "poss")
+        )
+        rows = self._posting_rows(sorted(set(terms)))
+        qspec = [(0, terms, "AND", k)]
+
+        def per_shard_phrase(key, pdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+            allowed = verify_phrase_docs(ppdf, terms)
+            if not len(allowed):
+                return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
+            return _taat_kernel(pdf, qspec, allowed)
+
+        local = (
+            rows.groupBy("shard")
+            .cogroup(pos_rows.groupBy("shard"))
+            .applyInPandas(per_shard_phrase, "query_id int, doc_id long, score_q long")
+        )
+        return self._rank_and_limit(local, {0: k}).drop("query_id")
 
     # ---------- relational (oracle-checkable) path ----------
 
