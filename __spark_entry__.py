@@ -412,6 +412,52 @@ def q_index_incremental_topk(spark, sf_dir):
     return out.select("doc_id", "score_q")
 
 
+DELETE_MOD = 10  # delete docs with doc_id % 10 == 0 (~10% of the corpus)
+
+
+def q_index_delete_topk(spark, sf_dir):
+    """WAND top-k after delete_documents: build over the full corpus,
+    tombstone ~10% of docs (doc_id % DELETE_MOD == 0 — deterministic in
+    both engines), query; the oracle runs the same BM25 SQL over the
+    corpus MINUS the deleted docs.  Exercises shard-scoped re-encode +
+    exact global-stat refresh (idf/avgdl must reflect the smaller
+    corpus, not just mask the rows)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from wikitfidf_spark.index.build import (
+        INDEX_FORMAT, IndexConfig, build_index, delete_documents,
+    )
+    from wikitfidf_spark.index.query import InvertedIndex, Query
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
+    cfg = IndexConfig(n_shards=8, n_salts=4, id_cols=(), topic_col="lang")
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        fp = "nofp"
+    key = f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}|fmt{INDEX_FORMAT}|del{DELETE_MOD}"
+    idx_dir = f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
+    done = os.path.join(idx_dir, "_DEL_DONE")
+    if not os.path.exists(done):
+        _sh.rmtree(idx_dir, ignore_errors=True)  # delete is not re-runnable
+        build_index(spark, docs, idx_dir, cfg)
+        dead = [
+            r["doc_id"]
+            for r in docs.select("doc_id")
+            .filter(F.col("doc_id") % DELETE_MOD == 0)
+            .collect()
+        ]
+        delete_documents(spark, dead, idx_dir)
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = InvertedIndex(spark, idx_dir)
+    out = idx.topk_batch([Query(0, BM25_OR_TERMS, "OR", TOPK)], strategy="wand")
+    return out.select("doc_id", "score_q")
+
+
 def q_index_phrase_topk(spark, sf_dir):
     """Exact-phrase top-k through the ENGINE: docs containing
     PHRASE_TERMS as consecutive tokens, ranked by the phrase terms'
@@ -654,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_filtered_topk": q_index_filtered_topk,
         "index_incremental_topk": q_index_incremental_topk,
         "index_phrase_topk": q_index_phrase_topk,
+        "index_delete_topk": q_index_delete_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_pairs": q_jaccard_pairs,
@@ -756,6 +803,22 @@ SELECT doc_id, sum(score_q)::bigint AS score_q
 FROM sc GROUP BY doc_id
 ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
 """
+
+# delete oracle: the SAME BM25 SQL with tombstoned docs excluded at the
+# source — global df/avgdl/N recompute over the survivors, exactly what
+# delete_documents' exact-stat refresh must reproduce
+_BM25_DELETE_BODY = (
+    _BM25_CTE.replace(
+        # %% survives the %-format below as a literal SQL modulo
+        "FROM documents", f"FROM documents WHERE doc_id %% {DELETE_MOD} != 0"
+    )
+    % {"terms": _OR_SQL}
+    + f"""
+SELECT doc_id, sum(score_q)::bigint AS score_q
+FROM sc GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
+"""
+)
 
 _PHRASE_SQL = ", ".join(f"'{t}'" for t in PHRASE_TERMS)
 # phrase oracle: the BM25 CTE over the phrase's terms, restricted to
@@ -897,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         # bounded-staleness ingest converges to exact full-corpus scores
         "index_incremental_topk": _BM25_OR_BODY,
         "index_phrase_topk": _BM25_PHRASE_BODY,
+        "index_delete_topk": _BM25_DELETE_BODY,
         "index_filtered_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
             SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q
             FROM sc JOIN documents d ON d.doc_id = sc.doc_id

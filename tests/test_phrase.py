@@ -45,6 +45,46 @@ def test_verify_three_term_chain_and_repeats():
     assert verify_phrase_docs(_pdf(rows), ["a", "b"]).tolist() == [7]
 
 
+def test_verify_slop_windows():
+    # "a ? b": a@0, b@2 — matches at slop>=1, not at slop=0
+    rows = [("a", 1, [0]), ("b", 1, [2]), ("a", 2, [0]), ("b", 2, [1])]
+    assert verify_phrase_docs(_pdf(rows), ["a", "b"], slop=0).tolist() == [2]
+    assert sorted(verify_phrase_docs(_pdf(rows), ["a", "b"], slop=1).tolist()) == [1, 2]
+    # order still matters under slop: b before a never matches "a b"
+    rows2 = [("a", 3, [5]), ("b", 3, [3])]
+    assert len(verify_phrase_docs(_pdf(rows2), ["a", "b"], slop=3)) == 0
+
+
+def test_phrase_slop_matches_bruteforce(spark, built):
+    """Engine slop path vs a Python proximity oracle on the corpus."""
+    docs, d = built
+    rows = docs.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).select(
+        "doc_id", "content"
+    ).collect()
+    pair_docs = collections.Counter()
+    for r in rows:
+        toks = tokenize_py(r["content"])
+        for a, b in set(zip(toks, toks[2:])):  # gap-1 pairs
+            pair_docs[(a, b)] += 1
+    (t1, t2), n = pair_docs.most_common(1)[0]
+    assert n >= 2
+
+    def prox_docs(slop):
+        out = set()
+        for r in rows:
+            toks = tokenize_py(r["content"])
+            p1 = [i for i, t in enumerate(toks) if t == t1]
+            p2 = {i for i, t in enumerate(toks) if t == t2}
+            if any(i + d in p2 for i in p1 for d in range(1, slop + 2)):
+                out.add(r["doc_id"])
+        return out
+
+    idx = InvertedIndex(spark, d)
+    for slop in (0, 1, 2):
+        got = {r["doc_id"] for r in idx.phrase_topk([t1, t2], k=10_000, slop=slop).collect()}
+        assert got == prox_docs(slop), f"slop={slop}"
+
+
 def test_verify_missing_term_or_empty():
     assert len(verify_phrase_docs(_pdf([("a", 1, [0])]), ["a", "b"])) == 0
     assert len(verify_phrase_docs(_pdf([]), ["a", "b"])) == 0

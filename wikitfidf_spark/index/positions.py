@@ -127,13 +127,18 @@ def build_positions(spark: SparkSession, docs: DataFrame, index_dir: str) -> dic
     return {"path": rel, "wall_sec": time.time() - t0}
 
 
-def verify_phrase_docs(pos_pdf: pd.DataFrame, terms: list[str]):
+def verify_phrase_docs(pos_pdf: pd.DataFrame, terms: list[str], slop: int = 0):
     """Vectorized adjacency chain over one shard's position rows
     ``(term, doc_id, poss)``: returns the np.ndarray of doc_ids
     containing ``terms`` as consecutive tokens.  Repeated terms in the
     phrase are supported (each step intersects against the term's
     occurrence set, so "a a b" requires positions p, p+1∈pos(a),
-    p+2∈pos(b))."""
+    p+2∈pos(b)).
+
+    ``slop > 0`` relaxes adjacency to ORDERED proximity: each next term
+    may sit 1..(1+slop) tokens after the previous match (per gap, not a
+    shared budget) — the step becomes a union of (slop+1) shifted
+    intersects, still fully vectorized."""
     import numpy as np
 
     if pos_pdf.empty:
@@ -162,9 +167,14 @@ def verify_phrase_docs(pos_pdf: pd.DataFrame, terms: list[str]):
         poss = np.concatenate([np.asarray(p, dtype=np.int64) for _, p in rows])
         return (np.repeat(idx, lens) << 32) | poss
 
-    cur = encoded(terms[0]) + 1
+    # positions within one doc are < 2^32, so the +d shifts below never
+    # carry into the doc-index bits
+    cur = encoded(terms[0])
     for t in terms[1:]:
-        cur = np.intersect1d(cur, encoded(t), assume_unique=False) + 1
-    if not len(cur):
-        return np.empty(0, dtype=np.int64)
-    return all_docs[np.unique((cur - 1) >> 32)]
+        nxt = encoded(t)
+        cur = np.unique(np.concatenate([
+            np.intersect1d(cur + d, nxt) for d in range(1, slop + 2)
+        ]))
+        if not len(cur):
+            return np.empty(0, dtype=np.int64)
+    return all_docs[np.unique(cur >> 32)]

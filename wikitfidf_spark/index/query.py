@@ -527,11 +527,14 @@ class InvertedIndex:
             )
         )
 
-    def phrase_topk(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+    def phrase_topk(
+        self, terms: Sequence[str], k: int = 10, slop: int = 0
+    ) -> DataFrame:
         """Exact-phrase top-k: docs containing ``terms`` as CONSECUTIVE
         tokens (tokenizer stream order), ranked by the sum of the
         terms' BM25 scores, (score desc, doc asc) ties — i.e. the AND
-        query restricted to adjacency-verified docs.
+        query restricted to adjacency-verified docs.  ``slop`` relaxes
+        each gap to ordered proximity (next term within 1+slop tokens).
 
         Plan: the positions artifact (build_positions) and the posting
         rows are both term-pruned scans COGROUPED on shard — positions
@@ -550,6 +553,8 @@ class InvertedIndex:
             raise ValueError("phrase_topk needs at least 2 terms")
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
         p = index_paths(self.manifest)
         rel = p.get("positions")
         if not rel:
@@ -573,7 +578,7 @@ class InvertedIndex:
         qspec = [(0, terms, "AND", k)]
 
         def per_shard_phrase(key, pdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
-            allowed = verify_phrase_docs(ppdf, terms)
+            allowed = verify_phrase_docs(ppdf, terms, slop)
             if not len(allowed):
                 return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
             return _taat_kernel(pdf, qspec, allowed)
