@@ -282,34 +282,37 @@ def q_bm25_and_topk(spark, sf_dir):
 _NOCACHE_IDX_DIRS: dict[str, str] = {}  # per-process memo for catalog sources
 
 
-def _cached_index(spark, sf_dir):
-    """Build (once per content fingerprint, cached on disk — or once
-    per process for catalog sources with no file to fingerprint) the
-    posting-list index over the documents table."""
-    from wikitfidf_spark.index.build import build_index, IndexConfig
-    from wikitfidf_spark.index.query import InvertedIndex
+def _entry_idx_cfg():
+    from wikitfidf_spark.index.build import IndexConfig
 
-    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
-    cfg = IndexConfig(n_shards=8, n_salts=4, id_cols=(), topic_col="lang")
+    return IndexConfig(n_shards=8, n_salts=4, id_cols=(), topic_col="lang")
+
+
+def _idx_cache_dir(sf_dir, cfg, tag: str = "") -> str:
+    """Resolve the on-disk cache dir for an index variant over this
+    corpus.  Cache key = full path + source file fingerprint + config
+    (+ variant tag): two corpora sharing a dir basename, regenerated
+    data at the same path, or two variants (plain/incremental/delete)
+    must never reuse each other's dirs.  Catalog-table sources have no
+    local file to fingerprint and their contents can change under the
+    same identifier — a content-blind disk cache would silently serve a
+    stale index, so those fall back to a per-PROCESS temp dir (queries
+    of one driver run share one build, fresh runs rebuild)."""
     import hashlib as _hl
-    # cache key = full path + source file fingerprint + config: two
-    # corpora sharing a dir basename (or regenerated data at the same
-    # path) must not reuse a stale index
+
     from wikitfidf_spark.index.build import INDEX_FORMAT
 
     src = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(src)
         fp = f"{st.st_size}|{st.st_mtime_ns}"
-        key = f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}|fmt{INDEX_FORMAT}"
-        idx_dir = f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
+        key = (
+            f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}"
+            f"|fmt{INDEX_FORMAT}|{tag}"
+        )
+        return f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
     except OSError:
-        # catalog-table source: no local file to fingerprint, and the
-        # table's contents can change under the same identifier — a
-        # content-blind disk cache would silently serve a stale index.
-        # Memoized per PROCESS instead: the three index queries of one
-        # driver run share one build, fresh runs rebuild.
-        memo_key = f"{os.path.abspath(src)}|{sorted(cfg.to_json().items())}"
+        memo_key = f"{os.path.abspath(src)}|{sorted(cfg.to_json().items())}|{tag}"
         idx_dir = _NOCACHE_IDX_DIRS.get(memo_key)
         if idx_dir is None:
             import tempfile
@@ -317,6 +320,19 @@ def _cached_index(spark, sf_dir):
             idx_dir = _NOCACHE_IDX_DIRS[memo_key] = tempfile.mkdtemp(
                 prefix="wikitfidf_idx_nocache_"
             )
+        return idx_dir
+
+
+def _cached_index(spark, sf_dir):
+    """Build (once per content fingerprint, cached on disk — or once
+    per process for catalog sources with no file to fingerprint) the
+    posting-list index over the documents table."""
+    from wikitfidf_spark.index.build import build_index
+    from wikitfidf_spark.index.query import InvertedIndex
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
+    cfg = _entry_idx_cfg()
+    idx_dir = _idx_cache_dir(sf_dir, cfg)
     build_index(spark, docs, idx_dir, cfg)  # resumes instantly if built
     return InvertedIndex(spark, idx_dir)
 
@@ -367,24 +383,14 @@ def _cached_incremental_index(spark, sf_dir):
     converged index MUST be rank- and score-identical to one built
     fresh over the full corpus — its oracle is the same full-corpus
     BM25 SQL as the flagship."""
-    import hashlib as _hl
     import shutil as _sh
 
-    from wikitfidf_spark.index.build import (
-        INDEX_FORMAT, IndexConfig, add_documents, build_index, refresh_scores,
-    )
+    from wikitfidf_spark.index.build import add_documents, build_index, refresh_scores
     from wikitfidf_spark.index.query import InvertedIndex
 
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
-    cfg = IndexConfig(n_shards=8, n_salts=4, id_cols=(), topic_col="lang")
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        fp = "nofp"
-    key = f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}|fmt{INDEX_FORMAT}|incr"
-    idx_dir = f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
+    cfg = _entry_idx_cfg()
+    idx_dir = _idx_cache_dir(sf_dir, cfg, tag="incr")
     done = os.path.join(idx_dir, "_INCR_DONE")
     if not os.path.exists(done):
         # the add step is not idempotent across reruns (duplicate
@@ -422,35 +428,24 @@ def q_index_delete_topk(spark, sf_dir):
     corpus MINUS the deleted docs.  Exercises shard-scoped re-encode +
     exact global-stat refresh (idf/avgdl must reflect the smaller
     corpus, not just mask the rows)."""
-    import hashlib as _hl
     import shutil as _sh
 
-    from wikitfidf_spark.index.build import (
-        INDEX_FORMAT, IndexConfig, build_index, delete_documents,
-    )
+    from wikitfidf_spark.index.build import build_index, delete_documents
     from wikitfidf_spark.index.query import InvertedIndex, Query
 
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
-    cfg = IndexConfig(n_shards=8, n_salts=4, id_cols=(), topic_col="lang")
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        fp = "nofp"
-    key = f"{os.path.abspath(src)}|{fp}|{sorted(cfg.to_json().items())}|fmt{INDEX_FORMAT}|del{DELETE_MOD}"
-    idx_dir = f"/tmp/wikitfidf_idx_cache/{_hl.md5(key.encode()).hexdigest()[:12]}"
+    cfg = _entry_idx_cfg()
+    idx_dir = _idx_cache_dir(sf_dir, cfg, tag=f"del{DELETE_MOD}")
     done = os.path.join(idx_dir, "_DEL_DONE")
     if not os.path.exists(done):
         _sh.rmtree(idx_dir, ignore_errors=True)  # delete is not re-runnable
         build_index(spark, docs, idx_dir, cfg)
-        dead = [
-            r["doc_id"]
-            for r in docs.select("doc_id")
-            .filter(F.col("doc_id") % DELETE_MOD == 0)
-            .collect()
-        ]
-        delete_documents(spark, dead, idx_dir)
+        # tombstone set stays a distributed DataFrame end-to-end
+        delete_documents(
+            spark,
+            docs.select("doc_id").filter(F.col("doc_id") % DELETE_MOD == 0),
+            idx_dir,
+        )
         with open(done, "w") as f:
             f.write("ok")
     idx = InvertedIndex(spark, idx_dir)

@@ -257,6 +257,26 @@ def test_stale_add_defers_refresh_then_converges(spark, tmp_path):
     assert _postings_rows(spark, exact_dir) == _postings_rows(spark, stale_dir)
 
 
+def test_stale_window_tfidf_covers_delta_only_terms(spark, tmp_path):
+    """tfidf_scores must not DROP postings of terms that exist only in
+    an un-refreshed delta (the epoch dictionary lacks them): the left
+    join + structure-sidecar df fallback keeps them scored."""
+    from wikitfidf_spark.index.query import InvertedIndex
+
+    docs = make_code_files(spark, n_docs=120, seed=42)
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4)) == 0
+    d = str(tmp_path / "idx_tfidf_stale")
+    build_index(spark, docs.filter(~split), d, CFG, resume=False)
+    delta = docs.filter(split).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" zzz_delta_only_term"))
+    )
+    add_documents(spark, delta, d, refresh_scores=False)
+    got = InvertedIndex(spark, d).tfidf_scores(["zzz_delta_only_term"]).collect()
+    n_delta = delta.count()
+    assert len(got) == n_delta  # every delta doc scored, none dropped
+    assert all(r["tfidf"] is not None for r in got)
+
+
 def test_maybe_compact_closes_stale_window(spark, tmp_path):
     """The ingest-loop policy refreshes (not compacts) once
     stale_deltas reaches the threshold: the O(corpus) score map is paid

@@ -1059,6 +1059,13 @@ def add_documents(
     version = int(manifest.get("version", 0)) + 1
     t_start = time.time()
 
+    # delta size, counted on the SLIM raw input before the sha256
+    # projection / defensive repartition join the lineage — a cheap
+    # (often metadata-only) scan, not a full re-execution; it sizes the
+    # generation's shard count below
+    n_new_docs = int(
+        new_docs.select(*(cfg.id_cols or ("doc_id",))).count()
+    )
     base = new_docs if not cfg.id_cols else new_docs.withColumn(
         "doc_id", F.xxhash64(*cfg.id_cols)
     )
@@ -1083,7 +1090,6 @@ def add_documents(
     # the live index's docs-per-shard density, clamped to [1, n_shards];
     # compact() folds everything back to canonical hash placement, so
     # the byte-identity invariant is untouched.
-    n_new_docs = int(base.count())
     live = int(
         manifest["metrics"].get("live_total_docs", manifest["metrics"]["total_docs"])
     )

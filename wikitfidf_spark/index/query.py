@@ -662,10 +662,28 @@ class InvertedIndex:
 
     def tfidf_scores(self, terms: Sequence[str] | None = None) -> DataFrame:
         """Degenerate TF-IDF mode: reference formula (tfidf.go:100-103)
-        over decoded postings — reproduces wikitfidf rankings."""
+        over decoded postings — reproduces wikitfidf rankings.
+
+        During a bounded-staleness window (deferred-refresh deltas
+        outstanding) the epoch dictionary lacks terms that exist only
+        in the un-refreshed delta; an inner join would silently DROP
+        their postings, breaking the stale-mode contract ("doc sets
+        exact, scores epoch-stale").  The left join + structure-derived
+        fallback df (each term's live posting count, exact by
+        construction) keeps every decoded row scored; after
+        refresh_scores both sides agree and the fallback is inert."""
         d = self.decoded(terms)
+        # exact live df from the structure SIDECAR columns (sum of each
+        # list's n_docs) — column pruning keeps the payloads unread, so
+        # this costs a narrow scan, not a second decode pass
+        struct = self.structure
+        if terms is not None:
+            struct = struct.filter(F.col("term").isin(list(terms)))
+        fallback_df = struct.groupBy("term").agg(F.sum("n_docs").alias("df_live"))
         joined = (
-            d.join(F.broadcast(self.dictionary.select("term", "df")), "term")
+            d.join(F.broadcast(self.dictionary.select("term", "df")), "term", "left")
+            .join(F.broadcast(fallback_df), "term")
+            .withColumn("df", F.coalesce("df", "df_live"))
             .join(self.docmeta.select("doc_id", "doc_len"), "doc_id")
         )
         raw = (F.col("tf").cast("double") / F.col("doc_len").cast("double")) * F.log10(

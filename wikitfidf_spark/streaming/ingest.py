@@ -66,7 +66,10 @@ def ingest_batch(
     tombs = _tombstones(spark, index_dir, manifest)
     if tombs is not None:
         seen = seen.unionByName(tombs.select("doc_id"))
-    fresh = ids.join(seen, "doc_id", "left_anti")
+    # intra-batch dedup too: one trigger can pick up overlapping source
+    # files, and add_documents' duplicate guard would otherwise fail the
+    # batch — which the checkpoint then replays forever (a wedged query)
+    fresh = ids.join(seen, "doc_id", "left_anti").dropDuplicates(["doc_id"])
     if cfg.id_cols:
         fresh = fresh.drop("doc_id")  # add_documents re-derives
     if fresh.isEmpty():
@@ -104,12 +107,16 @@ def stream_index_ingest(
     max_structure_files: int = 8,
     max_files_per_trigger: int | None = None,
     on_batch: Callable[[dict], None] | None = None,
+    processing_time: str | None = None,
 ):
     """Start the streaming ingest query: new parquet files under
     ``docs_path`` flow into the index as bounded-staleness deltas.
-    Returns the StreamingQuery (caller awaits/stops it; tests use
-    ``trigger(availableNow=True)`` semantics via ``.awaitTermination``
-    after the source drains)."""
+    Returns the StreamingQuery.
+
+    Trigger: by default ``availableNow`` — drain everything present,
+    then stop (batch backfills, tests, cron-style catch-up runs).  Pass
+    ``processing_time`` (e.g. ``"30 seconds"``) for a long-running
+    query that keeps picking up new files at that cadence."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -125,10 +132,13 @@ def stream_index_ingest(
         if on_batch is not None:
             on_batch(status)
 
-    return (
+    writer = (
         stream.writeStream
         .foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
