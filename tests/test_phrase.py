@@ -162,30 +162,148 @@ def test_phrase_topk_no_match_and_guards(spark, built):
 
 
 def test_phrase_positions_staleness_guard(spark, built, tmp_path):
-    """An index updated after build_positions refuses phrase queries
-    until positions are rebuilt (version mismatch)."""
+    """The index's own ops maintain positions, so staleness can only
+    come from an out-of-band writer (or a pre-owner-map artifact) —
+    simulate one by bumping the manifest version; phrase queries must
+    refuse until positions are rebuilt."""
     import shutil
 
-    from wikitfidf_spark.index.build import add_documents
+    from wikitfidf_spark.index.build import _save_manifest
 
-    docs, d = built
+    _, d = built
     d2 = str(tmp_path / "idx_phrase_stale")
     shutil.copytree(d, d2)
-    add_documents(spark, make_code_files(spark, n_docs=20, seed=77), d2)
+    m = load_manifest(d2)
+    m["version"] = int(m.get("version", 0)) + 1
+    _save_manifest(d2, m)
     idx = InvertedIndex(spark, d2)
     with pytest.raises(ValueError, match="stale"):
         idx.phrase_topk(["part", "filter"], k=5)
+
+
+def _merged_rows(docs):
+    return docs.withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    ).select("doc_id", "content").collect()
+
+
+def _best_pair(rows):
+    """Most common adjacent token pair over ``rows`` (collected docs)."""
+    pair_docs = collections.Counter()
+    for r in rows:
+        toks = tokenize_py(r["content"])
+        for a, b in set(zip(toks, toks[1:])):
+            pair_docs[(a, b)] += 1
+    (t1, t2), n = pair_docs.most_common(1)[0]
+    assert n >= 2
+    return t1, t2
+
+
+@pytest.mark.parametrize("refresh", [True, False], ids=["exact", "stale"])
+def test_phrase_survives_incremental_add(spark, built, tmp_path, refresh):
+    """add_documents extends positions O(delta) (a generation file for
+    the delta's shards; base file untouched): phrase results over the
+    merged corpus match brute force with NO positions rebuild — in
+    both exact and bounded-staleness ingest modes."""
+    import shutil
+
+    from wikitfidf_spark.index.build import add_documents, index_paths
+
+    docs, d = built
+    d2 = str(tmp_path / "idx_phrase_add")
+    shutil.copytree(d, d2)
+    extra = make_code_files(spark, n_docs=30, seed=77)
+    add_documents(spark, extra, d2, refresh_scores=refresh)
+
+    m = load_manifest(d2)
+    assert int(m["positions_version"]) == int(m["version"])
+    owned = index_paths(m)["positions"]
+    assert isinstance(owned, dict)
+    assert len(set(owned.values())) == 2  # base + one delta generation
+
+    # phrase chosen as the extra docs' most common pair, so the delta
+    # actually participates; the oracle runs over the merged corpus
+    extra_rows = _merged_rows(extra)
+    t1, t2 = _best_pair(extra_rows)
+    all_rows = _merged_rows(docs) + extra_rows
+    expected = _phrase_docs_py(all_rows, [t1, t2])
+    assert expected & {r["doc_id"] for r in extra_rows}  # delta matters
+    idx = InvertedIndex(spark, d2)
+    got = {r["doc_id"] for r in idx.phrase_topk([t1, t2], k=10_000).collect()}
+    assert got == expected
+
+
+def test_phrase_survives_delete(spark, built, tmp_path):
+    """delete_documents leaves positions untouched; the tombstoned
+    doc's rows are masked by the live postings and never surface."""
+    import shutil
+
+    from wikitfidf_spark.index.build import delete_documents
+
+    docs, d = built
+    d2 = str(tmp_path / "idx_phrase_del")
+    shutil.copytree(d, d2)
+    rows = _merged_rows(docs)
+    t1, t2 = _best_pair(rows)
+    expected = _phrase_docs_py(rows, [t1, t2])
+    victim = min(expected)
+    delete_documents(spark, [victim], d2)
+
+    m = load_manifest(d2)
+    assert int(m["positions_version"]) == int(m["version"])
+    idx = InvertedIndex(spark, d2)
+    got = {r["doc_id"] for r in idx.phrase_topk([t1, t2], k=10_000).collect()}
+    assert got == expected - {victim}
+
+
+def test_phrase_survives_compact(spark, built, tmp_path):
+    """compact() carries positions through by shard-remap (no
+    re-tokenize): after add + delete + compact the owner map collapses
+    to one canonical-placement file, tombstoned docs' position rows
+    are physically gone, and phrase results match brute force over the
+    live corpus."""
+    import os
+    import shutil
+
+    from wikitfidf_spark.index.build import (
+        add_documents, compact, delete_documents, index_paths,
+    )
+    from wikitfidf_spark.index.positions import read_positions
+
+    docs, d = built
+    d2 = str(tmp_path / "idx_phrase_compact")
+    shutil.copytree(d, d2)
+    extra = make_code_files(spark, n_docs=30, seed=77)
+    add_documents(spark, extra, d2)
+    rows = _merged_rows(docs) + _merged_rows(extra)
+    t1, t2 = _best_pair(rows)
+    expected = _phrase_docs_py(rows, [t1, t2])
+    victim = min(expected)
+    delete_documents(spark, [victim], d2)
+    compact(spark, d2)
+
+    m = load_manifest(d2)
+    assert int(m["positions_version"]) == int(m["version"])
+    owned = index_paths(m)["positions"]
+    assert len(set(owned.values())) == 1  # folded back to one file
+    assert sorted(int(s) for s in owned) == list(range(CFG.n_shards))
+    pos = read_positions(spark, d2, owned)
+    assert pos.filter(F.col("doc_id") == victim).count() == 0  # physically dropped
+    idx = InvertedIndex(spark, d2)
+    got = {r["doc_id"] for r in idx.phrase_topk([t1, t2], k=10_000).collect()}
+    assert got == expected - {victim}
 
 
 def test_positions_lengths_match_tf(spark, built):
     """len(poss) == tf per (doc, term) — positions and tf come from the
     same token stream."""
     from wikitfidf_spark.index.build import index_paths
+    from wikitfidf_spark.index.positions import read_positions
     import os
 
     _, d = built
     m = load_manifest(d)
-    pos = spark.read.parquet(os.path.join(d, index_paths(m)["positions"]))
+    pos = read_positions(spark, d, index_paths(m)["positions"])
     tf = spark.read.parquet(os.path.join(d, index_paths(m)["tf"][0]))
     joined = (
         pos.select("doc_id", "term", F.size("poss").alias("np"))

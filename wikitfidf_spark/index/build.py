@@ -1136,6 +1136,23 @@ def add_documents(
     ]
     manifest["next_shard_base"] = shard_base + g_shards
     manifest["next_gen"] = gen + 1
+    # positions artifact (if built): extend O(delta) — tokenize-with-
+    # positions ONLY the delta and append a generation file owning the
+    # delta's shards; the owner-map flip rides the tail's atomic save.
+    # An already-stale artifact (out-of-band writer) is left stale.
+    if paths.get("positions") is not None and int(
+        manifest.get("positions_version", -1)
+    ) == int(manifest.get("version", 0)):
+        from .positions import extend_positions_for_delta
+
+        manifest["paths"] = {
+            **manifest["paths"],
+            "positions": extend_positions_for_delta(
+                index_dir, base, meta_new, cfg, paths,
+                gen=gen, shards_new=shards_new,
+            ),
+        }
+        manifest["positions_version"] = version
     if not refresh_scores:
         return _add_stale(
             spark, index_dir, manifest, cfg, tf_new, meta_new,
@@ -1338,6 +1355,12 @@ def refresh_scores(spark: SparkSession, index_dir: str) -> BuildResult:
         **paths, "dictionary": dict_rel, "scores": scores_rel, "lineage": lin_rel,
     }
     manifest["version"] = version
+    # a score refresh touches neither placement nor doc sets — the
+    # positions artifact rides through unchanged
+    if paths.get("positions") is not None and int(
+        manifest.get("positions_version", -1)
+    ) == int(manifest.get("version", 0)) - 1:
+        manifest["positions_version"] = version
     manifest["score_epoch"] = {"version": version, "n_docs": n_docs_all, "avgdl": avgdl}
     closed = int(manifest.get("stale_deltas", 0))
     manifest["stale_deltas"] = 0
@@ -1421,6 +1444,15 @@ def delete_documents(
     # surviving docs of the affected shards = the re-encode input
     meta_affected = meta_all.filter(F.col("shard").isin(shards_del))
     tf_enc = tf_all.join(meta_affected.select("doc_id"), "doc_id", "left_semi")
+    # positions artifact survives deletes AS-IS: position lists are
+    # doc-local and placement is unchanged; the tombstoned docs' rows
+    # stay on disk but the phrase kernel only scores docs present in
+    # the (re-encoded, dead-doc-free) postings, so they can never
+    # surface.  Compaction physically drops them.
+    if paths.get("positions") is not None and int(
+        manifest.get("positions_version", -1)
+    ) == int(manifest.get("version", 0)):
+        manifest["positions_version"] = version
     return _update_derived(
         spark, index_dir, manifest, cfg, tf_all, tf_enc, meta_all,
         owned_shards=shards_del, struct_rel=f"structure_del_v{version}.parquet",
@@ -1488,6 +1520,29 @@ def compact(spark: SparkSession, index_dir: str) -> BuildResult:
         *[os.path.join(index_dir, p) for p in paths["docmeta"]]
     ).withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_shards)).cast("int"))
     manifest["next_shard_base"] = cfg.n_shards
+    # positions: carry through compaction by shard-remapping the
+    # existing rows (doc-local lists never change — no re-tokenize;
+    # the remap's inner join against live docmeta also drops the
+    # tombstoned docs' rows).  A stale artifact can't be remapped
+    # (its rows may not match the live corpus) — drop its pointer in
+    # the same atomic save instead.
+    drop_keys = ("tombstones",)
+    if paths.get("positions") is not None:
+        if int(manifest.get("positions_version", -1)) == int(
+            manifest.get("version", 0)
+        ):
+            from .positions import remap_positions_for_compact
+
+            manifest["paths"] = {
+                **manifest["paths"],
+                "positions": remap_positions_for_compact(
+                    spark, index_dir, paths, meta_live, cfg.n_shards, version
+                ),
+            }
+            manifest["positions_version"] = version
+        else:
+            drop_keys = ("tombstones", "positions")
+            manifest.pop("positions_version", None)
     # tombstones are folded into the compacted tf -> drop the pointer
     # inside _update_derived's single atomic manifest save
     return _update_derived(
@@ -1496,5 +1551,5 @@ def compact(spark: SparkSession, index_dir: str) -> BuildResult:
         struct_rel=f"structure_compact_v{version}.parquet",
         version=version, phase_name=f"compact_v{version}", t_start=t_start,
         paths_update={"tf": [tf_rel]}, reset_owners=True,
-        drop_path_keys=("tombstones",),
+        drop_path_keys=drop_keys,
     )

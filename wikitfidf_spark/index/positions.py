@@ -89,9 +89,13 @@ def build_positions(spark: SparkSession, docs: DataFrame, index_dir: str) -> dic
     term-sorted within shard partitions, register in the manifest.
 
     ``docs`` must be the index's full live corpus (same id_cols/text
-    config); rebuilding after adds/deletes/compacts is the caller's
-    job — the artifact records the manifest version it was built at,
-    and readers refuse a stale one."""
+    config).  Once built, the artifact is MAINTAINED by the index's
+    own update ops — adds extend it O(delta) with a generation file,
+    deletes leave it untouched (dead docs' rows are masked against
+    live postings at query time), compaction shard-remaps it without
+    re-tokenizing — so ``positions_version`` tracks the manifest
+    version and readers' staleness check only fires if the artifact
+    was mutated by an out-of-band writer (or predates this scheme)."""
     from .build import _load_cfg, _save_manifest, index_paths, load_manifest
     from ..operators.stemdict import STEMMERS
 
@@ -118,13 +122,111 @@ def build_positions(spark: SparkSession, docs: DataFrame, index_dir: str) -> dic
         .select("shard", "term", "doc_id", "poss")
         .write.mode("overwrite").parquet(os.path.join(index_dir, rel))
     )
-    manifest["paths"]["positions"] = rel
+    # owner map, like structure: incremental adds append a generation
+    # positions file for their new shards instead of rebuilding this one
+    manifest["paths"]["positions"] = {str(s): rel for s in paths["structure"]}
     manifest["positions_version"] = int(manifest.get("version", 0))
     manifest["phases"][f"positions_v{manifest['positions_version']}"] = {
         "rows": 0, "wall_sec": time.time() - t0,
     }
     _save_manifest(index_dir, manifest)
     return {"path": rel, "wall_sec": time.time() - t0}
+
+
+def _as_owner_map(owned, structure_owners: dict) -> dict:
+    """Normalize a positions pointer to the owner-map form (plain-string
+    pointers predate the map: that one file owned every shard)."""
+    if isinstance(owned, str):
+        return {str(s): owned for s in structure_owners}
+    return dict(owned)
+
+
+def read_positions(spark: SparkSession, index_dir: str, owned) -> DataFrame:
+    """Owner-filtered union of the positions files — the same pattern
+    ``build._read_owned`` uses for structure/scores.  Each file is
+    filtered to the shards the map assigns it, so a superseded row can
+    never leak, and term-predicate pushdown still reaches every scan
+    (the filter lands before the union)."""
+    if isinstance(owned, str):
+        return spark.read.parquet(os.path.join(index_dir, owned)).select(
+            "shard", "term", "doc_id", "poss"
+        )
+    by_path: dict[str, list[int]] = {}
+    for s, rel in owned.items():
+        by_path.setdefault(rel, []).append(int(s))
+    parts = [
+        spark.read.parquet(os.path.join(index_dir, rel))
+        .filter(F.col("shard").isin(shards))
+        .select("shard", "term", "doc_id", "poss")
+        for rel, shards in sorted(by_path.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def extend_positions_for_delta(
+    index_dir: str,
+    base: DataFrame,
+    meta_new: DataFrame,
+    cfg,
+    paths: dict,
+    *,
+    gen: int,
+    shards_new: list[int],
+) -> dict:
+    """O(delta) positions maintenance for an incremental add: tokenize
+    ONLY the delta docs with positions and write them as a generation
+    positions file covering the delta's (density-sized) shards — the
+    positions analogue of the structure path's segment-style adds; no
+    existing positions file is touched.  Returns the updated owner
+    map; the caller folds it into the manifest alongside the structure
+    update, inside the same atomic flip."""
+    from ..operators.stemdict import STEMMERS
+
+    stem_py = None if cfg.stemmer in (None, "none") else STEMMERS[cfg.stemmer]
+    rel = f"positions_g{gen}.parquet"
+    pos = positions_df(base, text_col=cfg.text_col, stem_py=stem_py)
+    (
+        pos.join(meta_new.select("doc_id", "shard"), "doc_id")
+        .repartition(max(1, len(set(shards_new))), "shard")
+        .sortWithinPartitions("shard", "term", "doc_id")
+        .select("shard", "term", "doc_id", "poss")
+        .write.mode("overwrite").parquet(os.path.join(index_dir, rel))
+    )
+    owned = _as_owner_map(paths["positions"], paths["structure"])
+    owned.update({str(s): rel for s in shards_new})
+    return owned
+
+
+def remap_positions_for_compact(
+    spark: SparkSession,
+    index_dir: str,
+    paths: dict,
+    meta_live: DataFrame,
+    n_shards: int,
+    version: int,
+) -> dict:
+    """Carry the positions artifact through compaction WITHOUT
+    re-tokenizing: position lists are doc-local (independent of
+    placement and global stats), so folding generations back to
+    canonical shards only needs a shard remap — join the existing
+    rows to the compacted docmeta's (doc_id, shard) and rewrite.
+    The inner join also drops tombstoned docs' rows.  One O(positions)
+    shuffle vs an O(corpus) re-tokenize — and compact doesn't retain
+    raw text anyway.  Returns the new owner map."""
+    rel = f"positions_compact_v{version}.parquet"
+    (
+        read_positions(spark, index_dir, paths["positions"])
+        .drop("shard")
+        .join(meta_live.select("doc_id", "shard"), "doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "term", "doc_id")
+        .select("shard", "term", "doc_id", "poss")
+        .write.mode("overwrite").parquet(os.path.join(index_dir, rel))
+    )
+    return {str(s): rel for s in range(n_shards)}
 
 
 def verify_phrase_docs(pos_pdf: pd.DataFrame, terms: list[str], slop: int = 0):

@@ -569,10 +569,10 @@ class InvertedIndex:
                 f"{self.manifest.get('positions_version')}, index is at "
                 f"{self.manifest.get('version', 0)}) — rebuild positions"
             )
-        pos_rows = (
-            self.spark.read.parquet(os.path.join(self.index_dir, rel))
-            .filter(F.col("term").isin(terms))
-            .select("shard", "term", "doc_id", "poss")
+        from .positions import read_positions
+
+        pos_rows = read_positions(self.spark, self.index_dir, rel).filter(
+            F.col("term").isin(terms)
         )
         rows = self._posting_rows(sorted(set(terms)))
         qspec = [(0, terms, "AND", k)]
