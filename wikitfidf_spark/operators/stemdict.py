@@ -18,8 +18,11 @@ same merge/destem machinery: :func:`column_stemmer` lifts it to a
 Column function via an Arrow-batched pandas UDF (per-batch memoized —
 no per-row Python at the JVM boundary), and the :data:`STEMMERS`
 registry names stemmers so ``IndexConfig``/manifests stay
-JSON-serializable.  :func:`snowball_lite` is a small original
-suffix-stripper standing in for Snowball in tests.
+JSON-serializable.  ``porter2_en`` (:mod:`.porter2`) is a full
+dependency-free Snowball-English implementation — the same algorithm
+the reference's nltk ``SnowballStemmer("english")`` runs;
+:func:`snowball_lite` remains a cheap table-driven stand-in used by
+fast tests.
 """
 
 from __future__ import annotations
@@ -58,8 +61,17 @@ def snowball_lite(word: str) -> str:
     return word
 
 
-#: named stemmers usable from JSON-serializable config (IndexConfig.stemmer)
-STEMMERS: dict[str, Callable[[str], str]] = {"snowball_lite": snowball_lite}
+from .porter2 import porter2_en
+
+#: named stemmers usable from JSON-serializable config (IndexConfig.stemmer).
+#: ``porter2_en`` is the full Snowball-English algorithm implemented in
+#: :mod:`wikitfidf_spark.operators.porter2` (dependency-free), matching
+#: what the reference's nltk SnowballStemmer("english") computes;
+#: ``snowball_lite`` remains the cheap table-driven stand-in.
+STEMMERS: dict[str, Callable[[str], str]] = {
+    "snowball_lite": snowball_lite,
+    "porter2_en": porter2_en,
+}
 
 #: the reference's Snowball language set (textnormalizer.pyx:113-115),
 #: mapped to nltk's SnowballStemmer constructor names
