@@ -374,6 +374,24 @@ def q_index_filtered_topk(spark, sf_dir):
     return out.select("doc_id", "score_q")
 
 
+def q_index_filtered_wand_topk(spark, sf_dir):
+    """Metadata-filtered BM25 top-k through the ENGINE's block-max WAND
+    path: the allowed docmeta ids cogroup with the posting shards and
+    WAND snaps its pivot targets to the next allowed doc — selective
+    filters ADD skip distance instead of costing a post-filter.  AND
+    mode over the flagship terms restricted to topic 'zh'; the oracle
+    checks rank AND score against the relational SQL formulation."""
+    from wikitfidf_spark.index.query import Query
+
+    idx = _cached_index(spark, sf_dir)
+    out = idx.topk_batch(
+        [Query(0, BM25_OR_TERMS, "OR", TOPK)],
+        strategy="wand",
+        predicate="topic = 'zh'",
+    )
+    return out.select("doc_id", "score_q")
+
+
 def _cached_incremental_index(spark, sf_dir):
     """The round-3 ingest pipeline as a correctness surface: build the
     base index over 7/8 of the documents, `add_documents(
@@ -693,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wand_topk": q_index_wand_topk,
         "index_taat_topk": q_index_taat_topk,
         "index_filtered_topk": q_index_filtered_topk,
+        "index_filtered_wand_topk": q_index_filtered_wand_topk,
         "index_incremental_topk": q_index_incremental_topk,
         "index_phrase_topk": q_index_phrase_topk,
         "index_delete_topk": q_index_delete_topk,
@@ -960,6 +979,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q
             FROM sc JOIN documents d ON d.doc_id = sc.doc_id
             WHERE d.lang = 'en'
+            GROUP BY sc.doc_id
+            ORDER BY score_q DESC, sc.doc_id ASC LIMIT {TOPK}
+        """,
+        "index_filtered_wand_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q
+            FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+            WHERE d.lang = 'zh'
             GROUP BY sc.doc_id
             ORDER BY score_q DESC, sc.doc_id ASC LIMIT {TOPK}
         """,

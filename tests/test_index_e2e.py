@@ -138,27 +138,31 @@ def test_filtered_topk_global_scores_restricted_candidates(spark, built, corpus,
     assert all(langs[d] == "python" for d, _ in got)
 
 
-def test_filtered_taat_equals_relational(spark, built, oracle):
-    """The cogrouped TAAT filter path (allowed ids co-shuffled by shard,
-    vectorized np.isin mask) must equal the relational semi-join path
-    for every query and mode."""
+def test_filtered_engine_paths_equal_relational(spark, built, oracle):
+    """All three filtered paths must agree: cogrouped TAAT (allowed ids
+    co-shuffled by shard, vectorized np.isin mask), cogrouped WAND
+    (pivot targets snapped to the next allowed doc), and the relational
+    semi-join mirror — for every query and mode."""
     idx = InvertedIndex(spark, IDX_DIR)
     _, _, dfc, _, _ = oracle
     hot = sorted(dfc, key=lambda t: (-dfc[t], t))[:2]
     pred = "topic = 'go'"
-    qs = [Query(0, hot, "OR", 10), Query(1, [hot[0]], "AND", 5)]
-    taat = sorted(
-        (r["query_id"], r["doc_id"], r["score_q"])
-        for r in idx.topk_batch(qs, predicate=pred).collect()
+    qs = [Query(0, hot, "OR", 10), Query(1, [hot[0]], "AND", 5),
+          Query(2, hot, "AND", 10)]
+    norm = lambda rows: sorted(
+        (r["query_id"], r["doc_id"], r["score_q"]) for r in rows
     )
+    taat = norm(idx.topk_batch(qs, predicate=pred).collect())
+    wand = norm(idx.topk_batch(qs, strategy="wand", predicate=pred).collect())
     rel = sorted(
         (q.query_id, r["doc_id"], r["score_q"])
         for q in qs
         for r in idx.topk_filtered(q.terms, q.k, q.mode, pred).collect()
     )
     assert taat == rel and len(taat) > 0
-    with pytest.raises(ValueError, match="taat"):
-        idx.topk_batch(qs, strategy="wand", predicate=pred)
+    assert wand == rel
+    # an unsatisfiable predicate must yield empty, not error
+    assert idx.topk_batch(qs[:1], strategy="wand", predicate="topic = 'nope'").count() == 0
 
 
 def test_degenerate_tfidf_mode(spark, built, oracle):

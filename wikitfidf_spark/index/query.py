@@ -162,13 +162,21 @@ class _TermCursor:
 
 
 def wand_top_k(
-    term_rows: dict[str, list], k: int, mode: str = "OR"
+    term_rows: dict[str, list], k: int, mode: str = "OR",
+    allowed: "np.ndarray | None" = None,
 ) -> list[tuple[int, int]]:
     """Block-max WAND (OR) / skipping intersection (AND) over one shard.
 
     ``term_rows``: term -> list of encoded posting rows (sub-shards).
+    ``allowed``: optional SORTED int64 array of permitted doc_ids
+    (metadata filtering).  Block-max upper bounds hold for any doc
+    subset, so the pruning logic is unchanged — the filter only snaps
+    candidate targets forward to the next allowed doc, which ADDS skip
+    distance (selective filters make WAND faster, not slower).
     Returns [(doc_id, score_q)] sorted by (score desc, doc asc), ≤ k.
     """
+    if allowed is not None and not len(allowed):
+        return []
     cursors = [
         _TermCursor([_List(r) for r in rows]) for rows in term_rows.values()
     ]
@@ -183,11 +191,24 @@ def wand_top_k(
         elif item > heap[0]:
             heapq.heapreplace(heap, item)
 
+    def next_allowed(doc: int) -> int | None:
+        """Smallest allowed doc >= ``doc`` (None when the filter is
+        exhausted — no future doc can match)."""
+        i = int(np.searchsorted(allowed, doc))
+        return int(allowed[i]) if i < len(allowed) else None
+
     if mode == "AND":
         if len(cursors) < n_terms or n_terms == 0:
             return []  # some term has no postings in this shard -> no doc can match
         while all(not c.exhausted for c in cursors):
             target = max(c.cur_doc for c in cursors)
+            if allowed is not None:
+                # snap to the next allowed doc: any candidate the
+                # intersection lands on is in the filter by construction
+                target_a = next_allowed(target)
+                if target_a is None:
+                    break
+                target = target_a
             for c in cursors:
                 c.next_geq(target)
             if any(c.exhausted for c in cursors):
@@ -224,6 +245,16 @@ def wand_top_k(
         while pivot_idx + 1 < len(live) and live[pivot_idx + 1].cur_doc == pivot_doc:
             pivot_idx += 1
         if live[0].cur_doc == pivot_doc:
+            if allowed is not None:
+                na = next_allowed(pivot_doc)
+                if na is None:
+                    break  # docs only grow: nothing allowed remains
+                if na != pivot_doc:
+                    # pivot fails the filter — jump every list at or
+                    # before it straight to the next allowed doc
+                    for c in live[: pivot_idx + 1]:
+                        c.next_geq(na)
+                    continue
             if full:
                 # block-max refinement over every list at pivot_doc
                 block_ub = sum(c.cur_block_max() for c in live[: pivot_idx + 1])
@@ -418,18 +449,18 @@ class InvertedIndex:
           decode — fewer decoded blocks per query, Python-loop
           constant; wins for few queries over very long lists.
 
-        ``predicate`` (TAAT only): a SQL expression over docmeta
-        columns restricting every query in the batch to matching docs.
-        The allowed ids are COGROUPED with the posting rows on shard
+        ``predicate``: a SQL expression over docmeta columns
+        restricting every query in the batch to matching docs.  The
+        allowed ids are COGROUPED with the posting rows on shard
         (docmeta records each doc's shard, so the filter ids co-shuffle
         with exactly the postings that can contain them — no broadcast,
-        no O(corpus) join) and applied as a vectorized mask before the
-        per-shard cut.  Scores of surviving docs are untouched.
+        no O(corpus) join).  TAAT applies them as a vectorized mask
+        before the per-shard cut; WAND snaps its pivot targets to the
+        next allowed doc (selective filters ADD skip distance).  Scores
+        of surviving docs are untouched either way.
         """
         if strategy not in ("taat", "wand"):
             raise ValueError(f"unknown strategy {strategy!r}: use 'taat' or 'wand'")
-        if predicate is not None and strategy != "taat":
-            raise ValueError("predicate filtering requires strategy='taat'")
         for q in queries:
             if q.mode not in ("OR", "AND"):
                 raise ValueError(f"query {q.query_id}: unknown mode {q.mode!r}: use 'OR' or 'AND'")
@@ -448,7 +479,7 @@ class InvertedIndex:
         # them (~40% less bytes moved).
         rows = self._posting_rows(all_terms)
 
-        def per_shard_wand(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def _wand_body(pdf: pd.DataFrame, allowed_u: "np.ndarray | None") -> pd.DataFrame:
             # one group = one doc-partitioned shard -> scores complete here
             by_term: dict[str, list] = {}
             for r in _merged_lists(pdf):
@@ -460,26 +491,33 @@ class InvertedIndex:
                     continue
                 if mode == "AND" and len(rows_q) < len(set(terms)):
                     continue
-                for doc, score in wand_top_k(rows_q, k, mode):
+                for doc, score in wand_top_k(rows_q, k, mode, allowed_u):
                     out.append((qid, doc, score))
             return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
+
+        def per_shard_wand(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _wand_body(pdf, None)
 
         def per_shard_taat(key, pdf: pd.DataFrame) -> pd.DataFrame:
             return _taat_kernel(pdf, qspec, None)
 
+        # cogrouped filtered variants: apdf holds this shard's allowed
+        # doc ids with their native int64 dtype (a null-padded union
+        # would route them through float64 and corrupt xxhash-range ids)
         def per_shard_taat_filtered(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
-            # cogrouped: apdf holds this shard's allowed doc ids with
-            # their native int64 dtype (a null-padded union would route
-            # them through float64 and corrupt xxhash-range ids)
             return _taat_kernel(pdf, qspec, np.unique(apdf["doc_id"].to_numpy()))
+
+        def per_shard_wand_filtered(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
+            return _wand_body(pdf, np.unique(apdf["doc_id"].to_numpy()))
 
         out_schema = "query_id int, doc_id long, score_q long"
         if predicate is not None:
             allowed = self.docmeta.filter(predicate).select("shard", "doc_id")
+            fn = per_shard_taat_filtered if strategy == "taat" else per_shard_wand_filtered
             local = (
                 rows.groupBy("shard")
                 .cogroup(allowed.groupBy("shard"))
-                .applyInPandas(per_shard_taat_filtered, out_schema)
+                .applyInPandas(fn, out_schema)
             )
         else:
             per_shard = per_shard_taat if strategy == "taat" else per_shard_wand
