@@ -324,3 +324,58 @@ def test_compact_clears_tombstones_and_allows_readd(spark, tmp_path):
     # tombstoned ids are re-addable after compaction
     add_documents(spark, dead.limit(1), d)
     assert load_manifest(d)["metrics"]["total_docs"] == res.metrics["total_docs"] + 1
+
+
+def test_delete_split_factor_transition_stays_byte_identical(spark, tmp_path):
+    """A delete that drops a hot term's global df across a sub-shard
+    split-factor boundary (hot_df_threshold * n_shards multiple) must
+    re-encode the shards the delete did NOT touch as well — the
+    byte-identity invariant with a fresh build over the survivors holds
+    unconditionally, not just below the hot threshold."""
+    from wikitfidf_spark.index.build import delete_documents
+    from wikitfidf_spark.tokenize import tokens_col
+
+    docs = make_code_files(spark, n_docs=400, seed=42).cache()
+    did = F.xxhash64("repo", "path", "commit")
+    # kill set: docs living ONLY in canonical shard 0 (shard =
+    # pmod(xxhash64(doc_id), n_shards)), so shard 1 is untouched by the
+    # delete itself and only the transition logic can re-encode it
+    dead_ids = [
+        r["i"]
+        for r in docs.select(did.alias("i"))
+        .filter(F.pmod(F.xxhash64(F.col("i")), F.lit(2)) == 0)
+        .orderBy("i").limit(150).collect()
+    ]
+    dead_set = {int(i) for i in dead_ids}
+    keep_docs = docs.filter(~did.isin(dead_ids)).cache()
+
+    # pick the hottest term and a hot_df_threshold such that the delete
+    # crosses the split boundary: df_keep <= 2*hot < df_all
+    df_of = lambda d: {
+        r["term"]: r["df"]
+        for r in d.select(F.explode(F.array_distinct(tokens_col("content"))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    df_all, df_keep = df_of(docs), df_of(keep_docs)
+    term = max(df_all, key=df_all.get)
+    hot = (df_keep[term] + 1) // 2
+    assert df_keep[term] <= 2 * hot < df_all[term], "fixture must cross the boundary"
+    cfg = IndexConfig(n_shards=2, n_salts=2, block_size=32, hot_df_threshold=hot)
+
+    full_dir = str(tmp_path / "idx_keep_only")
+    del_dir = str(tmp_path / "idx_deleted")
+    build_index(spark, keep_docs, full_dir, cfg, resume=False)
+    build_index(spark, docs, del_dir, cfg, resume=False)
+
+    # precondition: the all-docs build really split the hot term, and
+    # the keep-only build really didn't
+    sub = lambda d: postings_view(spark, d).filter(F.col("term") == term) \
+        .agg(F.max("sub_shard").alias("m")).collect()[0]["m"]
+    assert sub(del_dir) > 0 and sub(full_dir) == 0
+
+    delete_documents(spark, dead_ids, del_dir)
+    # the untouched shard 1 was pulled into the re-encode: both shards'
+    # owner is the delete's structure file
+    owners = index_paths(load_manifest(del_dir))["structure"]
+    assert set(owners.values()) == {"structure_del_v1.parquet"}
+    assert _postings_rows(spark, full_dir) == _postings_rows(spark, del_dir)

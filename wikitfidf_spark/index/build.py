@@ -1400,12 +1400,14 @@ def delete_documents(
     corpus, so every query is rank-identical to a from-scratch build
     without those docs.
 
-    Payload-level identity with a fresh build additionally holds as
-    long as no term's sub-shard split factor changed (df crossing a
-    ``hot_df_threshold * n_shards`` multiple re-buckets its lists in
-    shards this delete did not touch — query results stay exact, bytes
-    differ until ``compact``).  Tests assert the identity at test
-    scale, where df never crosses the threshold.
+    Payload-level identity with a fresh build over the live corpus
+    also holds for split-factor transitions: a hot term whose global
+    df drops across a ``hot_df_threshold * n_shards`` multiple would
+    re-bucket its sub-shard lists everywhere, so every shard holding
+    such a term joins the re-encode set (detected from the old
+    dictionary vs the deleted docs' per-term df — candidates are only
+    terms already split, factor >= 2, so the probe is a pushed-down
+    dictionary scan that is empty below the hot threshold).
 
     ``doc_ids``: a one-column DataFrame or a Python sequence of ids.
     Raises if any id is not live in the index."""
@@ -1441,6 +1443,49 @@ def delete_documents(
         int(r["shard"])
         for r in meta_old.join(ids, "doc_id").select("shard").distinct().collect()
     ]
+    # ---- sub-shard split-factor transitions: if a hot term's global
+    # df drops across a hot_df_threshold*n_shards multiple, a fresh
+    # build would split it into FEWER sub-shards, but shards this
+    # delete doesn't touch still hold the old split.  Queries stay
+    # exact either way (sub-lists are doc-disjoint per shard), but the
+    # byte-identity invariant would silently break — so every shard
+    # holding such a term joins the re-encode set.  Candidates are
+    # only terms already split (factor >= 2): delete moves df DOWN, so
+    # factor-1 terms can't transition.  Below the hot threshold the
+    # candidate scan is empty and this costs one pushed-down
+    # dictionary read.
+    hot_span = cfg.hot_df_threshold * cfg.n_shards
+    cand = (
+        spark.read.parquet(os.path.join(index_dir, paths["dictionary"]))
+        .filter(F.col("df") > hot_span)
+        .select("term", "df")
+    )
+    changed_terms: list[str] = []
+    if cand.take(1):
+        tf_deleted = spark.read.parquet(
+            *[os.path.join(index_dir, p) for p in paths["tf"]]
+        ).join(ids, "doc_id", "left_semi")
+        ddf = tf_deleted.join(
+            F.broadcast(cand.select("term")), "term", "left_semi"
+        ).groupBy("term").agg(F.countDistinct("doc_id").alias("ddf"))
+        factor = lambda c: F.ceil(c.cast("double") / F.lit(float(hot_span)))
+        changed_terms = [
+            r["term"]
+            for r in cand.join(ddf, "term")
+            .filter(factor(F.col("df")) != factor(F.col("df") - F.col("ddf")))
+            .select("term")
+            .collect()
+        ]
+    if changed_terms:
+        extra = {
+            int(r["shard"])
+            for r in _read_structure(spark, index_dir, paths)
+            .filter(F.col("term").isin(changed_terms))
+            .select("shard")
+            .distinct()
+            .collect()
+        }
+        shards_del = sorted(set(shards_del) | extra)
     # surviving docs of the affected shards = the re-encode input
     meta_affected = meta_all.filter(F.col("shard").isin(shards_del))
     tf_enc = tf_all.join(meta_affected.select("doc_id"), "doc_id", "left_semi")
