@@ -392,6 +392,25 @@ def q_index_filtered_wand_topk(spark, sf_dir):
     return out.select("doc_id", "score_q")
 
 
+SNIPPET_WINDOW = 12                            # tokens per snippet
+SNIPPET_BEFORE = 3                             # context tokens before the hit
+
+
+def q_index_snippets(spark, sf_dir):
+    """Result-page snippet generation — the serving feature after
+    top-k: each WAND hit joined back to its source text and cut to the
+    SNIPPET_WINDOW tokens starting SNIPPET_BEFORE before the earliest
+    query-term occurrence.  Extraction is pure JVM codegen
+    (regexp_extract_all / array_position / slice / array_join); the ≤k
+    hit ids broadcast into the documents scan, which never shuffles."""
+    idx = _cached_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return idx.snippets(
+        docs, BM25_OR_TERMS, TOPK,
+        window=SNIPPET_WINDOW, before=SNIPPET_BEFORE, text_col="text",
+    )
+
+
 def _cached_incremental_index(spark, sf_dir):
     """The round-3 ingest pipeline as a correctness surface: build the
     base index over 7/8 of the documents, `add_documents(
@@ -712,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_taat_topk": q_index_taat_topk,
         "index_filtered_topk": q_index_filtered_topk,
         "index_filtered_wand_topk": q_index_filtered_wand_topk,
+        "index_snippets": q_index_snippets,
         "index_incremental_topk": q_index_incremental_topk,
         "index_phrase_topk": q_index_phrase_topk,
         "index_delete_topk": q_index_delete_topk,
@@ -981,6 +1001,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.lang = 'en'
             GROUP BY sc.doc_id
             ORDER BY score_q DESC, sc.doc_id ASC LIMIT {TOPK}
+        """,
+        "index_snippets": _BM25_CTE % {"terms": _OR_SQL} + f""",
+            hits AS (
+              SELECT doc_id, sum(score_q)::bigint AS score_q
+              FROM sc GROUP BY doc_id
+              ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
+            ),
+            ranked AS (
+              SELECT doc_id, score_q,
+                     row_number() OVER (ORDER BY score_q DESC, doc_id ASC)::int AS rank
+              FROM hits
+            ),
+            tarr AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS toks
+              FROM documents
+            ),
+            loc AS (
+              SELECT r.doc_id, r.score_q, r.rank, t.toks,
+                     greatest(1, coalesce(least({", ".join(f"nullif(list_position(t.toks, '{w}'), 0)" for w in sorted(set(BM25_OR_TERMS)))}), 1) - {SNIPPET_BEFORE}) AS st
+              FROM ranked r JOIN tarr t USING (doc_id)
+            )
+            SELECT doc_id, score_q, rank,
+                   array_to_string(list_slice(toks, st, st + {SNIPPET_WINDOW - 1}), ' ') AS snippet
+            FROM loc
         """,
         "index_filtered_wand_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
             SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q

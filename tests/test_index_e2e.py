@@ -274,3 +274,35 @@ def test_invalid_query_args_raise(spark, built):
         idx.topk_batch([Query(0, ["x"], "OR", 0)]).collect()
     with _pytest.raises(ValueError, match="strategy"):
         idx.topk_batch([Query(0, ["x"], "OR", 5)], strategy="vectorized")
+
+
+def test_snippets(spark, built, corpus, oracle):
+    """Snippet serving: each top-k hit carries a deterministic token
+    window — `window` tokens starting `before` ahead of the earliest
+    query-term occurrence — computed JVM-side and matching a pure-
+    Python re-derivation from the raw text."""
+    tfs, dls, dfc, n, avgdl = oracle
+    idx = InvertedIndex(spark, IDX_DIR)
+    hot = sorted(dfc, key=lambda t: (-dfc[t], t))[:2]
+    window, before = 8, 2
+    got = {
+        r["doc_id"]: (r["score_q"], r["rank"], r["snippet"])
+        for r in idx.snippets(corpus, hot, 10, window=window, before=before).collect()
+    }
+    exp_rank = _oracle_topk(oracle, hot, 10, "OR")
+    assert sorted(got) == sorted(d for d, _ in exp_rank)
+    texts = {
+        r["doc_id"]: r["content"]
+        for r in corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).collect()
+    }
+    for rank, (doc, score) in enumerate(exp_rank, 1):
+        toks = tokenize_py(texts[doc])
+        first = min(i for i, t in enumerate(toks) if t in hot)  # 0-based
+        start = max(0, first - before)
+        exp_snip = " ".join(toks[start:start + window])
+        assert got[doc] == (score, rank, exp_snip), doc
+    # filtered + TAAT variant composes; window bound holds
+    f = idx.snippets(corpus, hot, 5, strategy="taat", predicate="topic = 'go'",
+                     window=4).collect()
+    assert 0 < len(f) <= 5
+    assert all(len(r["snippet"].split(" ")) <= 4 for r in f)

@@ -628,6 +628,64 @@ class InvertedIndex:
         )
         return self._rank_and_limit(local, {0: k}).drop("query_id")
 
+    def snippets(
+        self,
+        docs: DataFrame,
+        terms: Sequence[str],
+        k: int = 10,
+        mode: str = "OR",
+        window: int = 12,
+        before: int = 3,
+        text_col: str = "content",
+        id_col: str = "doc_id",
+        strategy: str = "wand",
+        predicate: str | None = None,
+    ) -> DataFrame:
+        """Result-page snippets: BM25 top-k (any engine strategy, with
+        optional metadata ``predicate``), each hit joined back to its
+        source text and cut to a deterministic token window — the
+        ``window`` tokens starting ``before`` tokens ahead of the
+        EARLIEST occurrence of any query term (1-clamped).
+
+        The extraction is entirely JVM-side codegen (tokenize =
+        regexp_extract_all, locate = array_position, cut = slice +
+        array_join — no UDF): the expensive part is the ``docs`` scan,
+        and the ≤k hit ids are broadcast into it so the corpus never
+        shuffles.  At 10^12 docs serve text from a point-lookup store
+        (bucketed by doc_id) instead of a flat scan; the join shape is
+        unchanged.  Stemmed indexes locate the stem's literal form
+        only — docs whose surface forms all differ fall back to the
+        document head (coalesce to position 1 keeps the row)."""
+        from ..tokenize import tokens_col
+
+        if window < 1 or before < 0:
+            raise ValueError(f"window must be >= 1 and before >= 0, got {window}/{before}")
+        if id_col not in docs.columns:
+            # derive the id exactly as the build did (config natural keys)
+            from .build import _load_cfg
+
+            cfg = _load_cfg(self.manifest, self.index_dir)
+            if not cfg.id_cols:
+                raise ValueError(
+                    f"docs has no {id_col!r} column and the index config "
+                    "declares no natural-key id_cols to derive it from"
+                )
+            docs = docs.withColumn(id_col, F.xxhash64(*cfg.id_cols))
+        uniq = sorted(set(terms))
+        hits = self.topk_batch(
+            [Query(0, list(terms), mode, k)], strategy=strategy, predicate=predicate
+        ).select("doc_id", "score_q", "rank")
+        toks = tokens_col(F.col(text_col))
+        firsts = [F.nullif(F.array_position(toks, F.lit(t)), F.lit(0)) for t in uniq]
+        first = firsts[0] if len(firsts) == 1 else F.least(*firsts)
+        start = F.greatest(F.lit(1), (F.coalesce(first, F.lit(1)) - F.lit(before)).cast("int"))
+        snip = F.array_join(F.slice(toks, start, window), " ")
+        return (
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .join(F.broadcast(hits), "doc_id")
+            .select("doc_id", "score_q", "rank", snip.alias("snippet"))
+        )
+
     # ---------- relational (oracle-checkable) path ----------
 
     def decoded(self, terms: Sequence[str] | None = None) -> DataFrame:
