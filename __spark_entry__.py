@@ -394,6 +394,21 @@ def q_index_filtered_wand_topk(spark, sf_dir):
 
 SNIPPET_WINDOW = 12                            # tokens per snippet
 SNIPPET_BEFORE = 3                             # context tokens before the hit
+MLT_M = 8                                      # more-like-this query terms
+
+
+def q_index_mlt(spark, sf_dir):
+    """More-like-this: the min-doc_id document's 8 strongest terms by
+    reference TF-IDF (round4, ties term-asc) become a BM25 OR query
+    served by the engine with the source doc excluded via the filtered
+    WAND path.  Term extraction is a predicate-pushdown point lookup on
+    the doc-major tf artifact — the term-major postings are never
+    scanned for it."""
+    docs = _t(spark, sf_dir, "documents")
+    src = int(docs.agg(F.min("doc_id")).collect()[0][0])
+    idx = _cached_index(spark, sf_dir)
+    out = idx.more_like_this(src, m=MLT_M, k=TOPK)
+    return out.select("doc_id", "score_q")
 
 
 def q_index_snippets(spark, sf_dir):
@@ -732,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_filtered_topk": q_index_filtered_topk,
         "index_filtered_wand_topk": q_index_filtered_wand_topk,
         "index_snippets": q_index_snippets,
+        "index_mlt": q_index_mlt,
         "index_incremental_topk": q_index_incremental_topk,
         "index_phrase_topk": q_index_phrase_topk,
         "index_delete_topk": q_index_delete_topk,
@@ -999,6 +1015,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q
             FROM sc JOIN documents d ON d.doc_id = sc.doc_id
             WHERE d.lang = 'en'
+            GROUP BY sc.doc_id
+            ORDER BY score_q DESC, sc.doc_id ASC LIMIT {TOPK}
+        """,
+        "index_mlt": "WITH " + _TOK_CTE + f""",
+            src AS (SELECT min(doc_id) AS d FROM documents),
+            dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1),
+            st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1),
+            tot AS (SELECT count(*)::bigint AS n, sum(doc_len)::bigint AS s FROM dl),
+            qterms AS (
+              SELECT tf.term
+              FROM tf JOIN src ON tf.doc_id = src.d
+              JOIN st USING (term)
+              JOIN dl ON dl.doc_id = src.d
+              CROSS JOIN tot
+              ORDER BY floor((tf.tf::double / dl.doc_len::double)
+                             * log10(tot.n::double / st.df::double) * 10000 + 0.5) / 10000 DESC,
+                       tf.term ASC
+              LIMIT {MLT_M}
+            ),
+            sc AS (
+              SELECT tf.doc_id, tf.term,
+                     floor(
+                       ln(1 + (tot.n - st.df + 0.5) / (st.df + 0.5))
+                       * (tf.tf::double * {K1 + 1.0})
+                       / (tf.tf::double + {K1} * (1 - {B} + {B} * (dl.doc_len::double / (tot.s::double / tot.n))))
+                       * {QUANT} + 0.5
+                     )::bigint AS score_q
+              FROM tf JOIN st USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+              WHERE tf.term IN (SELECT term FROM qterms)
+            )
+            SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q
+            FROM sc, src WHERE sc.doc_id != src.d
             GROUP BY sc.doc_id
             ORDER BY score_q DESC, sc.doc_id ASC LIMIT {TOPK}
         """,

@@ -306,3 +306,31 @@ def test_snippets(spark, built, corpus, oracle):
                      window=4).collect()
     assert 0 < len(f) <= 5
     assert all(len(r["snippet"].split(" ")) <= 4 for r in f)
+
+
+def test_more_like_this(spark, built, oracle):
+    """MLT: the source doc's top-m reference-TF-IDF terms (round4,
+    term-asc ties) become a BM25 OR query with the source excluded —
+    both the term extraction and the final ranking must match the
+    pure-Python oracle."""
+    tfs, dls, dfc, n, avgdl = oracle
+    src = min(tfs)  # deterministic source doc
+    m, k = 5, 10
+    exp_terms = [
+        t for t, _ in sorted(
+            ((t, tfidf_py(c, dls[src], dfc[t], n)) for t, c in tfs[src].items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:m]
+    ]
+    exp = [
+        (d, s) for d, s in _oracle_topk(oracle, exp_terms, k + 1, "OR") if d != src
+    ][:k]
+    idx = InvertedIndex(spark, IDX_DIR)
+    got = sorted(
+        ((r["doc_id"], r["score_q"]) for r in idx.more_like_this(src, m=m, k=k).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == exp and len(got) == k
+    assert all(d != src for d, _ in got)
+    with pytest.raises(ValueError, match="not live"):
+        idx.more_like_this(123456789, m=m, k=k)

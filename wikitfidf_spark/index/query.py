@@ -686,6 +686,65 @@ class InvertedIndex:
             .select("doc_id", "score_q", "rank", snip.alias("snippet"))
         )
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        m: int = 8,
+        k: int = 10,
+        strategy: str = "wand",
+        predicate: str | None = None,
+    ) -> DataFrame:
+        """Find documents similar to ``doc_id``: extract its ``m``
+        strongest terms by reference TF-IDF (round4(tf/doc_len *
+        log10(N/df)), ties term-asc) and run them as a BM25 OR query,
+        excluding the source doc itself (optionally AND-ed with an
+        extra docmeta ``predicate``).
+
+        Term extraction never touches the term-major postings: the tf
+        artifact is doc-major, so the source doc's rows are a
+        predicate-pushdown point lookup; df comes from the (live)
+        dictionary broadcast, doc_len from the doc's docmeta row.  The
+        m query terms come to the driver (m is tiny — queries are
+        driver-side objects by definition), then the standard batched
+        engine serves the top-k."""
+        from .build import _tombstones, index_paths
+
+        if m < 1:
+            raise ValueError(f"m must be >= 1, got {m}")
+        doc_id = int(doc_id)
+        meta_row = self.docmeta.filter(F.col("doc_id") == doc_id).select("doc_len").take(1)
+        if not meta_row:
+            raise ValueError(f"doc_id {doc_id} is not live in the index")
+        p = index_paths(self.manifest)
+        tf = self.spark.read.parquet(
+            *[os.path.join(self.index_dir, t) for t in p["tf"]]
+        ).filter(F.col("doc_id") == doc_id)
+        tombs = _tombstones(self.spark, self.index_dir, self.manifest)
+        if tombs is not None:  # docmeta said live, so this is belt+braces
+            tf = tf.join(tombs.select("doc_id"), "doc_id", "left_anti")
+        doc_len = int(meta_row[0]["doc_len"])
+        scored = tf.join(
+            F.broadcast(self.dictionary.select("term", "df")), "term"
+        ).withColumn(
+            "tfidf",
+            round_half_up(
+                (F.col("tf").cast("double") / F.lit(float(doc_len)))
+                * F.log10(F.lit(float(self.n_docs)) / F.col("df").cast("double")),
+                4,
+            ),
+        )
+        terms = [
+            r["term"]
+            for r in scored.orderBy(F.desc("tfidf"), F.asc("term")).limit(m).collect()
+        ]
+        if not terms:
+            return self._empty_result().drop("query_id")
+        exclude = f"doc_id != {doc_id}"
+        pred = exclude if predicate is None else f"({predicate}) AND {exclude}"
+        return self.topk_batch(
+            [Query(0, terms, "OR", k)], strategy=strategy, predicate=pred
+        ).drop("query_id")
+
     # ---------- relational (oracle-checkable) path ----------
 
     def decoded(self, terms: Sequence[str] | None = None) -> DataFrame:
