@@ -47,6 +47,11 @@ RESIZE_BYTES = 24                              # stand-in resize target (bytes)
 FRAME_EVERY = 2                                # keep every n-th frame
 NEAR_DUP_COS = 0.35                            # near-dup threshold (synthetic vecs top out ~0.51)
 EMB_DIM = 64                                   # embeddings.parquet vector dim (TESTDATA.md)
+HYBRID_M = 50                                  # BM25 candidate pool for hybrid rerank
+RRF_K = 60                                     # reciprocal-rank-fusion constant (standard)
+PREFIX_Q = "s"                                 # dictionary prefix-search probe
+SUGGEST_Q = "par"                              # fuzzy-suggest probe (near 'part', 'spark', ...)
+SUGGEST_DIST = 2                               # max Levenshtein distance for suggest
 
 
 _WIDEN_MEMO: dict[tuple[str, str], bool] = {}  # (sf_dir, name) -> needs widening
@@ -526,6 +531,46 @@ def q_index_phrase_topk(spark, sf_dir):
     return idx.phrase_topk(PHRASE_TERMS, TOPK).select("doc_id", "score_q")
 
 
+def q_index_prefix_terms(spark, sf_dir):
+    """Dictionary prefix search (autocomplete primitive): top-10
+    highest-df terms starting with PREFIX_Q.  O(vocab) scan with the
+    StartsWith predicate pushed into the dictionary parquet; top-n is
+    TakeOrderedAndProject — never touches postings or corpus."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.prefix_terms(PREFIX_Q, 10)
+
+
+def q_index_fuzzy_suggest(spark, sf_dir):
+    """Spell-suggest over the term dictionary: terms within
+    SUGGEST_DIST Levenshtein edits of SUGGEST_Q ranked (dist, df desc,
+    term) — length-band prefilter + JVM levenshtein, no Python."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.suggest(SUGGEST_Q, SUGGEST_DIST, 10)
+
+
+def q_index_facet_counts(spark, sf_dir):
+    """Facet counts over the OR-match set of the flagship terms: live
+    matching docs per topic (the aggregation panel next to search
+    results).  Match set decoded from term-pruned postings, counted
+    against docmeta — nothing O(corpus) but the pruned docmeta scan."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.facet_counts(BM25_OR_TERMS, facet="topic")
+
+
+def q_index_hybrid_rerank(spark, sf_dir):
+    """Hybrid lexical+dense retrieval: BM25 top-HYBRID_M candidates
+    from the index, re-scored by quantized cosine against vec_id=0's
+    embedding, fused by reciprocal-rank fusion (RRF, k=RRF_K), top
+    TOPK.  The m-bounded candidate set is broadcast against the
+    embedding table — the dense side is never shuffled."""
+    idx = _cached_index(spark, sf_dir)
+    vecs = _t(spark, sf_dir, "embeddings")
+    qvec = vecs.filter(F.col("vec_id") == 0).select("embedding").take(1)[0]["embedding"]
+    return idx.hybrid_topk(
+        BM25_OR_TERMS, vecs, qvec, k=TOPK, m=HYBRID_M, rrf_k=RRF_K
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups: md5(text) -> representative + group size."""
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
@@ -751,6 +796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_incremental_topk": q_index_incremental_topk,
         "index_phrase_topk": q_index_phrase_topk,
         "index_delete_topk": q_index_delete_topk,
+        "index_prefix_terms": q_index_prefix_terms,
+        "index_fuzzy_suggest": q_index_fuzzy_suggest,
+        "index_facet_counts": q_index_facet_counts,
+        "index_hybrid_rerank": q_index_hybrid_rerank,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1011,6 +1060,69 @@ def oracle_sql() -> dict[str, str]:
         "index_incremental_topk": _BM25_OR_BODY,
         "index_phrase_topk": _BM25_PHRASE_BODY,
         "index_delete_topk": _BM25_DELETE_BODY,
+        "index_prefix_terms": f"""
+            WITH {_TOK_CTE},
+            st AS (SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf FROM tf GROUP BY 1)
+            SELECT term, df, cf FROM st
+            WHERE term LIKE '{PREFIX_Q}%'
+            ORDER BY df DESC, term ASC LIMIT 10
+        """,
+        "index_fuzzy_suggest": f"""
+            WITH {_TOK_CTE},
+            st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1)
+            SELECT term, levenshtein(term, '{SUGGEST_Q}')::int AS dist, df FROM st
+            WHERE abs(length(term) - {len(SUGGEST_Q)}) <= {SUGGEST_DIST}
+              AND levenshtein(term, '{SUGGEST_Q}') <= {SUGGEST_DIST}
+            ORDER BY dist ASC, df DESC, term ASC LIMIT 10
+        """,
+        "index_facet_counts": f"""
+            WITH {_TOK_CTE},
+            m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_OR_SQL}))
+            SELECT d.lang AS topic, count(*)::bigint AS n_docs
+            FROM m JOIN documents d USING (doc_id)
+            GROUP BY 1 ORDER BY n_docs DESC, topic ASC
+        """,
+        "index_hybrid_rerank": _BM25_CTE % {"terms": _OR_SQL} + f""",
+            bm AS (SELECT doc_id, sum(score_q)::bigint AS bm25_q FROM sc GROUP BY 1),
+            cand AS (
+              SELECT doc_id, bm25_q,
+                     row_number() OVER (ORDER BY bm25_q DESC, doc_id ASC) AS rank_bm25
+              FROM bm QUALIFY rank_bm25 <= {HYBRID_M}
+            ),
+            q AS (
+              SELECT unnest(embedding)::double AS qx, generate_subscripts(embedding, 1) AS pos
+              FROM embeddings WHERE vec_id = 0
+            ),
+            v AS (
+              SELECT vec_id AS doc_id, unnest(embedding)::double AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cand)
+            ),
+            stats AS (
+              SELECT v.doc_id,
+                     sum(floor(v.x * q.qx * 1000000000 + 0.5)::bigint)::bigint AS dot_q,
+                     sum(floor(v.x * v.x * 1000000000 + 0.5)::bigint)::bigint AS norm2_q
+              FROM v JOIN q USING (pos) GROUP BY 1
+            ),
+            qn AS (SELECT sum(floor(qx * qx * 1000000000 + 0.5)::bigint)::bigint AS qn2 FROM q),
+            cosed AS (
+              SELECT cand.doc_id, cand.bm25_q, cand.rank_bm25,
+                     floor(stats.dot_q::double
+                           / (sqrt(stats.norm2_q::double) * sqrt(qn.qn2::double))
+                           * 1000000 + 0.5) / 1000000 AS cos
+              FROM cand LEFT JOIN stats USING (doc_id) CROSS JOIN qn
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (ORDER BY cos DESC NULLS LAST, doc_id ASC) AS rank_cos
+              FROM cosed
+            )
+            SELECT doc_id, bm25_q, cos,
+                   floor((1.0 / ({RRF_K} + rank_bm25)
+                          + CASE WHEN cos IS NULL THEN 0.0
+                                 ELSE 1.0 / ({RRF_K} + rank_cos) END)
+                         * 1000000000 + 0.5)::bigint AS rrf_q
+            FROM ranked ORDER BY rrf_q DESC, doc_id ASC LIMIT {TOPK}
+        """,
         "index_filtered_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
             SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q
             FROM sc JOIN documents d ON d.doc_id = sc.doc_id

@@ -1,0 +1,179 @@
+"""Dictionary services (prefix search, fuzzy suggest, facet counts) and
+hybrid lexical+dense retrieval vs transparent pure-Python oracles
+(SURVEY.md §5 style: the oracle re-derives everything from the raw
+corpus with no Spark in the loop)."""
+
+from __future__ import annotations
+
+import math
+import shutil
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wikitfidf_spark.index.build import IndexConfig, build_index
+from wikitfidf_spark.index.query import InvertedIndex
+from wikitfidf_spark.operators.scoring import bm25_quantized_py
+from wikitfidf_spark.tokenize import tokenize_py
+
+IDX_DIR = "/tmp/wikitfidf_test_idx_dictsvc"
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus):
+    shutil.rmtree(IDX_DIR, ignore_errors=True)
+    build_index(spark, corpus, IDX_DIR, IndexConfig(n_shards=4, n_salts=4))
+    return InvertedIndex(spark, IDX_DIR)
+
+
+@pytest.fixture(scope="module")
+def py_stats(spark, corpus):
+    rows = corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).select(
+        "doc_id", "content", "lang"
+    ).collect()
+    tfs = {r["doc_id"]: Counter(tokenize_py(r["content"])) for r in rows}
+    langs = {r["doc_id"]: r["lang"] for r in rows}
+    dfc, cfc = Counter(), Counter()
+    for c in tfs.values():
+        dfc.update(c.keys())
+        for t, n in c.items():
+            cfc[t] += n
+    return tfs, langs, dfc, cfc
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_prefix_terms_matches_oracle(idx, py_stats):
+    _, _, dfc, cfc = py_stats
+    want = sorted(
+        ((t, dfc[t], cfc[t]) for t in dfc if t.startswith("re")),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = [(r["term"], r["df"], r["cf"]) for r in idx.prefix_terms("re", 10).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_prefix_empty_raises(idx):
+    with pytest.raises(ValueError):
+        idx.prefix_terms("")
+
+
+def test_suggest_matches_oracle(idx, py_stats):
+    _, _, dfc, _ = py_stats
+    q, d = "arg_ctx", 2  # exact hit + arg_ctx77/arg_cfg/arg_ptr neighbors
+    want = sorted(
+        ((t, _lev(t, q), dfc[t]) for t in dfc
+         if abs(len(t) - len(q)) <= d and _lev(t, q) <= d),
+        key=lambda x: (x[1], -x[2], x[0]),
+    )[:10]
+    got = [(r["term"], r["dist"], r["df"]) for r in idx.suggest(q, d, 10).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_suggest_exact_hit_ranks_first(idx, py_stats):
+    _, _, dfc, _ = py_stats
+    term = max(dfc, key=lambda t: (dfc[t], t))
+    got = idx.suggest(term, 1, 5).collect()
+    assert got[0]["term"] == term and got[0]["dist"] == 0
+
+
+def test_facet_counts_matches_oracle(idx, py_stats):
+    tfs, langs, _, _ = py_stats
+    terms = ["map_lock5", "code_get93", "set_repo74"]
+    match = {d for d, c in tfs.items() if any(t in c for t in terms)}
+    want = Counter(langs[d] for d in match)
+    got = {r["topic"]: r["n_docs"] for r in idx.facet_counts(terms, facet="topic").collect()}
+    assert got == dict(want) and sum(got.values()) == len(match)
+    # ordering: count desc, facet asc
+    rows = idx.facet_counts(terms, facet="topic").collect()
+    assert [(r["topic"], r["n_docs"]) for r in rows] == sorted(
+        got.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, py_stats):
+    """Deterministic per-doc embeddings keyed by doc_id (seeded from a
+    stable index, not the hash, so the fixture is reproducible)."""
+    tfs, _, _, _ = py_stats
+    ids = sorted(tfs)
+    rng = np.random.RandomState(11)
+    mat = rng.randn(len(ids), 16).astype(np.float32)
+    rows = [(int(d), [float(x) for x in mat[i]]) for i, d in enumerate(ids)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), {
+        int(d): mat[i] for i, d in enumerate(ids)
+    }
+
+
+def _py_hybrid(py_stats, emb_map, terms, qvec, k, m, rrf_k):
+    tfs, _, dfc, cfc = py_stats
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    n = len(tfs)
+    avgdl = sum(dls.values()) / n
+    scores = {}
+    for d, c in tfs.items():
+        present = [t for t in set(terms) if t in c]
+        if present:
+            scores[d] = sum(
+                bm25_quantized_py(c[t], dls[d], dfc[t], n, avgdl) for t in present
+            )
+    cand = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+    q = np.asarray(qvec, dtype=np.float64)
+    qn2 = int(np.floor(q * q * 1e9 + 0.5).astype(np.int64).sum())
+    out = []
+    for rank_bm25, (d, bq) in enumerate(cand, 1):
+        x = np.asarray(emb_map[d], dtype=np.float64)
+        dot_q = int(np.floor(x * q * 1e9 + 0.5).astype(np.int64).sum())
+        n2 = int(np.floor(x * x * 1e9 + 0.5).astype(np.int64).sum())
+        cos = math.floor(dot_q / (math.sqrt(n2) * math.sqrt(qn2)) * 1e6 + 0.5) / 1e6
+        out.append([d, bq, rank_bm25, cos])
+    by_cos = sorted(out, key=lambda r: (-r[3], r[0]))
+    rank_cos = {r[0]: i for i, r in enumerate(by_cos, 1)}
+    fused = [
+        (d, bq, cos,
+         math.floor((1.0 / (rrf_k + rb) + 1.0 / (rrf_k + rank_cos[d])) * 1e9 + 0.5))
+        for d, bq, rb, cos in out
+    ]
+    return sorted(fused, key=lambda r: (-r[3], r[0]))[:k]
+
+
+def test_hybrid_topk_matches_oracle(idx, py_stats, vecs):
+    vdf, emb_map = vecs
+    terms = ["arg_ctx77", "arg_cfg"]
+    qvec = emb_map[sorted(emb_map)[0]]
+    want = _py_hybrid(py_stats, emb_map, terms, qvec, k=10, m=25, rrf_k=60)
+    got = [
+        (r["doc_id"], r["bm25_q"], r["cos"], r["rrf_q"])
+        for r in idx.hybrid_topk(terms, vdf, [float(x) for x in qvec], k=10, m=25).collect()
+    ]
+    assert got == [tuple(w) for w in want]
+
+
+def test_hybrid_missing_embedding_keeps_lexical_rank(idx, py_stats, vecs):
+    """Candidates without an embedding row survive with cos=null and
+    only the lexical RRF term."""
+    vdf, emb_map = vecs
+    terms = ["arg_ctx77", "arg_cfg"]
+    qvec = emb_map[sorted(emb_map)[0]]
+    full = idx.hybrid_topk(terms, vdf, [float(x) for x in qvec], k=10, m=25).collect()
+    some_doc = full[0]["doc_id"]
+    vdf_missing = vdf.filter(F.col("vec_id") != some_doc)
+    got = idx.hybrid_topk(terms, vdf_missing, [float(x) for x in qvec], k=25, m=25).collect()
+    row = next(r for r in got if r["doc_id"] == some_doc)
+    assert row["cos"] is None and row["rrf_q"] > 0
+
+
+def test_hybrid_zero_query_vec_raises(idx, vecs):
+    vdf, _ = vecs
+    with pytest.raises(ValueError):
+        idx.hybrid_topk(["arg_cfg"], vdf, [0.0] * 16)

@@ -745,6 +745,156 @@ class InvertedIndex:
             [Query(0, terms, "OR", k)], strategy=strategy, predicate=pred
         ).drop("query_id")
 
+    # ---------- dictionary services ----------
+
+    def prefix_terms(self, prefix: str, n: int = 10) -> DataFrame:
+        """Term-dictionary prefix search (the autocomplete primitive):
+        the ``n`` highest-df terms starting with ``prefix``, ties
+        term-asc.  Pure JVM: ``StartsWith`` pushes into the dictionary
+        parquet scan (only term/df/cf columns read), and the top-n is a
+        TakeOrderedAndProject over the filtered rows — no shuffle of
+        the full vocabulary.  The dictionary is O(vocab), not
+        O(corpus), so this stays cheap at any corpus size."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty (the full dictionary is .dictionary)")
+        return (
+            self.dictionary.filter(F.col("term").startswith(prefix))
+            .select("term", "df", "cf")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def suggest(self, query_term: str, max_dist: int = 1, n: int = 10) -> DataFrame:
+        """Spell-suggest over the term dictionary: terms within
+        ``max_dist`` Levenshtein edits of ``query_term``, ranked
+        (distance asc, df desc, term asc).  The length band
+        ``|len(term) − len(q)| ≤ max_dist`` is a necessary condition
+        for edit distance ≤ max_dist, so it prunes the vocabulary
+        BEFORE the O(len²) distance — both predicates and
+        ``levenshtein`` itself run JVM-side (whole-stage codegen), no
+        Python in the loop."""
+        if max_dist < 0:
+            raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+        qlen = len(query_term)
+        return (
+            self.dictionary.filter(
+                F.abs(F.length("term") - F.lit(qlen)) <= F.lit(max_dist)
+            )
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(query_term)))
+            .filter(F.col("dist") <= F.lit(max_dist))
+            .select("term", "dist", "df")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def facet_counts(self, terms: Sequence[str], facet: str = "topic") -> DataFrame:
+        """Facet counts over the OR-match set: how many live docs
+        matching ANY of ``terms`` fall in each ``facet`` bucket (a
+        docmeta column), ordered (count desc, facet asc) — the
+        aggregation panel next to search results.
+
+        Plan: term-pruned posting scan → doc ids decoded per list →
+        distinct (match set, ≪ corpus for selective terms) → join
+        docmeta (AQE picks broadcast when the match set is small) →
+        partial-agg count per facet.  Nothing here is O(corpus) except
+        the docmeta side of the join, which prunes to (doc_id, facet)
+        columns."""
+        docs = self.decoded(terms).select("doc_id").distinct()
+        return (
+            docs.join(self.docmeta.select("doc_id", facet), "doc_id")
+            .groupBy(facet)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(facet))
+        )
+
+    # ---------- hybrid lexical + dense retrieval ----------
+
+    def hybrid_topk(
+        self,
+        terms: Sequence[str],
+        vecs: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        m: int = 50,
+        rrf_k: int = 60,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        strategy: str = "taat",
+    ) -> DataFrame:
+        """Hybrid retrieval with reciprocal-rank fusion: BM25 top-``m``
+        candidates from the index, joined to their embeddings and
+        re-scored against ``query_vec`` by quantized cosine, fused as
+        ``rrf = 1/(rrf_k+rank_bm25) + 1/(rrf_k+rank_cos)`` (the
+        standard RRF; rank-based, so no score normalization between
+        the lexical and dense spaces is needed), top-``k`` by
+        (rrf desc, doc_id asc).
+
+        Scale shape: the candidate set is m-bounded (driver-known
+        tiny), so it is BROADCAST against the arbitrarily large
+        embedding table — the big side is never shuffled, and column
+        pruning keeps only (id, vector).  Cosine uses the same
+        floor(x·q·1e9+0.5) integer-quantized kernel as the ANN
+        operators (bit-deterministic at any parallelism, oracle-equal
+        in SQL), evaluated with zip_with/aggregate — pure JVM, no UDF.
+        Candidates with no embedding row keep their lexical rank and
+        contribute no dense term (cos is null, ranked last)."""
+        q = np.asarray(list(query_vec), dtype=np.float64)
+        qn2 = int(np.floor(q * q * 1e9 + 0.5).astype(np.int64).sum())
+        if qn2 <= 0:
+            raise ValueError("query_vec must be non-zero")
+        cand = self.topk_batch([Query(0, list(terms), "OR", m)], strategy=strategy).select(
+            "doc_id",
+            F.col("score_q").alias("bm25_q"),
+            F.col("rank").alias("rank_bm25"),
+        )
+        qarr = F.array(*[F.lit(float(x)) for x in q])
+        emb = vecs.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_emb"))
+        joined = emb.join(F.broadcast(cand), "doc_id").select(
+            "doc_id", "bm25_q", "rank_bm25",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_emb"), qarr,
+                    lambda x, y: F.floor(x.cast("double") * y * F.lit(1e9) + F.lit(0.5)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot_q"),
+            F.aggregate(
+                F.transform(
+                    F.col("_emb"),
+                    lambda x: F.floor(x.cast("double") * x.cast("double") * F.lit(1e9) + F.lit(0.5)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("norm2_q"),
+        )
+        scored = cand.join(joined.drop("bm25_q", "rank_bm25"), "doc_id", "left").withColumn(
+            "cos",
+            F.floor(
+                F.col("dot_q").cast("double")
+                / (F.sqrt(F.col("norm2_q").cast("double")) * F.lit(math.sqrt(float(qn2))))
+                * F.lit(1e6) + F.lit(0.5)
+            ) / F.lit(1e6),
+        )
+        w = Window.orderBy(F.desc_nulls_last("cos"), F.asc("doc_id"))
+        fused = scored.withColumn("rank_cos", F.row_number().over(w)).withColumn(
+            "rrf_q",
+            F.floor(
+                (
+                    F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_bm25"))
+                    + F.when(F.col("cos").isNull(), F.lit(0.0)).otherwise(
+                        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_cos"))
+                    )
+                ) * F.lit(1e9) + F.lit(0.5)
+            ).cast("long"),
+        )
+        return (
+            fused.select("doc_id", "bm25_q", "cos", "rrf_q")
+            .orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     # ---------- relational (oracle-checkable) path ----------
 
     def decoded(self, terms: Sequence[str] | None = None) -> DataFrame:
