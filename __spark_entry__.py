@@ -475,6 +475,41 @@ def q_index_incremental_topk(spark, sf_dir):
     return out.select("doc_id", "score_q")
 
 
+MERGE_MOD = 4  # merge split: docs with doc_id % 4 == 0 build separately
+
+
+def q_index_merged_topk(spark, sf_dir):
+    """WAND top-k over an index assembled by MERGING two independently
+    built per-partition indexes (doc_id % MERGE_MOD splits the corpus
+    3:1) — the 100-TB build pattern: partition, build slices in
+    parallel with zero coordination, fold together O(src) per merge.
+    The oracle is the full-corpus BM25 SQL: a merged index must be
+    rank- AND score-identical to a monolithic build."""
+    import shutil as _sh
+
+    from wikitfidf_spark.index.build import build_index, merge_from_index
+    from wikitfidf_spark.index.query import InvertedIndex, Query
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
+    cfg = _entry_idx_cfg()
+    idx_dir = _idx_cache_dir(sf_dir, cfg, tag=f"merge{MERGE_MOD}")
+    done = os.path.join(idx_dir, "_MERGE_DONE")
+    if not os.path.exists(done):
+        _sh.rmtree(idx_dir, ignore_errors=True)
+        src_dir = idx_dir + "_src"
+        _sh.rmtree(src_dir, ignore_errors=True)
+        split = F.col("doc_id") % MERGE_MOD == 0
+        build_index(spark, docs.filter(~split), idx_dir, cfg)
+        build_index(spark, docs.filter(split), src_dir, cfg)
+        merge_from_index(spark, idx_dir, src_dir)
+        _sh.rmtree(src_dir, ignore_errors=True)  # dst is self-contained
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = InvertedIndex(spark, idx_dir)
+    out = idx.topk_batch([Query(0, BM25_OR_TERMS, "OR", TOPK)], strategy="wand")
+    return out.select("doc_id", "score_q")
+
+
 DELETE_MOD = 10  # delete docs with doc_id % 10 == 0 (~10% of the corpus)
 
 
@@ -796,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_incremental_topk": q_index_incremental_topk,
         "index_phrase_topk": q_index_phrase_topk,
         "index_delete_topk": q_index_delete_topk,
+        "index_merged_topk": q_index_merged_topk,
         "index_prefix_terms": q_index_prefix_terms,
         "index_fuzzy_suggest": q_index_fuzzy_suggest,
         "index_facet_counts": q_index_facet_counts,
@@ -1060,6 +1096,8 @@ def oracle_sql() -> dict[str, str]:
         "index_incremental_topk": _BM25_OR_BODY,
         "index_phrase_topk": _BM25_PHRASE_BODY,
         "index_delete_topk": _BM25_DELETE_BODY,
+        # a merged index must be indistinguishable from a monolithic build
+        "index_merged_topk": _BM25_OR_BODY,
         "index_prefix_terms": f"""
             WITH {_TOK_CTE},
             st AS (SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf FROM tf GROUP BY 1)

@@ -1284,6 +1284,160 @@ def _add_stale(
     return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
 
 
+def merge_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    src_dir: str,
+    *,
+    refresh_scores: bool = True,
+) -> BuildResult:
+    """Segment-style index MERGE: fold the live documents of the index
+    at ``src_dir`` into the index at ``index_dir`` without re-reading
+    or re-tokenizing any raw text — the src's already-tokenized tf and
+    docmeta generations are harvested as one new dst generation
+    (src tombstones folded out first), the src docs are re-encoded
+    into fresh generation shards (O(src); NO existing dst shard is
+    touched, manifest-provable like adds), and global stats refresh
+    exactly — or defer under ``refresh_scores=False`` (the same
+    bounded-staleness contract as :func:`add_documents`).
+
+    This is the 100-TB build pattern: partition the corpus, build
+    per-partition indexes INDEPENDENTLY in parallel (each a plain
+    :func:`build_index` over its slice — no coordination, no global
+    shuffle across slices), then fold them together with merges whose
+    cost is O(src postings), never O(dst).  Unlike classic LSM/Lucene
+    segment merges, scores stay EXACT for the merged corpus (or
+    explicitly epoch-stale in deferred mode) — north_rule requires
+    rank-identity with a monolithic build, and ``compact`` afterwards
+    is byte-identical to one (tests assert it).
+
+    The positions artifact merges without re-tokenizing when both
+    sides carry a current one (position lists are doc-local — only the
+    shard placement is remapped); if only one side has it, the merged
+    artifact goes stale and readers' version check fires.
+
+    Requires identical IndexConfig on both sides; raises on any doc_id
+    present in both (same natural key indexed twice) or tombstoned in
+    the dst.  The src index is read-only throughout and remains valid.
+    """
+    if os.path.realpath(src_dir) == os.path.realpath(index_dir):
+        raise ValueError("cannot merge an index into itself")
+    manifest = load_manifest(index_dir)
+    cfg = _load_cfg(manifest, index_dir)
+    src_manifest = load_manifest(src_dir)
+    if src_manifest.get("format") != INDEX_FORMAT:
+        raise ValueError(
+            f"{src_dir} holds index format {src_manifest.get('format')} "
+            f"(merge expects {INDEX_FORMAT}); rebuild it"
+        )
+    src_cfg = _load_cfg(src_manifest, src_dir)
+    if src_cfg.to_json() != cfg.to_json():
+        raise ValueError("src index was built with a different config; rebuild one side")
+    paths, src_paths = index_paths(manifest), index_paths(src_manifest)
+    gen = int(manifest.get("next_gen", len(paths["tf"])))
+    version = int(manifest.get("version", 0)) + 1
+    t_start = time.time()
+
+    src_tf = spark.read.parquet(*[os.path.join(src_dir, p) for p in src_paths["tf"]])
+    src_meta = spark.read.parquet(
+        *[os.path.join(src_dir, p) for p in src_paths["docmeta"]]
+    )
+    src_tombs = _tombstones(spark, src_dir, src_manifest)
+    if src_tombs is not None:
+        src_tf = src_tf.join(src_tombs.select("doc_id"), "doc_id", "left_anti")
+        src_meta = src_meta.join(src_tombs.select("doc_id"), "doc_id", "left_anti")
+
+    n_new_docs = src_meta.count()
+    if n_new_docs == 0:
+        raise ValueError(f"src index {src_dir} has no live documents")
+
+    # generation sizing + placement: identical policy to add_documents
+    shard_base = int(manifest.get("next_shard_base", cfg.n_shards))
+    live = int(
+        manifest["metrics"].get("live_total_docs", manifest["metrics"]["total_docs"])
+    )
+    per_shard = max(1, live // max(1, cfg.n_shards))
+    g_shards = max(1, min(cfg.n_shards, -(-n_new_docs // per_shard)))
+    tf_rel, meta_rel = f"tf_g{gen}.parquet", f"docmeta_g{gen}.parquet"
+    # harvest (one columnar copy): the dst stays self-contained — the
+    # src dir can be deleted after the merge
+    src_tf.write.mode("overwrite").parquet(os.path.join(index_dir, tf_rel))
+    tf_new = spark.read.parquet(os.path.join(index_dir, tf_rel))
+    src_meta.withColumn(
+        "shard",
+        (F.lit(shard_base) + F.pmod(F.xxhash64("doc_id"), F.lit(g_shards))).cast("int"),
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
+    meta_new = spark.read.parquet(os.path.join(index_dir, meta_rel))
+
+    meta_old = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["docmeta"]])
+    taken = meta_old.select("doc_id")
+    tombs = _tombstones(spark, index_dir, manifest)
+    if tombs is not None:
+        taken = taken.unionByName(tombs.select("doc_id"))
+    n_clash = meta_new.select("doc_id").join(taken, "doc_id").count()
+    if n_clash:
+        raise ValueError(
+            f"{n_clash} doc_ids exist in both indexes (or are tombstoned in the dst) "
+            "— dedup the corpora or compact the dst first"
+        )
+
+    tf_all = spark.read.parquet(
+        *[os.path.join(index_dir, p) for p in paths["tf"]],
+        os.path.join(index_dir, tf_rel),
+    )
+    if tombs is not None:
+        tf_all = tf_all.join(tombs.select("doc_id"), "doc_id", "left_anti")
+    meta_all = meta_old.unionByName(meta_new)
+    shards_new = [int(r["shard"]) for r in meta_new.select("shard").distinct().collect()]
+    manifest["next_shard_base"] = shard_base + g_shards
+    manifest["next_gen"] = gen + 1
+
+    # positions: both sides current -> shard-remap the src rows into a
+    # generation file (doc-local lists, no re-tokenize); otherwise the
+    # dst artifact (if any) goes stale — version advances past
+    # positions_version and readers refuse it honestly.
+    dst_pos_current = paths.get("positions") is not None and int(
+        manifest.get("positions_version", -1)
+    ) == int(manifest.get("version", 0))
+    src_pos_current = src_paths.get("positions") is not None and int(
+        src_manifest.get("positions_version", -1)
+    ) == int(src_manifest.get("version", 0))
+    if dst_pos_current and src_pos_current:
+        from .positions import _as_owner_map, read_positions
+
+        pos_rel = f"positions_g{gen}.parquet"
+        (
+            read_positions(spark, src_dir, src_paths["positions"])
+            .drop("shard")
+            .join(meta_new.select("doc_id", "shard"), "doc_id")
+            .repartition(max(1, len(set(shards_new))), "shard")
+            .sortWithinPartitions("shard", "term", "doc_id")
+            .select("shard", "term", "doc_id", "poss")
+            .write.mode("overwrite").parquet(os.path.join(index_dir, pos_rel))
+        )
+        owned = _as_owner_map(paths["positions"], paths["structure"])
+        owned.update({str(s): pos_rel for s in shards_new})
+        manifest["paths"] = {**manifest["paths"], "positions": owned}
+        manifest["positions_version"] = version
+
+    if not refresh_scores:
+        return _add_stale(
+            spark, index_dir, manifest, cfg, tf_new, meta_new,
+            gen=gen, version=version, t_start=t_start,
+            tf_rel=tf_rel, meta_rel=meta_rel, shards_new=shards_new,
+        )
+    return _update_derived(
+        spark, index_dir, manifest, cfg, tf_all, tf_new, meta_all,
+        owned_shards=shards_new, struct_rel=f"structure_g{gen}.parquet",
+        version=version, phase_name=f"merge_g{gen}", t_start=t_start,
+        paths_update={
+            "tf": paths["tf"] + [tf_rel],
+            "docmeta": paths["docmeta"] + [meta_rel],
+        },
+        meta_enc=meta_new,
+    )
+
+
 def refresh_scores(spark: SparkSession, index_dir: str) -> BuildResult:
     """Close the bounded-staleness window: rebuild the global dictionary
     over all live tf generations and re-map EVERY score file with the
