@@ -146,3 +146,35 @@ def test_score_refresh_plan_is_shuffle_free(spark, tmp_path_factory):
     assert "Exchange hashpartitioning" not in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_fresh_encode_plan_has_no_doc_side_join(spark):
+    """The dominant build phase (structure+scores encode) must carry NO
+    join against an O(corpus) table: placement derives from doc_id and
+    doc_len rides the tf rows (format >= 3).  Asserted with broadcast
+    joins DISABLED — at 10^11-doc scale docmeta outgrows broadcast
+    range, and without this property the encode would pay an extra full
+    sort-merge shuffle of tf.  The one remaining join is the O(vocab)
+    stats dim."""
+    from wikitfidf_spark.index.build import encode_structure_df, _tokenize
+    from wikitfidf_spark.operators import termstats as ts
+
+    docs = make_code_files(spark, n_docs=200, seed=42).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    cfg = IndexConfig(n_shards=2, n_salts=2)
+    tf = _tokenize(docs, cfg)
+    stats = ts.global_term_stats(tf, n_salts=2)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enc = encode_structure_df(tf, None, stats, cfg, score_globals=(200, 50.0))
+        e = explain_str(enc)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # joins remain only on the term dim; none keyed on doc_id
+    import re as _re
+
+    join_keys = _re.findall(r"keys \[\d+\]: \[([^\]]+)\]", e)
+    assert join_keys, "expected the term-dim join to remain"
+    assert all("doc_id" not in k for k in join_keys), join_keys

@@ -115,7 +115,7 @@ _SCORE_COLS = [c.split()[0] for c in SCORES_SCHEMA.split(", ")]
 
 #: bumped when the on-disk layout changes incompatibly; manifests carry
 #: it so readers/resumers fail fast instead of misreading old dirs
-INDEX_FORMAT = 2
+INDEX_FORMAT = 3
 
 
 @dataclass
@@ -189,8 +189,12 @@ def _tokenize(base: DataFrame, cfg: IndexConfig) -> DataFrame:
             raise ValueError("a Python stemmer requires tokenizer='arrow'")
         stem_py = STEMMERS[cfg.stemmer]
     if cfg.tokenizer == "arrow":
-        return tf_map_in_pandas(base, doc_id="doc_id", text=cfg.text_col, stem_py=stem_py)
-    return termstats.term_frequencies(base, doc_id="doc_id", text=cfg.text_col)
+        return tf_map_in_pandas(
+            base, doc_id="doc_id", text=cfg.text_col, stem_py=stem_py, with_doc_len=True
+        )
+    return termstats.term_frequencies(
+        base, doc_id="doc_id", text=cfg.text_col, with_doc_len=True
+    )
 
 
 def _manifest_path(index_dir: str) -> str:
@@ -218,17 +222,31 @@ def _phase_done(m: dict, name: str, path: str) -> bool:
 
 def encode_structure_df(
     tf: DataFrame,
-    meta: DataFrame,
+    meta: DataFrame | None,
     stats: DataFrame,
     cfg: IndexConfig,
     *,
     score_globals: tuple[int, float] | None = None,
 ) -> DataFrame:
-    """The structure-encode plan: enrich tf with (doc_len, shard) from
-    docmeta (docmeta is the single source of truth for placement —
-    canonical hash shards for fresh builds, generation shards for
-    deltas; df enters only the sub-shard split decision, never the
-    payloads), sort within shards, stream-encode per partition.
+    """The structure-encode plan: enrich tf with (doc_len, shard), sort
+    within shards, stream-encode per partition.
+
+    ``meta=None`` is the CANONICAL-placement fast path (fresh builds,
+    compaction): shard derives from ``pmod(xxhash64(doc_id), n_shards)``
+    as an expression and ``doc_len`` rides the tf rows themselves
+    (format ≥3 tokenize emits it) — the dominant build phase carries
+    ZERO joins against O(corpus) tables, so nothing here degrades to a
+    sort-merge join (an extra full shuffle of tf) when docmeta outgrows
+    broadcast range at 10^11-doc scale.  The only remaining join is the
+    O(vocab) stats dim (sub-shard split decision + per-term df for the
+    fused scores), with the documented no-hint degrade for huge
+    vocabularies.
+
+    ``meta`` given = generation placement (incremental adds/deletes):
+    docmeta remains the placement authority — but there the join's
+    right side is the DELTA's docmeta (delta-sized, broadcastable by
+    construction), never the full table.
+
     Deterministic: identical inputs produce byte-identical payloads at
     any parallelism (tests assert full-vs-incremental identity).
 
@@ -248,9 +266,20 @@ def encode_structure_df(
     k1, b_p, quant = cfg.k1, cfg.b, QUANT
     import math as _math
 
-    doclens = meta.select("doc_id", "doc_len", "shard")
+    if meta is None:
+        if "doc_len" not in tf.columns:
+            raise ValueError(
+                "canonical-placement encode (meta=None) needs tf rows carrying "
+                "doc_len (format >= 3 tokenize output)"
+            )
+        placed = tf.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        )
+    else:
+        doclens = meta.select("doc_id", "doc_len", "shard")
+        placed = tf.drop("doc_len").join(doclens, "doc_id")
     enriched = (
-        tf.join(doclens, "doc_id")
+        placed
         .join(stats.select("term", "df"), "term")
         .withColumn(
             "sub_shard",
@@ -616,8 +645,10 @@ def build_index(
     if not _phase_done(manifest, "structure", struct_path):
         t0 = time.time()
         obs = Observation()
+        # meta=None: canonical placement derives from doc_id and doc_len
+        # rides the tf rows — the dominant phase carries no O(corpus) join
         combined = encode_structure_df(
-            tf, meta, stats, cfg, score_globals=(n_docs, avgdl)
+            tf, None, stats, cfg, score_globals=(n_docs, avgdl)
         ).observe(
             obs,
             F.count(F.lit(1)).alias("lists"),
@@ -834,6 +865,7 @@ def _update_derived(
     *,
     reset_owners: bool = False,
     meta_enc: DataFrame | None = None,
+    canonical_enc: bool = False,
     drop_path_keys: tuple[str, ...] = (),
 ) -> BuildResult:
     """Shared incremental-update tail (add/delete/compact):
@@ -895,9 +927,18 @@ def _update_derived(
     obs_s = Observation()
     # meta_enc restricts the encode's (doc_len, shard) join to the rows
     # being re-encoded — for a delta generation that's the delta's own
-    # docmeta, not an O(corpus) join against the full table
+    # docmeta, not an O(corpus) join against the full table.
+    # canonical_enc (compaction): placement derives from doc_id and
+    # doc_len rides the tf rows — no doc-side join at all (the fresh-
+    # build fast path; falls back to the meta join for pre-format-3 tf
+    # generations that lack the column).
+    enc_meta: DataFrame | None
+    if canonical_enc and "doc_len" in tf_enc.columns:
+        enc_meta = None
+    else:
+        enc_meta = meta_enc if meta_enc is not None else meta_r
     struct_delta = encode_structure_df(
-        tf_enc, meta_enc if meta_enc is not None else meta_r, stats_r, cfg,
+        tf_enc, enc_meta, stats_r, cfg,
         score_globals=(n_docs_all, avgdl) if fuse else None,
     ).observe(obs_s, F.count(F.lit(1)).alias("lists"))
     struct_delta.write.mode("overwrite").parquet(os.path.join(index_dir, struct_rel))
@@ -1749,6 +1790,6 @@ def compact(spark: SparkSession, index_dir: str) -> BuildResult:
         owned_shards=list(range(cfg.n_shards)),
         struct_rel=f"structure_compact_v{version}.parquet",
         version=version, phase_name=f"compact_v{version}", t_start=t_start,
-        paths_update={"tf": [tf_rel]}, reset_owners=True,
+        paths_update={"tf": [tf_rel]}, reset_owners=True, canonical_enc=True,
         drop_path_keys=drop_keys,
     )
