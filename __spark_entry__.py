@@ -735,6 +735,16 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+COOC_TERM = "join"   # PMI association target (hot term -> rich panel)
+
+
+def q_term_cooccurrence(spark, sf_dir):
+    """Doc-level co-occurrence + PMI against COOC_TERM: the related-
+    terms / query-expansion primitive.  The pair join probes only the
+    target's doc set (selective left side), never all term pairs."""
+    return textstats.term_cooccurrence(_tf(spark, sf_dir), COOC_TERM)
+
+
 def q_quality_scores(spark, sf_dir):
     return textstats.quality_scores(_docs(spark, sf_dir))
 
@@ -850,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "resize_payload": q_resize_payload,
         "token_counts": q_token_counts,
+        "term_cooccurrence": q_term_cooccurrence,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -1453,6 +1464,22 @@ def oracle_sql() -> dict[str, str]:
                    rpad(substr(hex(encode(text)), 1, {RESIZE_BYTES * 2}), {RESIZE_BYTES * 2}, '0') AS payload_hex,
                    {RESIZE_BYTES}::bigint AS n_bytes
             FROM documents
+        """,
+        "term_cooccurrence": f"""
+            WITH {_TOK_CTE},
+            n_tot AS (SELECT count(DISTINCT doc_id)::bigint AS n_docs FROM tf),
+            a_docs AS (SELECT doc_id FROM tf WHERE term = '{COOC_TERM}'),
+            n_a AS (SELECT count(*)::bigint AS n_a FROM a_docs),
+            pair AS (
+              SELECT tf.term, count(*)::bigint AS n_ab
+              FROM tf JOIN a_docs USING (doc_id)
+              WHERE tf.term != '{COOC_TERM}'
+              GROUP BY 1 HAVING count(*) >= 2
+            ),
+            df_b AS (SELECT term, count(*)::bigint AS n_b FROM tf GROUP BY 1)
+            SELECT pair.term, n_ab, n_a.n_a, df_b.n_b,
+                   floor(ln((n_ab::double * n_docs::double) / (n_a.n_a::double * n_b::double)) * 1000000 + 0.5) / 1000000 AS pmi_q
+            FROM pair JOIN df_b USING (term) CROSS JOIN n_a CROSS JOIN n_tot
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -400,3 +400,40 @@ def test_stream_sessionize_stateful_late_event_merges(spark, tmp_path):
         (2, m(60), m(60), 1),
         (3, m(180), m(180), 1),
     ]
+
+
+def test_term_cooccurrence_pmi(spark):
+    """PMI vs a hand-computed oracle on a 4-doc corpus."""
+    import math
+
+    from wikitfidf_spark.operators import textstats
+
+    rows = [
+        (1, "target alpha beta"),
+        (2, "target alpha gamma"),
+        (3, "target beta gamma"),
+        (4, "alpha beta gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = term_frequencies(docs, text="text")
+    got = {
+        r["term"]: (r["n_ab"], r["n_a"], r["n_b"], r["pmi_q"])
+        for r in textstats.term_cooccurrence(tf, "target", min_pair_docs=2).collect()
+    }
+    # n_docs=4, n_a=3; alpha: n_ab=2, n_b=3; beta: 2,3; gamma: 2,3
+    pmi = math.floor(math.log((2 * 4) / (3 * 3)) * 1e6 + 0.5) / 1e6
+    assert got == {
+        "alpha": (2, 3, 3, pmi),
+        "beta": (2, 3, 3, pmi),
+        "gamma": (2, 3, 3, pmi),
+    }
+
+
+def test_term_cooccurrence_min_pair_filter(spark):
+    from wikitfidf_spark.operators import textstats
+
+    rows = [(1, "target solo alpha"), (2, "target alpha")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = term_frequencies(docs, text="text")
+    got = {r["term"] for r in textstats.term_cooccurrence(tf, "target", min_pair_docs=2).collect()}
+    assert got == {"alpha"}  # 'solo' co-occurs once, filtered

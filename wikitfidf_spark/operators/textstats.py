@@ -82,3 +82,51 @@ def fingerprints(docs: DataFrame, *, doc_id: str = "doc_id", text: str = "text")
     canonical-form exact-dup fingerprint."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text)), r"\s+", " "))
     return docs.select(F.col(doc_id), F.md5(norm).alias("fp"))
+
+
+def term_cooccurrence(
+    tf: DataFrame,
+    target_term: str,
+    *,
+    doc_id: str = "doc_id",
+    min_pair_docs: int = 2,
+) -> DataFrame:
+    """Document-level co-occurrence + PMI against ``target_term``:
+    ``(term, n_ab, n_a, n_b, pmi_q)`` where n_ab = docs containing both,
+    n_a = docs containing the target, n_b = docs containing the term,
+    and ``pmi_q = round6(log((n_ab·N)/(n_a·n_b)))`` — the keyword-
+    association primitive (related-terms panels, query expansion,
+    collocation mining).
+
+    Plan shape: the pair join's LEFT side is the target term's doc set
+    (selective by construction — one term), so the join probes only
+    matching docs; N and n_a ride along as broadcast singletons; df per
+    term comes from a partial-agg count.  Nothing is O(all pairs):
+    candidates are restricted to terms sharing ≥1 doc with the target.
+    Quantized round-half-up log keeps the value bit-stable across
+    engines (same contract as the BM25/cosine kernels)."""
+    from .scoring import round_half_up
+
+    a_docs = tf.filter(F.col("term") == target_term).select(doc_id)
+    n_tot = tf.select(doc_id).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    n_a = a_docs.agg(F.count(F.lit(1)).alias("n_a"))
+    pair = (
+        tf.join(a_docs, doc_id)                      # docs containing the target
+        .filter(F.col("term") != target_term)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_ab"))        # tf rows unique per (doc, term)
+        .filter(F.col("n_ab") >= min_pair_docs)
+    )
+    df_b = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_b"))
+    j = (
+        pair.join(df_b, "term")
+        .crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("n_docs").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return j.select(
+        "term", "n_ab", "n_a", "n_b", round_half_up(pmi, 6).alias("pmi_q")
+    )
