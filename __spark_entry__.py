@@ -583,6 +583,26 @@ def q_index_fuzzy_suggest(spark, sf_dir):
     return idx.suggest(SUGGEST_Q, SUGGEST_DIST, 10)
 
 
+def q_index_suggest_indexed(spark, sf_dir):
+    """The SAME fuzzy-suggest answer through the SymSpell-style
+    deletion-neighborhood index: precomputed delete-variant keys make
+    the query an equi-join + tiny verify (O(candidates)) instead of an
+    O(vocab) levenshtein scan — checked against the scan formulation's
+    oracle, so the indexed path must be semantics-identical."""
+    from wikitfidf_spark.index.build import load_manifest
+    from wikitfidf_spark.index.suggest import build_suggest_index, suggest_indexed
+
+    idx = _cached_index(spark, sf_dir)
+    m = load_manifest(idx.index_dir)
+    if (
+        m["paths"].get("suggest") is None
+        or int(m.get("suggest_version", -1)) != int(m.get("version", 0))
+        or int(m.get("suggest_max_dist", 0)) < SUGGEST_DIST
+    ):
+        build_suggest_index(spark, idx.index_dir, max_dist=SUGGEST_DIST)
+    return suggest_indexed(spark, idx.index_dir, SUGGEST_Q, SUGGEST_DIST, 10)
+
+
 def q_index_facet_counts(spark, sf_dir):
     """Facet counts over the OR-match set of the flagship terms: live
     matching docs per topic (the aggregation panel next to search
@@ -844,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_merged_topk": q_index_merged_topk,
         "index_prefix_terms": q_index_prefix_terms,
         "index_fuzzy_suggest": q_index_fuzzy_suggest,
+        "index_suggest_indexed": q_index_suggest_indexed,
         "index_facet_counts": q_index_facet_counts,
         "index_hybrid_rerank": q_index_hybrid_rerank,
         "dedup_exact": q_dedup_exact,
@@ -1117,6 +1138,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY df DESC, term ASC LIMIT 10
         """,
         "index_fuzzy_suggest": f"""
+            WITH {_TOK_CTE},
+            st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1)
+            SELECT term, levenshtein(term, '{SUGGEST_Q}')::int AS dist, df FROM st
+            WHERE abs(length(term) - {len(SUGGEST_Q)}) <= {SUGGEST_DIST}
+              AND levenshtein(term, '{SUGGEST_Q}') <= {SUGGEST_DIST}
+            ORDER BY dist ASC, df DESC, term ASC LIMIT 10
+        """,
+        # the indexed (SymSpell) path must equal the scan semantics
+        "index_suggest_indexed": f"""
             WITH {_TOK_CTE},
             st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1)
             SELECT term, levenshtein(term, '{SUGGEST_Q}')::int AS dist, df FROM st

@@ -177,3 +177,37 @@ def test_hybrid_zero_query_vec_raises(idx, vecs):
     vdf, _ = vecs
     with pytest.raises(ValueError):
         idx.hybrid_topk(["arg_cfg"], vdf, [0.0] * 16)
+
+
+# ---------------- SymSpell-style indexed suggest ----------------
+
+
+def test_deletes_py_neighborhood():
+    from wikitfidf_spark.index.suggest import _deletes_py
+
+    assert _deletes_py("abc", 1) == {"abc", "bc", "ac", "ab"}
+    d2 = _deletes_py("abc", 2)
+    assert {"abc", "bc", "ac", "ab", "a", "b", "c"} == d2
+
+
+def test_suggest_indexed_equals_scan(spark, idx, py_stats):
+    """The indexed path must reproduce the scan path exactly for every
+    probe (same candidates surviving verify, same ranking)."""
+    from wikitfidf_spark.index.suggest import build_suggest_index, suggest_indexed
+
+    build_suggest_index(spark, IDX_DIR, max_dist=2)
+    for q, d in (("arg_ctx", 2), ("arg_cfg", 1), ("core_get_ctx", 2), ("zzzz", 1)):
+        scan = [(r["term"], r["dist"], r["df"]) for r in idx.suggest(q, d, 10).collect()]
+        fast = [
+            (r["term"], r["dist"], r["df"])
+            for r in suggest_indexed(spark, IDX_DIR, q, d, 10).collect()
+        ]
+        assert fast == scan, (q, d)
+
+
+def test_suggest_indexed_guards(spark, idx):
+    from wikitfidf_spark.index.suggest import build_suggest_index, suggest_indexed
+
+    build_suggest_index(spark, IDX_DIR, max_dist=1)
+    with pytest.raises(ValueError, match="max_dist"):
+        suggest_indexed(spark, IDX_DIR, "arg_ctx", 2)
