@@ -612,6 +612,21 @@ def q_index_facet_counts(spark, sf_dir):
     return idx.facet_counts(BM25_OR_TERMS, facet="topic")
 
 
+SYN_GROUPS = [["join", "merge"], ["dup"]]   # synonym sets: one logical term each
+_SYN_VALUES = ", ".join(
+    f"('{t}', {gi})" for gi, g in enumerate(SYN_GROUPS) for t in g
+)  # the oracle's term->gid VALUES literal derives from SYN_GROUPS
+
+
+def q_index_synonym_topk(spark, sf_dir):
+    """Synonym-expanded BM25 top-k with PROPER group statistics (group
+    tf = sum of member tfs per doc, group df = docs containing ANY
+    member) — a synonym set scores as one logical term instead of
+    over-weighting near-duplicate idf contributions."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.synonym_topk(SYN_GROUPS, TOPK)
+
+
 def q_index_hybrid_rerank(spark, sf_dir):
     """Hybrid lexical+dense retrieval: BM25 top-HYBRID_M candidates
     from the index, re-scored by quantized cosine against vec_id=0's
@@ -866,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_fuzzy_suggest": q_index_fuzzy_suggest,
         "index_suggest_indexed": q_index_suggest_indexed,
         "index_facet_counts": q_index_facet_counts,
+        "index_synonym_topk": q_index_synonym_topk,
         "index_hybrid_rerank": q_index_hybrid_rerank,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
@@ -1160,6 +1176,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang AS topic, count(*)::bigint AS n_docs
             FROM m JOIN documents d USING (doc_id)
             GROUP BY 1 ORDER BY n_docs DESC, topic ASC
+        """,
+        "index_synonym_topk": f"""
+            WITH {_TOK_CTE},
+            dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1),
+            tot AS (SELECT count(*)::bigint AS n, sum(doc_len)::bigint AS s FROM dl),
+            gmap(term, gid) AS (VALUES {_SYN_VALUES}),
+            gtf AS (
+              SELECT doc_id, gid, sum(tf)::bigint AS tf
+              FROM tf JOIN gmap USING (term) GROUP BY 1, 2
+            ),
+            gst AS (SELECT gid, count(*)::bigint AS df FROM gtf GROUP BY 1),
+            sc AS (
+              SELECT gtf.doc_id,
+                     floor(
+                       ln(1 + (tot.n - gst.df + 0.5) / (gst.df + 0.5))
+                       * (gtf.tf::double * {K1 + 1.0})
+                       / (gtf.tf::double + {K1} * (1 - {B} + {B} * (dl.doc_len::double / (tot.s::double / tot.n))))
+                       * {QUANT} + 0.5
+                     )::bigint AS score_q
+              FROM gtf JOIN gst USING (gid) JOIN dl USING (doc_id) CROSS JOIN tot
+            )
+            SELECT doc_id, sum(score_q)::bigint AS score_q
+            FROM sc GROUP BY doc_id
+            ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
         """,
         "index_hybrid_rerank": _BM25_CTE % {"terms": _OR_SQL} + f""",
             bm AS (SELECT doc_id, sum(score_q)::bigint AS bm25_q FROM sc GROUP BY 1),

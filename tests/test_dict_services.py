@@ -211,3 +211,64 @@ def test_suggest_indexed_guards(spark, idx):
     build_suggest_index(spark, IDX_DIR, max_dist=1)
     with pytest.raises(ValueError, match="max_dist"):
         suggest_indexed(spark, IDX_DIR, "arg_ctx", 2)
+
+
+# ---------------- synonym-group BM25 ----------------
+
+
+def _py_synonym_topk(py_stats, groups, k, mode="OR"):
+    tfs, _, _, _ = py_stats
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    n = len(tfs)
+    avgdl = sum(dls.values()) / n
+    gdf = []
+    for g in groups:
+        gdf.append(sum(1 for c in tfs.values() if any(t in c for t in g)))
+    out = {}
+    for d, c in tfs.items():
+        total, ng = 0, 0
+        for gi, g in enumerate(groups):
+            tf_g = sum(c.get(t, 0) for t in g)
+            if tf_g:
+                ng += 1
+                total += bm25_quantized_py(tf_g, dls[d], gdf[gi], n, avgdl)
+        if ng and (mode == "OR" or ng == len(groups)):
+            out[d] = total
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_synonym_topk_matches_oracle(idx, py_stats):
+    groups = [["arg_ctx77", "arg_cfg"], ["data_repo_map"]]
+    want = _py_synonym_topk(py_stats, groups, 10)
+    got = [(r["doc_id"], r["score_q"]) for r in idx.synonym_topk(groups, 10).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_synonym_topk_and_mode(idx, py_stats):
+    groups = [["arg_ctx77", "arg_cfg"], ["data_repo_map"]]
+    want = _py_synonym_topk(py_stats, groups, 10, mode="AND")
+    got = [
+        (r["doc_id"], r["score_q"])
+        for r in idx.synonym_topk(groups, 10, mode="AND").collect()
+    ]
+    assert got == want
+
+
+def test_synonym_group_df_differs_from_naive_or(idx, py_stats):
+    """The group idf must come from the UNION doc set — for synonyms
+    with overlapping doc sets the group score differs from summing
+    per-term scores (the naive OR)."""
+    tfs, _, dfc, _ = py_stats
+    g = ["arg_ctx77", "arg_cfg"]
+    union_df = sum(1 for c in tfs.values() if any(t in c for t in g))
+    assert union_df < dfc[g[0]] + dfc[g[1]]  # overlap exists
+    got = idx.synonym_topk([g], 5).collect()
+    naive = idx.topk(g, 5, mode="OR").collect()
+    assert [(r["doc_id"], r["score_q"]) for r in got] != [
+        (r["doc_id"], r["score_q"]) for r in naive
+    ]
+
+
+def test_synonym_duplicate_term_raises(idx):
+    with pytest.raises(ValueError, match="more than one group"):
+        idx.synonym_topk([["arg_cfg"], ["arg_cfg", "arg_ctx"]])

@@ -807,6 +807,62 @@ class InvertedIndex:
             .orderBy(F.desc("n_docs"), F.asc(facet))
         )
 
+    def synonym_topk(
+        self, groups: Sequence[Sequence[str]], k: int = 10, mode: str = "OR"
+    ) -> DataFrame:
+        """Query-time synonym expansion with PROPER group statistics:
+        each group of synonyms scores as ONE logical term — group tf =
+        Σ member tf per doc, group df = docs containing ANY member —
+        so a synonym set is not over-weighted by summing near-duplicate
+        idf contributions (the failure mode of naive OR expansion).
+
+        Plan: term-pruned postings decode → broadcast term→group map →
+        per-(doc, group) partial agg → group-df agg (O(groups) rows) →
+        the shared quantized BM25 kernel → per-doc sum, top-k.  AND
+        mode requires every group matched."""
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
+        gs = [list(dict.fromkeys(g)) for g in groups if g]
+        if not gs:
+            return self._empty_result().select("doc_id", "score_q")
+        seen: dict[str, int] = {}
+        for gi, g in enumerate(gs):
+            for t in g:
+                if t in seen:
+                    raise ValueError(f"term {t!r} appears in more than one group")
+                seen[t] = gi
+        from ..operators.scoring import bm25_term_scores
+        from .build import _load_cfg
+
+        cfg = _load_cfg(self.manifest, self.index_dir)
+        mapping = self.spark.createDataFrame(
+            list(seen.items()), "term string, gid int"
+        )
+        gtf = (
+            self.decoded(list(seen))
+            .join(F.broadcast(mapping), "term")
+            .groupBy("doc_id", "gid")
+            .agg(F.sum("tf").alias("tf"))
+        )
+        gstats = gtf.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
+        doclens = self.docmeta.select("doc_id", "doc_len")
+        scored = bm25_term_scores(
+            gtf.withColumnRenamed("gid", "term"),
+            gstats.withColumnRenamed("gid", "term"),
+            doclens, self.n_docs, self.avgdl, k1=cfg.k1, b=cfg.b,
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("score_q").alias("score_q"),
+            F.count(F.lit(1)).alias("_ng"),
+        )
+        if mode == "AND":
+            agg = agg.filter(F.col("_ng") == len(gs))
+        return (
+            agg.select("doc_id", "score_q")
+            .orderBy(F.desc("score_q"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     # ---------- hybrid lexical + dense retrieval ----------
 
     def hybrid_topk(
