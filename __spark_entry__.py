@@ -912,6 +912,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles
 
+_SUGGEST_ORACLE = f"""
+            WITH {_TOK_CTE},
+            st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1)
+            SELECT term, levenshtein(term, '{SUGGEST_Q}')::int AS dist, df FROM st
+            WHERE abs(length(term) - {len(SUGGEST_Q)}) <= {SUGGEST_DIST}
+              AND levenshtein(term, '{SUGGEST_Q}') <= {SUGGEST_DIST}
+            ORDER BY dist ASC, df DESC, term ASC LIMIT 10
+        """  # ONE formulation for both the scan and the indexed path
+
+
+
+
 def _plane_values_sql(n_planes: int = LSH_PLANES) -> str:
     """The LSH hyperplane matrix as a (pos, j, coef) VALUES literal —
     repr() round-trips doubles exactly, so DuckDB multiplies the same
@@ -1153,23 +1165,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE term LIKE '{PREFIX_Q}%'
             ORDER BY df DESC, term ASC LIMIT 10
         """,
-        "index_fuzzy_suggest": f"""
-            WITH {_TOK_CTE},
-            st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1)
-            SELECT term, levenshtein(term, '{SUGGEST_Q}')::int AS dist, df FROM st
-            WHERE abs(length(term) - {len(SUGGEST_Q)}) <= {SUGGEST_DIST}
-              AND levenshtein(term, '{SUGGEST_Q}') <= {SUGGEST_DIST}
-            ORDER BY dist ASC, df DESC, term ASC LIMIT 10
-        """,
+        "index_fuzzy_suggest": _SUGGEST_ORACLE,
         # the indexed (SymSpell) path must equal the scan semantics
-        "index_suggest_indexed": f"""
-            WITH {_TOK_CTE},
-            st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1)
-            SELECT term, levenshtein(term, '{SUGGEST_Q}')::int AS dist, df FROM st
-            WHERE abs(length(term) - {len(SUGGEST_Q)}) <= {SUGGEST_DIST}
-              AND levenshtein(term, '{SUGGEST_Q}') <= {SUGGEST_DIST}
-            ORDER BY dist ASC, df DESC, term ASC LIMIT 10
-        """,
+        "index_suggest_indexed": _SUGGEST_ORACLE,
         "index_facet_counts": f"""
             WITH {_TOK_CTE},
             m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_OR_SQL}))

@@ -272,3 +272,16 @@ def test_synonym_group_df_differs_from_naive_or(idx, py_stats):
 def test_synonym_duplicate_term_raises(idx):
     with pytest.raises(ValueError, match="more than one group"):
         idx.synonym_topk([["arg_cfg"], ["arg_cfg", "arg_ctx"]])
+
+
+def test_delete_keys_match_python_neighborhood(spark):
+    """Build-side JVM delete-variant generation must equal the query
+    side's _deletes_py exactly — including the EMPTY variant (the only
+    shared key between fully-disjoint strings of length <= max_dist)."""
+    from wikitfidf_spark.index.suggest import _delete_keys, _deletes_py
+
+    df = spark.createDataFrame([("abc",), ("zzzz",)], "term string")
+    for d in (1, 2, 3):
+        got = {(r["term"], r["key"]) for r in _delete_keys(df, "term", d).collect()}
+        want = {(t, k) for t in ("abc", "zzzz") for k in _deletes_py(t, d)}
+        assert got == want, d

@@ -164,7 +164,7 @@ def test_merge_collision_raises(spark, dirs, tmp_path):
     _, a_dir, _, _ = dirs
     dup = str(tmp_path / "a_copy")
     shutil.copytree(a_dir, dup)
-    with pytest.raises(ValueError, match="doc_ids exist in both"):
+    with pytest.raises(ValueError, match="doc_id collisions \(merge\)"):
         merge_from_index(spark, dup, a_dir)
 
 

@@ -1040,6 +1040,89 @@ def _update_derived(
     return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
 
 
+def _generation_layout(manifest: dict, cfg: IndexConfig, n_new_docs: int) -> tuple[int, int]:
+    """(shard_base, g_shards) for a new generation.  The generation's
+    shard COUNT is sized to the delta, not to cfg.n_shards: a 0.1%%
+    delta into a 32-shard index should not fan out into 32 near-empty
+    shards (per-add fixed costs, tiny files, and +n_shards query merge
+    width per un-compacted generation).  Target the live index's
+    docs-per-shard density, clamped to [1, n_shards]; compact() folds
+    everything back to canonical hash placement, so the byte-identity
+    invariant is untouched.  Shared by add_documents and
+    merge_from_index — the sizing policy must not drift between them."""
+    shard_base = int(manifest.get("next_shard_base", cfg.n_shards))
+    live = int(
+        manifest["metrics"].get("live_total_docs", manifest["metrics"]["total_docs"])
+    )
+    per_shard = max(1, live // max(1, cfg.n_shards))
+    g_shards = max(1, min(cfg.n_shards, -(-n_new_docs // per_shard)))
+    return shard_base, g_shards
+
+
+def _check_doc_clashes(
+    spark: SparkSession,
+    index_dir: str,
+    manifest: dict,
+    paths: dict,
+    meta_new: DataFrame,
+    *,
+    check_dups_within: bool,
+    context: str,
+) -> DataFrame:
+    """Reject doc_id collisions against the dst's live + tombstoned ids
+    (re-adding a tombstoned id needs compaction first).  Returns the
+    dst's current docmeta (the caller always needs it next).
+    ``check_dups_within`` additionally scans the new docs for internal
+    duplicates — adds need it (arbitrary user input); merges skip it
+    because a well-formed src index already guarantees unique doc_ids
+    (build/add enforce it on every write path)."""
+    meta_old = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["docmeta"]])
+    taken = meta_old.select("doc_id")
+    tombs = _tombstones(spark, index_dir, manifest)
+    if tombs is not None:
+        taken = taken.unionByName(tombs.select("doc_id"))
+    n_clash = meta_new.select("doc_id").join(taken, "doc_id").count()
+    n_dup_new = 0
+    if check_dups_within:
+        n_dup_new = meta_new.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    if n_clash or n_dup_new:
+        raise ValueError(
+            f"doc_id collisions ({context}): {n_clash} vs existing index (live or "
+            f"tombstoned), {n_dup_new} within new docs"
+        )
+    return meta_old
+
+
+def _assemble_generation(
+    spark: SparkSession,
+    index_dir: str,
+    manifest: dict,
+    paths: dict,
+    meta_old: DataFrame,
+    meta_new: DataFrame,
+    tf_rel: str,
+    *,
+    gen: int,
+    shard_base: int,
+    g_shards: int,
+) -> tuple[DataFrame, DataFrame, list[int]]:
+    """Merged (tf_all, meta_all, shards_new) for the derived-state
+    update + the generation counters' manifest bookkeeping (shared
+    add/merge tail)."""
+    tf_all = spark.read.parquet(
+        *[os.path.join(index_dir, p) for p in paths["tf"]],
+        os.path.join(index_dir, tf_rel),
+    )
+    tombs = _tombstones(spark, index_dir, manifest)
+    if tombs is not None:
+        tf_all = tf_all.join(tombs.select("doc_id"), "doc_id", "left_anti")
+    meta_all = meta_old.unionByName(meta_new)
+    shards_new = [int(r["shard"]) for r in meta_new.select("shard").distinct().collect()]
+    manifest["next_shard_base"] = shard_base + g_shards
+    manifest["next_gen"] = gen + 1
+    return tf_all, meta_all, shards_new
+
+
 def add_documents(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -1122,20 +1205,9 @@ def add_documents(
     tf_new = spark.read.parquet(os.path.join(index_dir, tf_rel))
     doclens_new = termstats.doc_lengths(tf_new)
     # new docs land in a FRESH generation of shard ids: existing shards'
-    # doc sets are untouched, so no existing structure is re-encoded
-    shard_base = int(manifest.get("next_shard_base", cfg.n_shards))
-    # the generation's shard COUNT is sized to the delta, not to
-    # cfg.n_shards: a 0.1% delta into a 32-shard index should not fan
-    # out into 32 near-empty shards (per-add fixed costs, tiny files,
-    # and +n_shards query merge width per un-compacted delta).  Target
-    # the live index's docs-per-shard density, clamped to [1, n_shards];
-    # compact() folds everything back to canonical hash placement, so
-    # the byte-identity invariant is untouched.
-    live = int(
-        manifest["metrics"].get("live_total_docs", manifest["metrics"]["total_docs"])
-    )
-    per_shard = max(1, live // max(1, cfg.n_shards))
-    g_shards = max(1, min(cfg.n_shards, -(-n_new_docs // per_shard)))
+    # doc sets are untouched, so no existing structure is re-encoded;
+    # the generation is density-sized (see _generation_layout)
+    shard_base, g_shards = _generation_layout(manifest, cfg, n_new_docs)
     meta_new = (
         base.select(
             "doc_id", *cfg.id_cols, F.col(cfg.topic_col).alias("topic"), "content_sha256"
@@ -1149,34 +1221,16 @@ def add_documents(
     meta_new.write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
     meta_new = spark.read.parquet(os.path.join(index_dir, meta_rel))
 
-    meta_old = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["docmeta"]])
-    taken = meta_old.select("doc_id")
-    tombs = _tombstones(spark, index_dir, manifest)
-    if tombs is not None:
-        taken = taken.unionByName(tombs.select("doc_id"))
-    n_clash = meta_new.select("doc_id").join(taken, "doc_id").count()
-    n_dup_new = (
-        meta_new.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    meta_old = _check_doc_clashes(
+        spark, index_dir, manifest, paths, meta_new,
+        check_dups_within=True, context="add",
     )
-    if n_clash or n_dup_new:
-        raise ValueError(
-            f"doc_id collisions: {n_clash} vs existing index (live or tombstoned), "
-            f"{n_dup_new} within new docs"
-        )
 
     # ---- merged derived state -> versioned dirs
-    tf_all = spark.read.parquet(
-        *[os.path.join(index_dir, p) for p in paths["tf"]],
-        os.path.join(index_dir, tf_rel),
+    tf_all, meta_all, shards_new = _assemble_generation(
+        spark, index_dir, manifest, paths, meta_old, meta_new, tf_rel,
+        gen=gen, shard_base=shard_base, g_shards=g_shards,
     )
-    if tombs is not None:
-        tf_all = tf_all.join(tombs.select("doc_id"), "doc_id", "left_anti")
-    meta_all = meta_old.unionByName(meta_new)
-    shards_new = [
-        int(r["shard"]) for r in meta_new.select("shard").distinct().collect()
-    ]
-    manifest["next_shard_base"] = shard_base + g_shards
-    manifest["next_gen"] = gen + 1
     # positions artifact (if built): extend O(delta) — tokenize-with-
     # positions ONLY the delta and append a generation file owning the
     # delta's shards; the owner-map flip rides the tail's atomic save.
@@ -1392,13 +1446,8 @@ def merge_from_index(
     if n_new_docs == 0:
         raise ValueError(f"src index {src_dir} has no live documents")
 
-    # generation sizing + placement: identical policy to add_documents
-    shard_base = int(manifest.get("next_shard_base", cfg.n_shards))
-    live = int(
-        manifest["metrics"].get("live_total_docs", manifest["metrics"]["total_docs"])
-    )
-    per_shard = max(1, live // max(1, cfg.n_shards))
-    g_shards = max(1, min(cfg.n_shards, -(-n_new_docs // per_shard)))
+    # generation sizing + placement: the same density policy as adds
+    shard_base, g_shards = _generation_layout(manifest, cfg, n_new_docs)
     tf_rel, meta_rel = f"tf_g{gen}.parquet", f"docmeta_g{gen}.parquet"
     # harvest (one columnar copy): the dst stays self-contained — the
     # src dir can be deleted after the merge
@@ -1410,28 +1459,14 @@ def merge_from_index(
     ).write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
     meta_new = spark.read.parquet(os.path.join(index_dir, meta_rel))
 
-    meta_old = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["docmeta"]])
-    taken = meta_old.select("doc_id")
-    tombs = _tombstones(spark, index_dir, manifest)
-    if tombs is not None:
-        taken = taken.unionByName(tombs.select("doc_id"))
-    n_clash = meta_new.select("doc_id").join(taken, "doc_id").count()
-    if n_clash:
-        raise ValueError(
-            f"{n_clash} doc_ids exist in both indexes (or are tombstoned in the dst) "
-            "— dedup the corpora or compact the dst first"
-        )
-
-    tf_all = spark.read.parquet(
-        *[os.path.join(index_dir, p) for p in paths["tf"]],
-        os.path.join(index_dir, tf_rel),
+    meta_old = _check_doc_clashes(
+        spark, index_dir, manifest, paths, meta_new,
+        check_dups_within=False, context="merge",
     )
-    if tombs is not None:
-        tf_all = tf_all.join(tombs.select("doc_id"), "doc_id", "left_anti")
-    meta_all = meta_old.unionByName(meta_new)
-    shards_new = [int(r["shard"]) for r in meta_new.select("shard").distinct().collect()]
-    manifest["next_shard_base"] = shard_base + g_shards
-    manifest["next_gen"] = gen + 1
+    tf_all, meta_all, shards_new = _assemble_generation(
+        spark, index_dir, manifest, paths, meta_old, meta_new, tf_rel,
+        gen=gen, shard_base=shard_base, g_shards=g_shards,
+    )
 
     # positions: both sides current -> shard-remap the src rows into a
     # generation file (doc-local lists, no re-tokenize); otherwise the

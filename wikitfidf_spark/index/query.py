@@ -895,8 +895,10 @@ class InvertedIndex:
         in SQL), evaluated with zip_with/aggregate — pure JVM, no UDF.
         Candidates with no embedding row keep their lexical rank and
         contribute no dense term (cos is null, ranked last)."""
+        from ..operators.similarity import DOT_QUANT
+
         q = np.asarray(list(query_vec), dtype=np.float64)
-        qn2 = int(np.floor(q * q * 1e9 + 0.5).astype(np.int64).sum())
+        qn2 = int(np.floor(q * q * DOT_QUANT + 0.5).astype(np.int64).sum())
         if qn2 <= 0:
             raise ValueError("query_vec must be non-zero")
         cand = self.topk_batch([Query(0, list(terms), "OR", m)], strategy=strategy).select(
@@ -907,11 +909,13 @@ class InvertedIndex:
         qarr = F.array(*[F.lit(float(x)) for x in q])
         emb = vecs.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_emb"))
         joined = emb.join(F.broadcast(cand), "doc_id").select(
-            "doc_id", "bm25_q", "rank_bm25",
+            "doc_id",
             F.aggregate(
                 F.zip_with(
                     F.col("_emb"), qarr,
-                    lambda x, y: F.floor(x.cast("double") * y * F.lit(1e9) + F.lit(0.5)).cast("long"),
+                    lambda x, y: F.floor(
+                        x.cast("double") * y * F.lit(float(DOT_QUANT)) + F.lit(0.5)
+                    ).cast("long"),
                 ),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
@@ -919,13 +923,15 @@ class InvertedIndex:
             F.aggregate(
                 F.transform(
                     F.col("_emb"),
-                    lambda x: F.floor(x.cast("double") * x.cast("double") * F.lit(1e9) + F.lit(0.5)).cast("long"),
+                    lambda x: F.floor(
+                        x.cast("double") * x.cast("double") * F.lit(float(DOT_QUANT)) + F.lit(0.5)
+                    ).cast("long"),
                 ),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             ).alias("norm2_q"),
         )
-        scored = cand.join(joined.drop("bm25_q", "rank_bm25"), "doc_id", "left").withColumn(
+        scored = cand.join(joined, "doc_id", "left").withColumn(
             "cos",
             F.floor(
                 F.col("dot_q").cast("double")

@@ -59,13 +59,17 @@ _DELETE1 = (
 def _delete_keys(df: DataFrame, col: str, max_dist: int) -> DataFrame:
     """(term, key) rows: key ranges over the ≤ max_dist deletion
     neighborhood of ``col`` (term itself included) — JVM codegen
-    throughout."""
+    throughout.  The EMPTY variant is kept (a term of length ≤ max_dist
+    may share only "" with a query — dropping it would silently miss
+    matches the scan path finds; tests assert build/query symmetry
+    with :func:`_deletes_py`); expansion just never recurses from ""
+    (nothing to delete)."""
     out = df.select(col, F.col(col).alias("key"))
-    frontier = df.select(col, F.col(col).alias("key"))
+    frontier = out
     for _ in range(max_dist):
         frontier = (
-            frontier.select(col, F.explode(F.expr(_DELETE1.format(c="key"))).alias("key"))
-            .filter(F.length("key") > 0)
+            frontier.filter(F.length("key") > 0)
+            .select(col, F.explode(F.expr(_DELETE1.format(c="key"))).alias("key"))
             .distinct()
         )
         out = out.unionByName(frontier)
