@@ -523,15 +523,23 @@ def build_index(
         _save_manifest(index_dir, manifest)
     tf = spark.read.parquet(tf_path)
 
-    # ---- phases 2 ∥ 3: doc metadata and dictionary are INDEPENDENT
-    # lineages over the materialized tf — run them concurrently (two
-    # driver threads; Spark schedules both jobs over one executor pool)
-    # so their fixed costs overlap instead of summing.  These two small
-    # phases were the measured Amdahl tail of the build's scaling
-    # efficiency (BENCH.md round 2: docmeta 0.30, dictionary 0.38).
-    # Crash window: a failure between a phase finishing and the joint
-    # manifest save below re-runs that phase on resume — correct,
-    # merely redundant.
+    # ---- phases 2 ∥ 3 ∥ 4: docmeta is OFF the critical path entirely.
+    # The encode needs only the dictionary and two scalars — n_docs
+    # (= the input row count: docmeta's distinct count equals it on
+    # every build that passes the dup guard, which raises otherwise)
+    # and avgdl (= Σcf/n_docs: Σdoc_len ≡ Σcf, exact integer sums) —
+    # so docmeta (the base re-scan + sha256 + placement write) runs on
+    # a driver thread CONCURRENTLY WITH THE ENCODE and its fixed cost
+    # hides under the dominant phase instead of preceding it.  These
+    # two small phases were the measured Amdahl tail of the build's
+    # scaling efficiency (BENCH.md round 2: docmeta 0.30, dictionary
+    # 0.38; round 3 overlapped them with each other — this overlaps
+    # docmeta with the encode itself).
+    # Crash windows: a failure between a phase finishing and its
+    # manifest save re-runs that phase on resume — correct, merely
+    # redundant.  The dup guard now fires AFTER the encode (the guard
+    # is an input-error report; a duplicate-id input already poisoned
+    # the tf phase before any guard could run, same as before).
     need_meta = not _phase_done(manifest, "docmeta", meta_path)
     need_dict = not _phase_done(manifest, "dictionary", dict_path)
 
@@ -585,50 +593,44 @@ def build_index(
         return {"tok": int(srow["tok"] or 0), "n_terms": int(srow["n_terms"]),
                 "skew": termstats.skew_ratio(stats_r), "wall_sec": time.time() - t0}
 
-    if need_meta or need_dict:
-        from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_meta = pool.submit(_run_docmeta) if need_meta else None
-            f_dict = pool.submit(_run_dictionary) if need_dict else None
-            meta_res = f_meta.result() if f_meta else None
-            dict_res = f_dict.result() if f_dict else None
-        if meta_res is not None:
-            if meta_res["dups"]:
-                raise ValueError(
-                    f"{meta_res['dups']} duplicate doc_ids in input (duplicate natural keys "
-                    f"{cfg.id_cols or '(doc_id column)'} or hash collision) — dedup the input first"
-                )
-            manifest["phases"]["docmeta"] = {
-                "rows": meta_res["rows"], "wall_sec": meta_res["wall_sec"],
-            }
-        meta = spark.read.parquet(meta_path)
+    pool = ThreadPoolExecutor(max_workers=1)
+    f_meta = pool.submit(_run_docmeta) if need_meta else None
+
+    if need_dict:
+        dict_res = _run_dictionary()  # main thread, ∥ the docmeta job
+    else:
+        dict_res = None
+    stats = spark.read.parquet(dict_path)
+
+    if dict_res is not None or "total_docs" not in manifest["metrics"]:
+        # score globals WITHOUT waiting for docmeta: the input row count
+        # is a column-pruned aggregate over the source (metadata-cheap
+        # for parquet), and Σcf is already materialized in the dictionary
+        n_docs = int(docs.count())
+        tok = (
+            dict_res["tok"]
+            if dict_res is not None
+            else int(stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0)
+        )
+        avgdl = float(tok) / n_docs if n_docs else 0.0
         if dict_res is not None:
-            # doc count / doc_len sum / docs-with-terms from the (slim)
-            # written meta — needs docmeta, hence after the join point
-            dl = meta.agg(
-                F.sum("doc_len").alias("s"),
-                F.count("*").alias("n"),
-                F.sum((F.col("doc_len") > 0).cast("long")).alias("nonempty"),
-            ).collect()[0]
-            n_docs_all = int(dl["n"])
-            avgdl = float(int(dl["s"] or 0)) / n_docs_all if n_docs_all else 0.0
             manifest["phases"]["dictionary"] = {
                 "rows": dict_res["n_terms"], "wall_sec": dict_res["wall_sec"],
             }
-            manifest["metrics"].update(
-                total_tokens=dict_res["tok"],
-                total_docs=n_docs_all,
-                docs_with_terms=int(dl["nonempty"] or 0),
-                avgdl=avgdl,
-                skew_ratio=dict_res["skew"],
-            )
-        # one single-threaded manifest save for both phases
+        manifest["metrics"].update(
+            total_tokens=tok,
+            total_docs=n_docs,
+            avgdl=avgdl,
+            skew_ratio=(
+                dict_res["skew"] if dict_res is not None else termstats.skew_ratio(stats)
+            ),
+        )
         _save_manifest(index_dir, manifest)
-    meta = spark.read.parquet(meta_path)
-    stats = spark.read.parquet(dict_path)
-    n_docs = int(manifest["metrics"]["total_docs"])
-    avgdl = float(manifest["metrics"]["avgdl"])
+    else:
+        n_docs = int(manifest["metrics"]["total_docs"])
+        avgdl = float(manifest["metrics"]["avgdl"])
 
     # ---- phase 4 (fused 4+5): structure AND scores in ONE encoder pass.
     # The encoder already holds each list's tfs/dls arrays and per-term
@@ -734,6 +736,30 @@ def build_index(
         m["postings_per_sec"] = m["n_postings"] / wall if wall > 0 else 0.0
         m["structure_postings_per_sec"] = m["n_postings"] / wall_s if wall_s > 0 else 0.0
         _save_manifest(index_dir, manifest)
+
+    # ---- join the docmeta thread (it overlapped the encode above)
+    if f_meta is not None:
+        meta_res = f_meta.result()
+        if meta_res["dups"]:
+            raise ValueError(
+                f"{meta_res['dups']} duplicate doc_ids in input (duplicate natural keys "
+                f"{cfg.id_cols or '(doc_id column)'} or hash collision) — dedup the input first"
+            )
+        if meta_res["rows"] != n_docs:
+            # belt+braces: distinct-doc count must equal the input count
+            # the score globals were computed with (dups raise above)
+            raise ValueError(
+                f"docmeta rows {meta_res['rows']} != input docs {n_docs}"
+            )
+        manifest["phases"]["docmeta"] = {
+            "rows": meta_res["rows"], "wall_sec": meta_res["wall_sec"],
+        }
+        nonempty = spark.read.parquet(meta_path).agg(
+            F.sum((F.col("doc_len") > 0).cast("long")).alias("ne")
+        ).collect()[0]
+        manifest["metrics"]["docs_with_terms"] = int(nonempty["ne"] or 0)
+        _save_manifest(index_dir, manifest)
+    pool.shutdown()
 
     manifest["metrics"]["build_wall_sec_total"] = round(
         sum(p["wall_sec"] for p in manifest["phases"].values()), 3
