@@ -148,14 +148,14 @@ def test_score_refresh_plan_is_shuffle_free(spark, tmp_path_factory):
     assert "BroadcastHashJoin" in p
 
 
-def test_fresh_encode_plan_has_no_doc_side_join(spark):
-    """The dominant build phase (structure+scores encode) must carry NO
-    join against an O(corpus) table: placement derives from doc_id and
-    doc_len rides the tf rows (format >= 3).  Asserted with broadcast
-    joins DISABLED — at 10^11-doc scale docmeta outgrows broadcast
-    range, and without this property the encode would pay an extra full
-    sort-merge shuffle of tf.  The one remaining join is the O(vocab)
-    stats dim."""
+def test_fresh_encode_plan_keeps_docmeta_out(spark):
+    """The dominant build phase (structure+scores encode) must not
+    touch docmeta: placement derives from doc_id as an expression
+    (pmod(xxhash64) visible in the plan) and the only doc-side input is
+    the slim (doc_id, doc_len) dim — no natural keys, no sha256, no
+    topic anywhere in the plan.  Checked with broadcasts disabled, the
+    10^11-doc shape: the doc-side degrade is a sort-merge join over the
+    narrowest possible table, not docmeta."""
     from wikitfidf_spark.index.build import encode_structure_df, _tokenize
     from wikitfidf_spark.operators import termstats as ts
 
@@ -163,18 +163,24 @@ def test_fresh_encode_plan_has_no_doc_side_join(spark):
         "doc_id", F.xxhash64("repo", "path", "commit")
     )
     cfg = IndexConfig(n_shards=2, n_salts=2)
-    tf = _tokenize(docs, cfg)
-    stats = ts.global_term_stats(tf, n_salts=2)
+    # materialize the phase inputs like the build does — the encode
+    # plan under test reads parquet, not the corpus lineage
+    base = "/tmp/wtf_plan_encode"
+    _tokenize(docs, cfg).write.mode("overwrite").parquet(base + "/tf.parquet")
+    tf = spark.read.parquet(base + "/tf.parquet")
+    ts.global_term_stats(tf, n_salts=2).write.mode("overwrite").parquet(base + "/dict.parquet")
+    stats = spark.read.parquet(base + "/dict.parquet")
+    ts.doc_lengths(tf).write.mode("overwrite").parquet(base + "/doclens.parquet")
+    doclens = spark.read.parquet(base + "/doclens.parquet")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        enc = encode_structure_df(tf, None, stats, cfg, score_globals=(200, 50.0))
+        enc = encode_structure_df(
+            tf, None, stats, cfg, doclens=doclens, score_globals=(200, 50.0)
+        )
         e = explain_str(enc)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    # joins remain only on the term dim; none keyed on doc_id
-    import re as _re
-
-    join_keys = _re.findall(r"keys \[\d+\]: \[([^\]]+)\]", e)
-    assert join_keys, "expected the term-dim join to remain"
-    assert all("doc_id" not in k for k in join_keys), join_keys
+    assert "xxhash64" in e                      # placement is an expression
+    for docmeta_col in ("content_sha256", "topic", "repo#", "path#", "commit#"):
+        assert docmeta_col not in e, docmeta_col

@@ -115,7 +115,7 @@ _SCORE_COLS = [c.split()[0] for c in SCORES_SCHEMA.split(", ")]
 
 #: bumped when the on-disk layout changes incompatibly; manifests carry
 #: it so readers/resumers fail fast instead of misreading old dirs
-INDEX_FORMAT = 3
+INDEX_FORMAT = 4
 
 
 @dataclass
@@ -189,12 +189,8 @@ def _tokenize(base: DataFrame, cfg: IndexConfig) -> DataFrame:
             raise ValueError("a Python stemmer requires tokenizer='arrow'")
         stem_py = STEMMERS[cfg.stemmer]
     if cfg.tokenizer == "arrow":
-        return tf_map_in_pandas(
-            base, doc_id="doc_id", text=cfg.text_col, stem_py=stem_py, with_doc_len=True
-        )
-    return termstats.term_frequencies(
-        base, doc_id="doc_id", text=cfg.text_col, with_doc_len=True
-    )
+        return tf_map_in_pandas(base, doc_id="doc_id", text=cfg.text_col, stem_py=stem_py)
+    return termstats.term_frequencies(base, doc_id="doc_id", text=cfg.text_col)
 
 
 def _manifest_path(index_dir: str) -> str:
@@ -226,21 +222,26 @@ def encode_structure_df(
     stats: DataFrame,
     cfg: IndexConfig,
     *,
+    doclens: DataFrame | None = None,
     score_globals: tuple[int, float] | None = None,
 ) -> DataFrame:
     """The structure-encode plan: enrich tf with (doc_len, shard), sort
     within shards, stream-encode per partition.
 
-    ``meta=None`` is the CANONICAL-placement fast path (fresh builds,
-    compaction): shard derives from ``pmod(xxhash64(doc_id), n_shards)``
-    as an expression and ``doc_len`` rides the tf rows themselves
-    (format ≥3 tokenize emits it) — the dominant build phase carries
-    ZERO joins against O(corpus) tables, so nothing here degrades to a
-    sort-merge join (an extra full shuffle of tf) when docmeta outgrows
-    broadcast range at 10^11-doc scale.  The only remaining join is the
-    O(vocab) stats dim (sub-shard split decision + per-term df for the
-    fused scores), with the documented no-hint degrade for huge
-    vocabularies.
+    ``meta=None`` (pass ``doclens``) is the CANONICAL-placement fast
+    path (fresh builds, compaction): shard derives from
+    ``pmod(xxhash64(doc_id), n_shards)`` as an expression — placement
+    never touches docmeta — and doc lengths come from the slim
+    ``doclens`` dim (two 8-byte columns, ~20× narrower than docmeta's
+    row with its natural keys + sha256): broadcastable to ~10^8 docs,
+    and past that the degrade is a sort-merge join over the NARROWEST
+    possible doc-side table.  (Carrying doc_len on the tf rows
+    themselves was tried and rejected: Catalyst evaluates the tokenize
+    regex once for ``size`` and once for ``explode`` — a measured
+    +30-50% on the tf phase, worse than the slim join at every scale
+    that matters.)  The other join is the O(vocab) stats dim
+    (sub-shard split decision + per-term df for the fused scores),
+    with the documented no-hint degrade for huge vocabularies.
 
     ``meta`` given = generation placement (incremental adds/deletes):
     docmeta remains the placement authority — but there the join's
@@ -267,17 +268,13 @@ def encode_structure_df(
     import math as _math
 
     if meta is None:
-        if "doc_len" not in tf.columns:
-            raise ValueError(
-                "canonical-placement encode (meta=None) needs tf rows carrying "
-                "doc_len (format >= 3 tokenize output)"
-            )
-        placed = tf.withColumn(
+        if doclens is None:
+            raise ValueError("canonical-placement encode (meta=None) needs doclens")
+        placed = tf.join(doclens.select("doc_id", "doc_len"), "doc_id").withColumn(
             "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
         )
     else:
-        doclens = meta.select("doc_id", "doc_len", "shard")
-        placed = tf.drop("doc_len").join(doclens, "doc_id")
+        placed = tf.join(meta.select("doc_id", "doc_len", "shard"), "doc_id")
     enriched = (
         placed
         .join(stats.select("term", "df"), "term")
@@ -593,16 +590,32 @@ def build_index(
         return {"tok": int(srow["tok"] or 0), "n_terms": int(srow["n_terms"]),
                 "skew": termstats.skew_ratio(stats_r), "wall_sec": time.time() - t0}
 
+    # the slim doc-length dim the canonical encode joins (doc_id,
+    # doc_len — two 8-byte columns): cheap columnar agg over the
+    # written tf, runs ∥ the dictionary so it adds nothing to the
+    # critical path (dictionary is the longer of the two)
+    dl_path = os.path.join(index_dir, "doclens.parquet")
+    need_dl = not _phase_done(manifest, "doclens", dl_path)
+
+    def _run_doclens() -> dict:
+        t0 = time.time()
+        termstats.doc_lengths(tf).write.mode("overwrite").parquet(dl_path)
+        return {"wall_sec": time.time() - t0}
+
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=1)
+    pool = ThreadPoolExecutor(max_workers=2)
     f_meta = pool.submit(_run_docmeta) if need_meta else None
+    f_dl = pool.submit(_run_doclens) if need_dl else None
 
     if need_dict:
-        dict_res = _run_dictionary()  # main thread, ∥ the docmeta job
+        dict_res = _run_dictionary()  # main thread, ∥ the docmeta/doclens jobs
     else:
         dict_res = None
     stats = spark.read.parquet(dict_path)
+    if f_dl is not None:
+        manifest["phases"]["doclens"] = {"rows": 0, **f_dl.result()}
+    doclens_r = spark.read.parquet(dl_path)
 
     if dict_res is not None or "total_docs" not in manifest["metrics"]:
         # score globals WITHOUT waiting for docmeta: the input row count
@@ -647,10 +660,11 @@ def build_index(
     if not _phase_done(manifest, "structure", struct_path):
         t0 = time.time()
         obs = Observation()
-        # meta=None: canonical placement derives from doc_id and doc_len
-        # rides the tf rows — the dominant phase carries no O(corpus) join
+        # meta=None: canonical placement derives from doc_id as an
+        # expression; doc lengths come from the slim doclens dim —
+        # docmeta never enters the dominant phase's data path
         combined = encode_structure_df(
-            tf, None, stats, cfg, score_globals=(n_docs, avgdl)
+            tf, None, stats, cfg, doclens=doclens_r, score_globals=(n_docs, avgdl)
         ).observe(
             obs,
             F.count(F.lit(1)).alias("lists"),
@@ -891,7 +905,6 @@ def _update_derived(
     *,
     reset_owners: bool = False,
     meta_enc: DataFrame | None = None,
-    canonical_enc: bool = False,
     drop_path_keys: tuple[str, ...] = (),
 ) -> BuildResult:
     """Shared incremental-update tail (add/delete/compact):
@@ -953,18 +966,9 @@ def _update_derived(
     obs_s = Observation()
     # meta_enc restricts the encode's (doc_len, shard) join to the rows
     # being re-encoded — for a delta generation that's the delta's own
-    # docmeta, not an O(corpus) join against the full table.
-    # canonical_enc (compaction): placement derives from doc_id and
-    # doc_len rides the tf rows — no doc-side join at all (the fresh-
-    # build fast path; falls back to the meta join for pre-format-3 tf
-    # generations that lack the column).
-    enc_meta: DataFrame | None
-    if canonical_enc and "doc_len" in tf_enc.columns:
-        enc_meta = None
-    else:
-        enc_meta = meta_enc if meta_enc is not None else meta_r
+    # docmeta, not an O(corpus) join against the full table
     struct_delta = encode_structure_df(
-        tf_enc, enc_meta, stats_r, cfg,
+        tf_enc, meta_enc if meta_enc is not None else meta_r, stats_r, cfg,
         score_globals=(n_docs_all, avgdl) if fuse else None,
     ).observe(obs_s, F.count(F.lit(1)).alias("lists"))
     struct_delta.write.mode("overwrite").parquet(os.path.join(index_dir, struct_rel))
@@ -1851,6 +1855,6 @@ def compact(spark: SparkSession, index_dir: str) -> BuildResult:
         owned_shards=list(range(cfg.n_shards)),
         struct_rel=f"structure_compact_v{version}.parquet",
         version=version, phase_name=f"compact_v{version}", t_start=t_start,
-        paths_update={"tf": [tf_rel]}, reset_owners=True, canonical_enc=True,
+        paths_update={"tf": [tf_rel]}, reset_owners=True,
         drop_path_keys=drop_keys,
     )

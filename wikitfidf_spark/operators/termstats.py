@@ -30,33 +30,21 @@ def term_frequencies(
     doc_id: str = "doc_id",
     text: str = "content",
     extra_cols: tuple[str, ...] = (),
-    with_doc_len: bool = False,
 ) -> DataFrame:
     """(doc_id, [extra...], term, tf) via JVM-side regexp + explode +
     hash agg (codegen path; oracle-expressible in ANSI SQL).
 
-    ``with_doc_len`` adds a ``doc_len`` column (total kept tokens per
-    doc — constant within a doc, = Σtf) computed from the token array
-    BEFORE the explode: one int column through the shuffle buys the
-    index build's encode phase freedom from the O(corpus) docmeta join
-    (placement derives from doc_id, doc_len rides the row) — the join
-    that would degrade to a sort-merge (an extra full shuffle of tf)
-    once docmeta outgrows broadcast range.
+    Deliberately does NOT emit a per-row doc_len: computing it from the
+    token array alongside the explode makes Catalyst evaluate the
+    tokenize regex TWICE per document (once for ``size``, once inside
+    ``Generate``) — a measured +30-50% on the whole phase.  Doc lengths
+    are a separate cheap aggregation over this output
+    (:func:`doc_lengths`).
 
     The index build uses the fused Arrow variant
     (:func:`wikitfidf_spark.tokenize.tf_map_in_pandas`); tests prove the
     two produce identical rows.
     """
-    if with_doc_len:
-        return (
-            docs.select(doc_id, *extra_cols, tokens_col(text).alias("_toks"))
-            .select(
-                doc_id, *extra_cols, F.size("_toks").cast("long").alias("doc_len"),
-                F.explode("_toks").alias("term"),
-            )
-            .groupBy(doc_id, *extra_cols, "doc_len", "term")
-            .agg(F.count("*").alias("tf"))
-        )
     return (
         docs.select(doc_id, *extra_cols, F.explode(tokens_col(text)).alias("term"))
         .groupBy(doc_id, *extra_cols, "term")

@@ -70,7 +70,6 @@ def tf_map_in_pandas(
     text: str = "content",
     extra_cols: tuple[str, ...] = (),
     stem_py=None,
-    with_doc_len: bool = False,
 ) -> DataFrame:
     """Fused tokenize + per-doc term-frequency count as ``mapInPandas``.
 
@@ -96,10 +95,8 @@ def tf_map_in_pandas(
     # otherwise swap columns under positional assignment
     out_schema = ", ".join(
         [f"`{c}` {docs.schema[c].dataType.simpleString()}" for c in carried]
-        + (["doc_len long"] if with_doc_len else [])
         + ["term string", "tf long"]
     )
-    out_cols = carried + (["doc_len"] if with_doc_len else []) + ["term", "tf"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,12 +122,9 @@ def tf_map_in_pandas(
             counts = (
                 exploded.groupby(["_row", "term"], sort=False).size().rename("tf").reset_index()
             )
-            side = pdf[carried].rename_axis("_row").reset_index()
-            if with_doc_len:
-                # token count per doc (stemming is token->token, so the
-                # count is invariant to it), constant within a doc
-                side["doc_len"] = toks.str.len().astype("int64").to_numpy()
-            out = counts.merge(side, on="_row", how="left")[out_cols]
+            out = counts.merge(
+                pdf[carried].rename_axis("_row").reset_index(), on="_row", how="left"
+            )[carried + ["term", "tf"]]
             yield out
 
     return docs.select(*carried, text).mapInPandas(fn, out_schema)
