@@ -612,6 +612,25 @@ def q_index_facet_counts(spark, sf_dir):
     return idx.facet_counts(BM25_OR_TERMS, facet="topic")
 
 
+NOT_TERMS = ("merge",)                      # must_not probe for index_not_topk
+
+
+def q_index_not_topk(spark, sf_dir):
+    """Boolean NOT through the engine: the flagship OR query with docs
+    containing NOT_TERMS excluded (must_not semantics — surviving docs
+    keep their exact scores; excluded terms never contribute to
+    scoring).  Exclusion is shard-local: an excluded doc's postings
+    live in the same doc-partitioned shard as its scored postings, so
+    the mask never crosses shards."""
+    from wikitfidf_spark.index.query import Query
+
+    idx = _cached_index(spark, sf_dir)
+    out = idx.topk_batch(
+        [Query(0, BM25_OR_TERMS, "OR", TOPK, exclude=NOT_TERMS)], strategy="wand"
+    )
+    return out.select("doc_id", "score_q")
+
+
 SYN_GROUPS = [["join", "merge"], ["dup"]]   # synonym sets: one logical term each
 _SYN_VALUES = ", ".join(
     f"('{t}', {gi})" for gi, g in enumerate(SYN_GROUPS) for t in g
@@ -881,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_fuzzy_suggest": q_index_fuzzy_suggest,
         "index_suggest_indexed": q_index_suggest_indexed,
         "index_facet_counts": q_index_facet_counts,
+        "index_not_topk": q_index_not_topk,
         "index_synonym_topk": q_index_synonym_topk,
         "index_hybrid_rerank": q_index_hybrid_rerank,
         "dedup_exact": q_dedup_exact,
@@ -991,6 +1011,7 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
 _MARK_SQL = ", ".join(f"'{m}'" for m in textstats.EN_MARKERS)
 _FLAG_SQL = ", ".join(f"'{w}'" for w in FLAGGED)
 _OR_SQL = ", ".join(f"'{t}'" for t in BM25_OR_TERMS)
+_NOT_SQL = ", ".join(f"'{t}'" for t in NOT_TERMS)
 _AND_SQL = ", ".join(f"'{t}'" for t in BM25_AND_TERMS)
 
 _BM25_OR_BODY = _BM25_CTE % {"terms": _OR_SQL} + f"""
@@ -1174,6 +1195,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang AS topic, count(*)::bigint AS n_docs
             FROM m JOIN documents d USING (doc_id)
             GROUP BY 1 ORDER BY n_docs DESC, topic ASC
+        """,
+        "index_not_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            SELECT doc_id, sum(score_q)::bigint AS score_q
+            FROM sc
+            WHERE doc_id NOT IN (
+              SELECT DISTINCT doc_id FROM tok WHERE term IN ({_NOT_SQL})
+            )
+            GROUP BY doc_id
+            ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
         """,
         "index_synonym_topk": f"""
             WITH {_TOK_CTE},

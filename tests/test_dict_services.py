@@ -285,3 +285,73 @@ def test_delete_keys_match_python_neighborhood(spark):
         got = {(r["term"], r["key"]) for r in _delete_keys(df, "term", d).collect()}
         want = {(t, k) for t in ("abc", "zzzz") for k in _deletes_py(t, d)}
         assert got == want, d
+
+
+# ---------------- must_not (NOT) queries ----------------
+
+
+def _py_not_topk(py_stats, terms, exclude, k, mode="OR"):
+    tfs, _, dfc, _ = py_stats
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    n = len(tfs)
+    avgdl = sum(dls.values()) / n
+    out = {}
+    uniq = set(terms)
+    for d, c in tfs.items():
+        if any(t in c for t in exclude):
+            continue
+        present = [t for t in uniq if t in c]
+        if not present or (mode == "AND" and len(present) < len(uniq)):
+            continue
+        out[d] = sum(bm25_quantized_py(c[t], dls[d], dfc[t], n, avgdl) for t in present)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_not_queries_match_oracle(idx, py_stats, strategy, mode):
+    from wikitfidf_spark.index.query import Query
+
+    terms, exclude = ["arg_ctx77", "arg_cfg"], ("arg_ctx",)
+    want = _py_not_topk(py_stats, terms, exclude, 10, mode)
+    got = [
+        (r["doc_id"], r["score_q"])
+        for r in idx.topk_batch(
+            [Query(0, terms, mode, 10, exclude=exclude)], strategy=strategy
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_not_exclusion_actually_drops_docs(idx, py_stats):
+    from wikitfidf_spark.index.query import Query
+
+    tfs, _, _, _ = py_stats
+    terms, exclude = ["arg_ctx77", "arg_cfg"], ("arg_ctx",)
+    excluded_matching = [
+        d for d, c in tfs.items()
+        if any(t in c for t in terms) and any(t in c for t in exclude)
+    ]
+    assert excluded_matching  # probe actually exercises exclusion
+    got = {
+        r["doc_id"]
+        for r in idx.topk_batch([Query(0, terms, "OR", 10000, exclude=exclude)]).collect()
+    }
+    assert not (got & set(excluded_matching))
+    # surviving docs keep their unfiltered scores
+    base = {
+        r["doc_id"]: r["score_q"]
+        for r in idx.topk_batch([Query(0, terms, "OR", 10000)]).collect()
+    }
+    scored = {
+        r["doc_id"]: r["score_q"]
+        for r in idx.topk_batch([Query(0, terms, "OR", 10000, exclude=exclude)]).collect()
+    }
+    assert all(base[d] == s for d, s in scored.items())
+
+
+def test_not_overlap_raises(idx):
+    from wikitfidf_spark.index.query import Query
+
+    with pytest.raises(ValueError, match="scored and excluded"):
+        idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, exclude=("arg_cfg",))])

@@ -164,6 +164,7 @@ class _TermCursor:
 def wand_top_k(
     term_rows: dict[str, list], k: int, mode: str = "OR",
     allowed: "np.ndarray | None" = None,
+    excluded: "np.ndarray | None" = None,
 ) -> list[tuple[int, int]]:
     """Block-max WAND (OR) / skipping intersection (AND) over one shard.
 
@@ -173,10 +174,20 @@ def wand_top_k(
     subset, so the pruning logic is unchanged — the filter only snaps
     candidate targets forward to the next allowed doc, which ADDS skip
     distance (selective filters make WAND faster, not slower).
-    Returns [(doc_id, score_q)] sorted by (score desc, doc asc), ≤ k.
+    ``excluded``: optional SORTED int64 array of forbidden doc_ids
+    (must_not terms, pre-decoded by the caller): a pivot/intersection
+    candidate in it is skipped past — scores of surviving docs are
+    untouched.  Returns [(doc_id, score_q)] sorted by
+    (score desc, doc asc), ≤ k.
     """
     if allowed is not None and not len(allowed):
         return []
+    if excluded is not None and not len(excluded):
+        excluded = None
+
+    def is_excluded(doc: int) -> bool:
+        i = int(np.searchsorted(excluded, doc))
+        return i < len(excluded) and int(excluded[i]) == doc
     cursors = [
         _TermCursor([_List(r) for r in rows]) for rows in term_rows.values()
     ]
@@ -214,6 +225,10 @@ def wand_top_k(
             if any(c.exhausted for c in cursors):
                 break
             if all(c.cur_doc == target for c in cursors):
+                if excluded is not None and is_excluded(target):
+                    for c in cursors:
+                        c.next_geq(target + 1)
+                    continue
                 total = 0
                 for c in cursors:
                     s = c.score_and_advance_if_at(target)
@@ -255,6 +270,10 @@ def wand_top_k(
                     for c in live[: pivot_idx + 1]:
                         c.next_geq(na)
                     continue
+            if excluded is not None and is_excluded(pivot_doc):
+                for c in live[: pivot_idx + 1]:
+                    c.next_geq(pivot_doc + 1)
+                continue
             if full:
                 # block-max refinement over every list at pivot_doc
                 block_ub = sum(c.cur_block_max() for c in live[: pivot_idx + 1])
@@ -323,7 +342,7 @@ def _taat_kernel(
                 continue
         decoded.setdefault(r["term"], []).append((docs, scores))
     out_q, out_d, out_s = [], [], []
-    for qid, terms, mode, k in qspec:
+    for qid, terms, mode, k, exclude in qspec:
         uniq_terms = sorted(set(terms))
         present = [t for t in uniq_terms if t in decoded]
         if not present:
@@ -334,6 +353,16 @@ def _taat_kernel(
         s_parts = [s for t in present for _, s in decoded[t]]
         docs = np.concatenate(d_parts)
         scores = np.concatenate(s_parts)
+        if exclude:
+            # docs containing ANY excluded term drop out; the excluded
+            # terms never contribute to scoring (they are decoded only
+            # for this membership mask)
+            excl_parts = [d for t in exclude if t in decoded for d, _ in decoded[t]]
+            if excl_parts:
+                keep = np.isin(docs, np.concatenate(excl_parts), invert=True)
+                docs, scores = docs[keep], scores[keep]
+                if not len(docs):
+                    continue
         u, inv, cnt = np.unique(docs, return_inverse=True, return_counts=True)
         sums = np.zeros(len(u), dtype=np.int64)
         np.add.at(sums, inv, scores)
@@ -373,6 +402,12 @@ class Query:
     terms: list[str]
     mode: str = "OR"  # OR | AND
     k: int = 10
+    # must_not terms: docs containing ANY of these are excluded from
+    # the result; surviving docs' scores are untouched (the excluded
+    # terms never contribute to scoring).  Exclusion is shard-local —
+    # an excluded doc's postings live in the same doc-partitioned
+    # shard as its scored postings.
+    exclude: tuple[str, ...] = ()
 
 
 class InvertedIndex:
@@ -466,10 +501,22 @@ class InvertedIndex:
                 raise ValueError(f"query {q.query_id}: unknown mode {q.mode!r}: use 'OR' or 'AND'")
             if q.k < 1:
                 raise ValueError(f"query {q.query_id}: k must be >= 1, got {q.k}")
-        all_terms = sorted({t for q in queries for t in q.terms})
-        if not all_terms:
+            overlap = set(q.terms) & set(q.exclude)
+            if overlap:
+                raise ValueError(
+                    f"query {q.query_id}: terms both scored and excluded: {sorted(overlap)}"
+                )
+        # excluded terms' postings are fetched too — their doc ids form
+        # the shard-local must_not masks (never scored)
+        all_terms = sorted(
+            {t for q in queries for t in q.terms}
+            | {t for q in queries for t in q.exclude}
+        )
+        if not {t for q in queries for t in q.terms}:
             return self._empty_result()
-        qspec = [(q.query_id, list(q.terms), q.mode, q.k) for q in queries]
+        qspec = [
+            (q.query_id, list(q.terms), q.mode, q.k, tuple(q.exclude)) for q in queries
+        ]
         # structure and scores rows are UNIONED (not JVM-joined) and
         # matched per (term, sub_shard) inside the per-shard group:
         # filters still push into both parquet scans, the one shuffle on
@@ -484,14 +531,28 @@ class InvertedIndex:
             by_term: dict[str, list] = {}
             for r in _merged_lists(pdf):
                 by_term.setdefault(r["term"], []).append(r)
+            excl_cache: dict[tuple, "np.ndarray | None"] = {}
+
+            def excl_docs(exclude: tuple) -> "np.ndarray | None":
+                if exclude not in excl_cache:
+                    parts = [
+                        codec.decode_docs_scores(r)[0]
+                        for t in exclude if t in by_term for r in by_term[t]
+                    ]
+                    excl_cache[exclude] = (
+                        np.unique(np.concatenate(parts)) if parts else None
+                    )
+                return excl_cache[exclude]
+
             out = []
-            for qid, terms, mode, k in qspec:
+            for qid, terms, mode, k, exclude in qspec:
                 rows_q = {t: by_term[t] for t in terms if t in by_term}
                 if not rows_q:
                     continue
                 if mode == "AND" and len(rows_q) < len(set(terms)):
                     continue
-                for doc, score in wand_top_k(rows_q, k, mode, allowed_u):
+                excluded = excl_docs(exclude) if exclude else None
+                for doc, score in wand_top_k(rows_q, k, mode, allowed_u, excluded):
                     out.append((qid, doc, score))
             return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
 
@@ -613,7 +674,7 @@ class InvertedIndex:
             F.col("term").isin(terms)
         )
         rows = self._posting_rows(sorted(set(terms)))
-        qspec = [(0, terms, "AND", k)]
+        qspec = [(0, terms, "AND", k, ())]
 
         def per_shard_phrase(key, pdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
             allowed = verify_phrase_docs(ppdf, terms, slop)
