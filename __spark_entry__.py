@@ -613,6 +613,22 @@ def q_index_facet_counts(spark, sf_dir):
 
 
 NOT_TERMS = ("merge",)                      # must_not probe for index_not_topk
+PAGE_OFFSET = 10                            # pagination probe: second page
+
+
+def q_index_paged_topk(spark, sf_dir):
+    """Deep paging through the engine: the flagship OR query's SECOND
+    page (offset=PAGE_OFFSET, k=TOPK).  Each shard widens its local cut
+    to offset+k; ranks stay absolute so page boundaries agree across
+    requests.  Oracle: the same BM25 SQL with LIMIT/OFFSET over the
+    identical deterministic order."""
+    from wikitfidf_spark.index.query import Query
+
+    idx = _cached_index(spark, sf_dir)
+    out = idx.topk_batch(
+        [Query(0, BM25_OR_TERMS, "OR", TOPK, offset=PAGE_OFFSET)], strategy="taat"
+    )
+    return out.select("doc_id", "score_q", "rank")
 
 
 def q_index_not_topk(spark, sf_dir):
@@ -901,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_suggest_indexed": q_index_suggest_indexed,
         "index_facet_counts": q_index_facet_counts,
         "index_not_topk": q_index_not_topk,
+        "index_paged_topk": q_index_paged_topk,
         "index_synonym_topk": q_index_synonym_topk,
         "index_hybrid_rerank": q_index_hybrid_rerank,
         "dedup_exact": q_dedup_exact,
@@ -1204,6 +1221,16 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY doc_id
             ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
+        """,
+        "index_paged_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            , agg AS (
+              SELECT doc_id, sum(score_q)::bigint AS score_q,
+                     row_number() OVER (ORDER BY sum(score_q) DESC, doc_id ASC) AS rank
+              FROM sc GROUP BY doc_id
+            )
+            SELECT doc_id, score_q, rank::int AS rank FROM agg
+            WHERE rank > {PAGE_OFFSET} AND rank <= {PAGE_OFFSET + TOPK}
+            ORDER BY rank
         """,
         "index_synonym_topk": f"""
             WITH {_TOK_CTE},

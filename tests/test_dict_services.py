@@ -355,3 +355,32 @@ def test_not_overlap_raises(idx):
 
     with pytest.raises(ValueError, match="scored and excluded"):
         idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, exclude=("arg_cfg",))])
+
+
+# ---------------- pagination (offset) ----------------
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+def test_pagination_pages_tile_the_ranking(idx, strategy):
+    from wikitfidf_spark.index.query import Query
+
+    terms = ["arg_ctx77", "arg_cfg"]
+    full = idx.topk_batch([Query(0, terms, "OR", 30)], strategy=strategy).collect()
+    pages = []
+    for off in (0, 10, 20):
+        pages += idx.topk_batch(
+            [Query(0, terms, "OR", 10, offset=off)], strategy=strategy
+        ).collect()
+    tile = sorted((r["rank"], r["doc_id"], r["score_q"]) for r in pages)
+    want = sorted((r["rank"], r["doc_id"], r["score_q"]) for r in full)
+    assert tile == want and len(want) == 30
+    # absolute ranks: page 2 starts at rank 11
+    p2 = idx.topk_batch([Query(0, terms, "OR", 10, offset=10)], strategy=strategy).collect()
+    assert min(r["rank"] for r in p2) == 11
+
+
+def test_pagination_negative_offset_raises(idx):
+    from wikitfidf_spark.index.query import Query
+
+    with pytest.raises(ValueError, match="offset"):
+        idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, offset=-1)])

@@ -408,6 +408,13 @@ class Query:
     # an excluded doc's postings live in the same doc-partitioned
     # shard as its scored postings.
     exclude: tuple[str, ...] = ()
+    # pagination: skip the first ``offset`` ranks, return the next k.
+    # Each shard widens its local cut to offset+k (a doc at global
+    # rank offset+i can be at local rank offset+i at worst), and the
+    # global merge filters offset < rank <= offset+k — the returned
+    # ``rank`` stays the ABSOLUTE rank, so page boundaries agree
+    # across requests.
+    offset: int = 0
 
 
 class InvertedIndex:
@@ -506,6 +513,8 @@ class InvertedIndex:
                 raise ValueError(
                     f"query {q.query_id}: terms both scored and excluded: {sorted(overlap)}"
                 )
+            if q.offset < 0:
+                raise ValueError(f"query {q.query_id}: offset must be >= 0, got {q.offset}")
         # excluded terms' postings are fetched too — their doc ids form
         # the shard-local must_not masks (never scored)
         all_terms = sorted(
@@ -515,7 +524,8 @@ class InvertedIndex:
         if not {t for q in queries for t in q.terms}:
             return self._empty_result()
         qspec = [
-            (q.query_id, list(q.terms), q.mode, q.k, tuple(q.exclude)) for q in queries
+            (q.query_id, list(q.terms), q.mode, q.k + q.offset, tuple(q.exclude))
+            for q in queries
         ]
         # structure and scores rows are UNIONED (not JVM-joined) and
         # matched per (term, sub_shard) inside the per-shard group:
@@ -583,7 +593,9 @@ class InvertedIndex:
         else:
             per_shard = per_shard_taat if strategy == "taat" else per_shard_wand
             local = rows.groupBy("shard").applyInPandas(per_shard, out_schema)
-        return self._rank_and_limit(local, {q.query_id: q.k for q in queries})
+        return self._rank_and_limit(
+            local, {q.query_id: (q.k, q.offset) for q in queries}
+        )
 
     def topk(self, terms: Sequence[str], k: int = 10, mode: str = "OR") -> DataFrame:
         return self.topk_batch([Query(0, list(terms), mode, k)]).drop("query_id")
@@ -610,15 +622,21 @@ class InvertedIndex:
         )
         return s_rows.unionByName(c_rows, allowMissingColumns=True)
 
-    def _rank_and_limit(self, local: DataFrame, kmap: dict[int, int]) -> DataFrame:
-        """Global merge: per-query window top-k over the ≤ shards*k
-        shard-local results."""
+    def _rank_and_limit(self, local: DataFrame, kmap: dict) -> DataFrame:
+        """Global merge: per-query window top-k over the ≤ shards*(k+off)
+        shard-local results.  ``kmap`` values are k or (k, offset);
+        ranks are absolute, the offset window filters
+        offset < rank <= offset + k."""
         w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
-        kdf = self.spark.createDataFrame(list(kmap.items()), "query_id int, k int")
+        rows = [
+            (qid, *(v if isinstance(v, tuple) else (v, 0)))
+            for qid, v in kmap.items()
+        ]
+        kdf = self.spark.createDataFrame(rows, "query_id int, k int, off int")
         return (
             local.withColumn("rank", F.row_number().over(w))
             .join(F.broadcast(kdf), "query_id")
-            .filter(F.col("rank") <= F.col("k"))
+            .filter((F.col("rank") > F.col("off")) & (F.col("rank") <= F.col("off") + F.col("k")))
             .select(
                 "query_id", "doc_id", "score_q",
                 (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
