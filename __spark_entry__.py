@@ -614,6 +614,22 @@ def q_index_facet_counts(spark, sf_dir):
 
 NOT_TERMS = ("merge",)                      # must_not probe for index_not_topk
 PAGE_OFFSET = 10                            # pagination probe: second page
+BOOSTS = (1, 2, 4)                          # per-term boosts for index_boosted_topk
+
+
+def q_index_boosted_topk(spark, sf_dir):
+    """Per-term query boosts through the engine (WAND path): the
+    flagship terms weighted (1, 2, 4) — integer boosts scale each
+    term's quantized impacts AND its block-max upper bounds by the same
+    factor, so WAND's pruning stays admissible and scores stay exact
+    integers.  The weighted-field/query-weighting primitive."""
+    from wikitfidf_spark.index.query import Query
+
+    idx = _cached_index(spark, sf_dir)
+    out = idx.topk_batch(
+        [Query(0, BM25_OR_TERMS, "OR", TOPK, boosts=BOOSTS)], strategy="wand"
+    )
+    return out.select("doc_id", "score_q")
 
 
 def q_index_paged_topk(spark, sf_dir):
@@ -918,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_facet_counts": q_index_facet_counts,
         "index_not_topk": q_index_not_topk,
         "index_paged_topk": q_index_paged_topk,
+        "index_boosted_topk": q_index_boosted_topk,
         "index_synonym_topk": q_index_synonym_topk,
         "index_hybrid_rerank": q_index_hybrid_rerank,
         "dedup_exact": q_dedup_exact,
@@ -1029,6 +1046,7 @@ _MARK_SQL = ", ".join(f"'{m}'" for m in textstats.EN_MARKERS)
 _FLAG_SQL = ", ".join(f"'{w}'" for w in FLAGGED)
 _OR_SQL = ", ".join(f"'{t}'" for t in BM25_OR_TERMS)
 _NOT_SQL = ", ".join(f"'{t}'" for t in NOT_TERMS)
+_BOOST_SQL = ", ".join(f"('{t}', {b})" for t, b in zip(BM25_OR_TERMS, BOOSTS))
 _AND_SQL = ", ".join(f"'{t}'" for t in BM25_AND_TERMS)
 
 _BM25_OR_BODY = _BM25_CTE % {"terms": _OR_SQL} + f"""
@@ -1231,6 +1249,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, score_q, rank::int AS rank FROM agg
             WHERE rank > {PAGE_OFFSET} AND rank <= {PAGE_OFFSET + TOPK}
             ORDER BY rank
+        """,
+        "index_boosted_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            , bmap(term, boost) AS (VALUES {_BOOST_SQL})
+            SELECT sc.doc_id, sum(sc.score_q * bmap.boost)::bigint AS score_q
+            FROM sc JOIN bmap USING (term)
+            GROUP BY sc.doc_id
+            ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
         """,
         "index_synonym_topk": f"""
             WITH {_TOK_CTE},

@@ -384,3 +384,58 @@ def test_pagination_negative_offset_raises(idx):
 
     with pytest.raises(ValueError, match="offset"):
         idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, offset=-1)])
+
+
+# ---------------- per-term query boosts ----------------
+
+
+def _py_boosted_topk(py_stats, terms, boosts, k):
+    tfs, _, dfc, _ = py_stats
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    n = len(tfs)
+    avgdl = sum(dls.values()) / n
+    bmap = dict(zip(terms, boosts))
+    out = {}
+    for d, c in tfs.items():
+        present = [t for t in set(terms) if t in c]
+        if present:
+            out[d] = sum(
+                bmap[t] * bm25_quantized_py(c[t], dls[d], dfc[t], n, avgdl)
+                for t in present
+            )
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+def test_boosted_topk_matches_oracle(idx, py_stats, strategy):
+    from wikitfidf_spark.index.query import Query
+
+    terms, boosts = ["arg_ctx77", "arg_cfg"], (1, 3)
+    want = _py_boosted_topk(py_stats, terms, boosts, 10)
+    got = [
+        (r["doc_id"], r["score_q"])
+        for r in idx.topk_batch(
+            [Query(0, terms, "OR", 10, boosts=boosts)], strategy=strategy
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_boost_of_one_is_identity(idx):
+    from wikitfidf_spark.index.query import Query
+
+    terms = ["arg_ctx77", "arg_cfg"]
+    a = idx.topk_batch([Query(0, terms, "OR", 10)]).collect()
+    b = idx.topk_batch([Query(0, terms, "OR", 10, boosts=(1, 1))]).collect()
+    assert [(r["doc_id"], r["score_q"]) for r in a] == [
+        (r["doc_id"], r["score_q"]) for r in b
+    ]
+
+
+def test_boost_validation(idx):
+    from wikitfidf_spark.index.query import Query
+
+    with pytest.raises(ValueError, match="boosts for"):
+        idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, boosts=(1, 2))])
+    with pytest.raises(ValueError, match=">= 1"):
+        idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, boosts=(0,))])

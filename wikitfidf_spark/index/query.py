@@ -127,13 +127,17 @@ class _List:
 
 
 class _TermCursor:
-    """Groups the sub-shard lists of one term (disjoint doc sets)."""
+    """Groups the sub-shard lists of one term (disjoint doc sets).
+    ``boost`` scales this term's impacts (and, critically, its upper
+    bounds — WAND's pruning stays admissible because every bound is
+    scaled by the same integer)."""
 
-    __slots__ = ("lists", "ub")
+    __slots__ = ("lists", "ub", "boost")
 
-    def __init__(self, lists: list[_List]) -> None:
+    def __init__(self, lists: list[_List], boost: int = 1) -> None:
         self.lists = lists
-        self.ub = max((l.ub for l in lists), default=0)
+        self.boost = boost
+        self.ub = max((l.ub for l in lists), default=0) * boost
 
     @property
     def exhausted(self) -> bool:
@@ -144,7 +148,7 @@ class _TermCursor:
         return min(l.cur_doc for l in self.lists if not l.exhausted)
 
     def cur_block_max(self) -> int:
-        return max(l.cur_block_max for l in self.lists if not l.exhausted)
+        return max(l.cur_block_max for l in self.lists if not l.exhausted) * self.boost
 
     def next_geq(self, target: int) -> None:
         for l in self.lists:
@@ -156,7 +160,7 @@ class _TermCursor:
         s = None
         for l in self.lists:
             if not l.exhausted and l.cur_doc == doc:
-                s = l.cur_score()  # sub-lists are disjoint: at most one hit
+                s = l.cur_score() * self.boost  # sub-lists disjoint: ≤1 hit
                 l.advance()
         return s
 
@@ -165,6 +169,7 @@ def wand_top_k(
     term_rows: dict[str, list], k: int, mode: str = "OR",
     allowed: "np.ndarray | None" = None,
     excluded: "np.ndarray | None" = None,
+    boosts: dict | None = None,
 ) -> list[tuple[int, int]]:
     """Block-max WAND (OR) / skipping intersection (AND) over one shard.
 
@@ -189,7 +194,11 @@ def wand_top_k(
         i = int(np.searchsorted(excluded, doc))
         return i < len(excluded) and int(excluded[i]) == doc
     cursors = [
-        _TermCursor([_List(r) for r in rows]) for rows in term_rows.values()
+        _TermCursor(
+            [_List(r) for r in rows],
+            int(boosts.get(t, 1)) if boosts else 1,
+        )
+        for t, rows in term_rows.items()
     ]
     cursors = [c for c in cursors if not c.exhausted]
     n_terms = len(term_rows)
@@ -342,7 +351,7 @@ def _taat_kernel(
                 continue
         decoded.setdefault(r["term"], []).append((docs, scores))
     out_q, out_d, out_s = [], [], []
-    for qid, terms, mode, k, exclude in qspec:
+    for qid, terms, mode, k, exclude, boosts in qspec:
         uniq_terms = sorted(set(terms))
         present = [t for t in uniq_terms if t in decoded]
         if not present:
@@ -350,7 +359,12 @@ def _taat_kernel(
         if mode == "AND" and len(present) < len(uniq_terms):
             continue
         d_parts = [d for t in present for d, _ in decoded[t]]
-        s_parts = [s for t in present for _, s in decoded[t]]
+        if boosts:
+            s_parts = [
+                s * int(boosts.get(t, 1)) for t in present for _, s in decoded[t]
+            ]
+        else:
+            s_parts = [s for t in present for _, s in decoded[t]]
         docs = np.concatenate(d_parts)
         scores = np.concatenate(s_parts)
         if exclude:
@@ -408,6 +422,10 @@ class Query:
     # an excluded doc's postings live in the same doc-partitioned
     # shard as its scored postings.
     exclude: tuple[str, ...] = ()
+    # per-term integer boosts aligned with ``terms`` (() = all 1):
+    # score contribution of terms[i] is multiplied by boosts[i].
+    # Integer so quantized scores stay exact and deterministic.
+    boosts: tuple[int, ...] = ()
     # pagination: skip the first ``offset`` ranks, return the next k.
     # Each shard widens its local cut to offset+k (a doc at global
     # rank offset+i can be at local rank offset+i at worst), and the
@@ -515,6 +533,19 @@ class InvertedIndex:
                 )
             if q.offset < 0:
                 raise ValueError(f"query {q.query_id}: offset must be >= 0, got {q.offset}")
+            if q.boosts:
+                if len(q.boosts) != len(q.terms):
+                    raise ValueError(
+                        f"query {q.query_id}: {len(q.boosts)} boosts for {len(q.terms)} terms"
+                    )
+                if any(int(b) < 1 or int(b) != b for b in q.boosts):
+                    raise ValueError(f"query {q.query_id}: boosts must be integers >= 1")
+                bm = {}
+                for t, b in zip(q.terms, q.boosts):
+                    if bm.setdefault(t, int(b)) != int(b):
+                        raise ValueError(
+                            f"query {q.query_id}: term {t!r} has conflicting boosts"
+                        )
         # excluded terms' postings are fetched too — their doc ids form
         # the shard-local must_not masks (never scored)
         all_terms = sorted(
@@ -524,7 +555,10 @@ class InvertedIndex:
         if not {t for q in queries for t in q.terms}:
             return self._empty_result()
         qspec = [
-            (q.query_id, list(q.terms), q.mode, q.k + q.offset, tuple(q.exclude))
+            (
+                q.query_id, list(q.terms), q.mode, q.k + q.offset, tuple(q.exclude),
+                dict(zip(q.terms, (int(b) for b in q.boosts))) if q.boosts else None,
+            )
             for q in queries
         ]
         # structure and scores rows are UNIONED (not JVM-joined) and
@@ -555,14 +589,14 @@ class InvertedIndex:
                 return excl_cache[exclude]
 
             out = []
-            for qid, terms, mode, k, exclude in qspec:
+            for qid, terms, mode, k, exclude, boosts in qspec:
                 rows_q = {t: by_term[t] for t in terms if t in by_term}
                 if not rows_q:
                     continue
                 if mode == "AND" and len(rows_q) < len(set(terms)):
                     continue
                 excluded = excl_docs(exclude) if exclude else None
-                for doc, score in wand_top_k(rows_q, k, mode, allowed_u, excluded):
+                for doc, score in wand_top_k(rows_q, k, mode, allowed_u, excluded, boosts):
                     out.append((qid, doc, score))
             return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
 
@@ -692,7 +726,7 @@ class InvertedIndex:
             F.col("term").isin(terms)
         )
         rows = self._posting_rows(sorted(set(terms)))
-        qspec = [(0, terms, "AND", k, ())]
+        qspec = [(0, terms, "AND", k, (), None)]
 
         def per_shard_phrase(key, pdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
             allowed = verify_phrase_docs(ppdf, terms, slop)
