@@ -38,6 +38,32 @@ def test_jvm_equals_arrow_equals_python(spark, corpus, corpus_pdf):
     assert a == c
 
 
+def test_stopword_and_minlen_parity(spark, corpus):
+    """The normalization hooks (stopword drop + per-language min token
+    length, textnormalizer.pyx:103-109,170-176) produce identical rows
+    through all three tokenizer implementations."""
+    from wikitfidf_spark.corpus import with_doc_id
+
+    docs = with_doc_id(corpus)
+    stop = frozenset({"the", "for", "val"})
+    for min_len in (1, 3):
+        jvm = termstats.term_frequencies(docs, stopwords=stop, min_len=min_len)
+        arrow = tf_map_in_pandas(docs, stopwords=stop, min_len=min_len)
+        a = {(r["doc_id"], r["term"]): r["tf"] for r in jvm.collect()}
+        b = {(r["doc_id"], r["term"]): r["tf"] for r in arrow.collect()}
+        assert a == b, f"min_len={min_len}"
+        c = {}
+        for r in docs.select("doc_id", "content").collect():
+            toks = tokenize_py(r["content"], stopwords=stop, min_len=min_len)
+            for t, n in Counter(toks).items():
+                c[(r["doc_id"], t)] = n
+        assert a == c, f"min_len={min_len}"
+        assert not any(t in stop for _, t in a)
+    # min_len=1 admits short identifiers that min_len=3 rejects
+    assert tokenize_py("a ab abc", min_len=1) == ["a", "ab", "abc"]
+    assert tokenize_py("a ab abc", min_len=3) == ["abc"]
+
+
 def test_duckdb_regex_parity(corpus_pdf):
     con = duckdb.connect()
     con.register("docs", corpus_pdf)

@@ -47,7 +47,9 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    # the dev harness checks the FULL surface: driver-window entries
+    # plus the pytest-folded near-duplicates (FOLDED_QUERIES)
+    qs, oracles = entry._all_queries(), entry._all_oracle_sql()
     unknown = only - set(qs)
     if unknown:
         print(f"FAIL  unknown query names: {sorted(unknown)}")

@@ -30,6 +30,8 @@ def term_frequencies(
     doc_id: str = "doc_id",
     text: str = "content",
     extra_cols: tuple[str, ...] = (),
+    stopwords: frozenset[str] | set[str] | tuple[str, ...] | None = None,
+    min_len: int | None = None,
 ) -> DataFrame:
     """(doc_id, [extra...], term, tf) via JVM-side regexp + explode +
     hash agg (codegen path; oracle-expressible in ANSI SQL).
@@ -44,9 +46,19 @@ def term_frequencies(
     The index build uses the fused Arrow variant
     (:func:`wikitfidf_spark.tokenize.tf_map_in_pandas`); tests prove the
     two produce identical rows.
+
+    ``stopwords``/``min_len`` thread through to the tokenizer (reference
+    normalization hooks: stopword drop + per-language CJK min length,
+    textnormalizer.pyx:103-109,170-176) — still pure JVM codegen.
     """
+    from ..tokenize import MIN_TOKEN_LEN
+
+    toks = tokens_col(
+        text, stopwords=stopwords,
+        min_len=MIN_TOKEN_LEN if min_len is None else min_len,
+    )
     return (
-        docs.select(doc_id, *extra_cols, F.explode(tokens_col(text)).alias("term"))
+        docs.select(doc_id, *extra_cols, F.explode(toks).alias("term"))
         .groupBy(doc_id, *extra_cols, "term")
         .agg(F.count("*").alias("tf"))
     )

@@ -42,21 +42,61 @@ from pyspark.sql import functions as F
 MIN_TOKEN_LEN = 3
 MAX_TOKEN_LEN = 33
 
+
+def token_regex(min_len: int = MIN_TOKEN_LEN, max_len: int = MAX_TOKEN_LEN) -> str:
+    """The identifier grammar at a given length band.  ``min_len`` is
+    the reference's per-language MIN_WORD_LENGTH knob — 3 for most
+    languages, 1 for CJK (textnormalizer.pyx:170-176, the zh/ja/ko/th
+    branch) — expressed as the repetition bound after the first char.
+    Java regex, RE2 (DuckDB) and Python ``re`` agree on the result."""
+    if not (1 <= min_len <= max_len):
+        raise ValueError(f"need 1 <= min_len <= max_len, got [{min_len}, {max_len}]")
+    return rf"[a-z_][a-z0-9_]{{{min_len - 1},{max_len - 1}}}"
+
+
 # {2,32} repetitions after the first char -> total length in [3, 33].
-TOKEN_REGEX = r"[a-z_][a-z0-9_]{2,32}"
+TOKEN_REGEX = token_regex()
 
 _TOKEN_RE = re.compile(TOKEN_REGEX)
 
 
-def tokens_col(text: Column | str) -> Column:
-    """Array-of-tokens column, entirely JVM-side (codegen'd, no UDF)."""
+def tokens_col(
+    text: Column | str,
+    *,
+    stopwords: frozenset[str] | set[str] | tuple[str, ...] | None = None,
+    min_len: int = MIN_TOKEN_LEN,
+) -> Column:
+    """Array-of-tokens column, entirely JVM-side (codegen'd, no UDF).
+
+    ``stopwords``: optional stop set dropped post-match, mirroring the
+    reference's normalization stage (textnormalizer.pyx:103-109 drops
+    NLTK-language + english + forbidden words before stemming).  Uses
+    ``F.filter`` with an ``isin`` predicate — NOT ``array_except``,
+    which would also dedupe surviving tokens and corrupt tf.
+    ``min_len``: per-language minimum token length (CJK=1 parity)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_REGEX), 0)
+    arr = F.regexp_extract_all(F.lower(c), F.lit(token_regex(min_len)), 0)
+    if stopwords:
+        stop = sorted(set(stopwords))
+        arr = F.filter(arr, lambda t: ~t.isin(stop))
+    return arr
 
 
-def tokenize_py(text: str) -> list[str]:
+def tokenize_py(
+    text: str,
+    *,
+    stopwords: frozenset[str] | set[str] | tuple[str, ...] | None = None,
+    min_len: int = MIN_TOKEN_LEN,
+) -> list[str]:
     """Pure-Python oracle tokenizer (identical semantics)."""
-    return _TOKEN_RE.findall(text.lower()) if text else []
+    if not text:
+        return []
+    pat = _TOKEN_RE if min_len == MIN_TOKEN_LEN else re.compile(token_regex(min_len))
+    toks = pat.findall(text.lower())
+    if stopwords:
+        stop = set(stopwords)
+        toks = [t for t in toks if t not in stop]
+    return toks
 
 
 def term_counts_py(text: str) -> dict[str, int]:
@@ -70,6 +110,8 @@ def tf_map_in_pandas(
     text: str = "content",
     extra_cols: tuple[str, ...] = (),
     stem_py=None,
+    stopwords: frozenset[str] | set[str] | tuple[str, ...] | None = None,
+    min_len: int = MIN_TOKEN_LEN,
 ) -> DataFrame:
     """Fused tokenize + per-doc term-frequency count as ``mapInPandas``.
 
@@ -87,6 +129,11 @@ def tf_map_in_pandas(
     means one call per distinct term, not per occurrence).  This is the
     pluggable-tokenizer hook: the reference stems during normalization
     (textnormalizer.pyx:112-136) and this path reproduces that fusion.
+
+    ``stopwords`` are dropped on the SURFACE token before stemming —
+    the reference's normalization order (textnormalizer.pyx:103-121:
+    stopword check, then stem).  ``min_len`` is the per-language
+    minimum-length knob (CJK=1, textnormalizer.pyx:170-176).
     """
     carried = [doc_id, *extra_cols]
     # schema in CARRIED order (not docs.schema order): the yielded
@@ -98,11 +145,16 @@ def tf_map_in_pandas(
         + ["term string", "tf long"]
     )
 
+    pat = token_regex(min_len)
+    stop = frozenset(stopwords) if stopwords else None
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            toks = pdf[text].fillna("").str.lower().str.findall(TOKEN_REGEX)
+            toks = pdf[text].fillna("").str.lower().str.findall(pat)
+            if stop is not None:
+                toks = toks.map(lambda lst: [t for t in lst if t not in stop])
             flat = [t for lst in toks for t in lst]
             if stem_py is not None:
                 memo: dict[str, str] = {}
