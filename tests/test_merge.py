@@ -183,3 +183,36 @@ def test_merge_config_mismatch_raises(spark, dirs, tmp_path):
     shutil.copytree(a_dir, tgt)
     with pytest.raises(ValueError, match="different config"):
         merge_from_index(spark, tgt, other)
+
+
+def test_mutators_reject_stale_format_dst(spark, dirs, tmp_path):
+    """Every mutator validates the DST index's format before touching
+    it (via _load_cfg): mutating a pre-current-format directory under
+    new-layout assumptions would leave a half-migrated index, so the
+    guard must fire before any write."""
+    import json
+
+    from wikitfidf_spark.index.build import (
+        add_documents, delete_documents, refresh_scores as _refresh,
+    )
+    from wikitfidf_spark.index.build import compact as _compact
+
+    _, a_dir, b_dir, _ = dirs
+    stale = str(tmp_path / "stale_fmt")
+    shutil.copytree(a_dir, stale)
+    mpath = os.path.join(stale, "manifest.json")
+    m = json.load(open(mpath))
+    m["format"] = 3
+    json.dump(m, open(mpath, "w"))
+    before = sorted(os.listdir(stale))
+    docs = make_code_files(spark, n_docs=10, seed=7)
+    for op in (
+        lambda: merge_from_index(spark, stale, b_dir),
+        lambda: add_documents(spark, docs, stale),
+        lambda: delete_documents(spark, docs.select(F.xxhash64("repo", "path", "commit").alias("doc_id")).limit(1), stale),
+        lambda: _refresh(spark, stale),
+        lambda: _compact(spark, stale),
+    ):
+        with pytest.raises(ValueError, match="format"):
+            op()
+    assert sorted(os.listdir(stale)) == before  # nothing was written

@@ -488,6 +488,7 @@ def build_index(
     manifest["format"] = INDEX_FORMAT
 
     t_start = time.time()
+    ran_phases: list[str] = []  # phases executed by THIS invocation
     tf_path = os.path.join(index_dir, "tf.parquet")
     meta_path = os.path.join(index_dir, "docmeta.parquet")
     dict_path = os.path.join(index_dir, "dictionary.parquet")
@@ -510,13 +511,26 @@ def build_index(
         t0 = time.time()
         from pyspark.sql import Observation
 
-        obs = Observation()
-        # row count folded into the write via observe — the old
-        # write + full re-read + count round trip was pure memory
-        # bandwidth and the dominant scaling drag (BENCH.md round 1)
-        tf = _tokenize(base, cfg).observe(obs, F.count(F.lit(1)).alias("rows"))
+        obs, obs_in = Observation(), Observation()
+        # row count + token total folded into the write via observe —
+        # the old write + full re-read + count round trip was pure
+        # memory bandwidth and the dominant scaling drag (BENCH.md
+        # round 1).  The INPUT row count rides the same job as a
+        # CollectMetrics node on the pre-tokenize scan: n_docs and
+        # avgdl (= Σtf / n_docs) are then known the moment tf lands,
+        # so the encode's score globals never re-scan the caller's
+        # input lineage (which may be arbitrarily expensive).
+        tf = _tokenize(
+            base.observe(obs_in, F.count(F.lit(1)).alias("docs")), cfg
+        ).observe(obs, F.count(F.lit(1)).alias("rows"), F.sum("tf").alias("tok"))
         tf.write.mode("overwrite").parquet(tf_path)
-        manifest["phases"]["tf"] = {"rows": int(obs.get["rows"]), "wall_sec": time.time() - t0}
+        manifest["phases"]["tf"] = {
+            "rows": int(obs.get["rows"]),
+            "input_docs": int(obs_in.get["docs"]),
+            "total_tokens": int(obs.get["tok"] or 0),
+            "wall_sec": time.time() - t0,
+        }
+        ran_phases.append("tf")
         _save_manifest(index_dir, manifest)
     tf = spark.read.parquet(tf_path)
 
@@ -544,7 +558,14 @@ def build_index(
         t0 = time.time()
         from pyspark.sql import Observation as _Obs
 
-        doclens = termstats.doc_lengths(tf)
+        # reuse the doclens aggregate the parallel doclens phase just
+        # wrote instead of re-deriving the identical O(|tf|) groupBy —
+        # docmeta is off the critical path, so waiting on f_dl (also
+        # running on this pool) costs nothing and halves the doc-length
+        # aggregation work per fresh build
+        if f_dl is not None:
+            f_dl.result()
+        doclens = spark.read.parquet(dl_path).select("doc_id", "doc_len")
         obs = _Obs()
         meta_cols = [*cfg.id_cols, "topic", "content_sha256"]
         # the duplicate guard (duplicate natural keys or a hash
@@ -579,16 +600,31 @@ def build_index(
 
     def _run_dictionary() -> dict:
         t0 = time.time()
-        stats_w = termstats.global_term_stats(tf, n_salts=cfg.n_salts)
+        from pyspark.sql import Observation as _Obs
+
+        obs = _Obs()
+        # every summary the build needs (token total, vocab size, the
+        # skew_ratio metric) rides the write as CollectMetrics — the
+        # old read-back count/sum job and the separate skew_ratio job
+        # were two extra job launches on the build's serial segment
+        # (the dictionary gates the encode; BENCH.md round 3 measured
+        # it at ~11% of the 4N build wall)
+        stats_w = termstats.global_term_stats(tf, n_salts=cfg.n_salts).observe(
+            obs,
+            F.sum("cf").alias("tok"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.max("df").alias("max_df"),
+            F.sum("df").alias("sum_df"),
+        )
         stats_w.write.mode("overwrite").parquet(dict_path)
-        stats_r = spark.read.parquet(dict_path)
-        # totals derive from already-materialized aggregates — no extra
-        # pass over the (huge) tf table: Σcf = token total
-        srow = stats_r.agg(
-            F.sum("cf").alias("tok"), F.count("*").alias("n_terms")
-        ).collect()[0]
-        return {"tok": int(srow["tok"] or 0), "n_terms": int(srow["n_terms"]),
-                "skew": termstats.skew_ratio(stats_r), "wall_sec": time.time() - t0}
+        row = obs.get
+        n_terms = int(row["n_terms"] or 0)
+        mean_df = (float(row["sum_df"]) / n_terms) if n_terms else 0.0
+        return {
+            "tok": int(row["tok"] or 0), "n_terms": n_terms,
+            "skew": (float(row["max_df"]) / mean_df) if mean_df else 0.0,
+            "wall_sec": time.time() - t0,
+        }
 
     # the slim doc-length dim the canonical encode joins (doc_id,
     # doc_len — two 8-byte columns): cheap columnar agg over the
@@ -605,177 +641,206 @@ def build_index(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=2)
-    f_meta = pool.submit(_run_docmeta) if need_meta else None
-    f_dl = pool.submit(_run_doclens) if need_dl else None
+    f_meta = f_dl = None
+    try:
+        # doclens first: docmeta (the other pool worker) waits on it
+        f_dl = pool.submit(_run_doclens) if need_dl else None
+        f_meta = pool.submit(_run_docmeta) if need_meta else None
 
-    if need_dict:
-        dict_res = _run_dictionary()  # main thread, ∥ the docmeta/doclens jobs
-    else:
-        dict_res = None
-    stats = spark.read.parquet(dict_path)
-    if f_dl is not None:
-        manifest["phases"]["doclens"] = {"rows": 0, **f_dl.result()}
-    doclens_r = spark.read.parquet(dl_path)
+        if need_dict:
+            dict_res = _run_dictionary()  # main thread, ∥ docmeta/doclens
+        else:
+            dict_res = None
+        stats = spark.read.parquet(dict_path)
+        if f_dl is not None:
+            manifest["phases"]["doclens"] = {"rows": 0, **f_dl.result()}
+        doclens_r = spark.read.parquet(dl_path)
 
-    if dict_res is not None or "total_docs" not in manifest["metrics"]:
-        # score globals WITHOUT waiting for docmeta: the input row count
-        # is a column-pruned aggregate over the source (metadata-cheap
-        # for parquet), and Σcf is already materialized in the dictionary
-        n_docs = int(docs.count())
-        tok = (
-            dict_res["tok"]
-            if dict_res is not None
-            else int(stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0)
-        )
+        # score globals WITHOUT waiting for docmeta OR re-scanning the
+        # input: n_docs and Σtokens were observed during the tf job
+        # itself (CollectMetrics on the pre-tokenize scan), so builds
+        # over expensive input lineages (non-parquet sources, heavy
+        # upstream transforms) never pay a second pass
+        tf_phase = manifest["phases"]["tf"]
+        if "input_docs" in tf_phase:
+            n_docs = int(tf_phase["input_docs"])
+            tok = int(tf_phase["total_tokens"])
+        elif "total_docs" in manifest["metrics"]:
+            n_docs = int(manifest["metrics"]["total_docs"])
+            tok = int(manifest["metrics"]["total_tokens"])
+        else:  # resume of a pre-observe partial build: legacy fallback
+            n_docs = int(docs.count())
+            tok = int(stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0)
         avgdl = float(tok) / n_docs if n_docs else 0.0
-        if dict_res is not None:
-            manifest["phases"]["dictionary"] = {
-                "rows": dict_res["n_terms"], "wall_sec": dict_res["wall_sec"],
+        if dict_res is not None or "total_docs" not in manifest["metrics"]:
+            if dict_res is not None:
+                manifest["phases"]["dictionary"] = {
+                    "rows": dict_res["n_terms"], "wall_sec": dict_res["wall_sec"],
+                }
+            manifest["metrics"].update(
+                total_tokens=tok,
+                total_docs=n_docs,
+                avgdl=avgdl,
+                skew_ratio=(
+                    dict_res["skew"] if dict_res is not None else termstats.skew_ratio(stats)
+                ),
+            )
+            _save_manifest(index_dir, manifest)
+
+        # ---- phase 4 (fused 4+5): structure AND scores in ONE encoder pass.
+        # The encoder already holds each list's tfs/dls arrays and per-term
+        # df, so emitting the BM25 score stream costs one numpy expression
+        # per list — versus the old separate phase-5 job (a full structure
+        # re-read + re-decode + second write), which BENCH.md measured as
+        # part of the build's Amdahl tail.  The combined file serves both
+        # artifacts (readers project their side's columns); any later
+        # refresh/delete/compact splits scores back out as its own
+        # versioned file via score_postings_df — bit-identical by
+        # construction (same float64 expression over the same values).
+        from pyspark.sql import Observation
+
+        if not _phase_done(manifest, "structure", struct_path):
+            ran_phases.append("structure")
+            t0 = time.time()
+            obs = Observation()
+            # meta=None: canonical placement derives from doc_id as an
+            # expression; doc lengths come from the slim doclens dim —
+            # docmeta never enters the dominant phase's data path
+            combined = encode_structure_df(
+                tf, None, stats, cfg, doclens=doclens_r, score_globals=(n_docs, avgdl)
+            ).observe(
+                obs,
+                F.count(F.lit(1)).alias("lists"),
+                F.sum("n_docs").alias("postings"),
+                F.sum("payload_bytes").alias("bytes"),
+                F.sum("scores_bytes").alias("sbytes"),
+            )
+            combined.write.mode("overwrite").parquet(struct_path)
+            row = obs.get
+            wall = time.time() - t0
+            manifest["phases"]["structure"] = {
+                "rows": int(row["lists"] or 0), "wall_sec": wall, "fused_scores": True,
             }
-        manifest["metrics"].update(
-            total_tokens=tok,
-            total_docs=n_docs,
-            avgdl=avgdl,
-            skew_ratio=(
-                dict_res["skew"] if dict_res is not None else termstats.skew_ratio(stats)
-            ),
-        )
-        _save_manifest(index_dir, manifest)
-    else:
-        n_docs = int(manifest["metrics"]["total_docs"])
-        avgdl = float(manifest["metrics"]["avgdl"])
+            m = manifest["metrics"]
+            m.update(
+                n_postings=int(row["postings"] or 0),
+                structure_bytes=int(row["bytes"] or 0),
+                scores_bytes=int(row["sbytes"] or 0),
+            )
+            m["payload_bytes"] = int(m["structure_bytes"]) + int(m["scores_bytes"])
+            m["postings_per_sec"] = m["n_postings"] / wall if wall > 0 else 0.0
+            # same pass now ⇒ the round-comparable structure rate equals the
+            # headline rate (r1/r2 reported the pre-fusion structure-only wall)
+            m["structure_postings_per_sec"] = m["postings_per_sec"]
+            # the refresh-degrade flag stays visible at build time: plan (not
+            # run) the index-wide score refresh and record whether Catalyst
+            # would broadcast the dictionary or shuffle the payloads
+            m["score_refresh_shuffled"] = _score_refresh_shuffled(
+                score_postings_df(
+                    spark.read.parquet(struct_path), stats, cfg, n_docs, avgdl
+                )
+            )
+            # per-shard lineage (north_rule): int/sidecar columns only — the
+            # binary payloads are never re-read for metrics
+            lineage = (
+                spark.read.parquet(struct_path)
+                .groupBy("shard")
+                .agg(
+                    F.count("*").alias("n_lists"),
+                    F.sum("n_docs").alias("n_postings"),
+                    F.sum("payload_bytes").alias("structure_bytes"),
+                    F.sum("scores_bytes").alias("scores_bytes"),
+                )
+            )
+            lineage.write.mode("overwrite").parquet(lineage_path)
+            _save_manifest(index_dir, manifest)
+        elif not manifest["phases"]["structure"].get("fused_scores") and not _phase_done(
+            manifest, "scores", scores_path
+        ):
+            # resume of a pre-fusion partial build (structure file on disk
+            # without score columns): finish it with the separate score pass
+            ran_phases.append("scores")
+            t0 = time.time()
+            structure_r = spark.read.parquet(struct_path)
+            obs = Observation()
+            scores = score_postings_df(structure_r, stats, cfg, n_docs, avgdl).observe(
+                obs, F.count(F.lit(1)).alias("lists"), F.sum("scores_bytes").alias("bytes")
+            )
+            scores.write.mode("overwrite").parquet(scores_path)
+            row = obs.get
+            manifest["phases"]["scores"] = {
+                "rows": int(row["lists"] or 0), "wall_sec": time.time() - t0
+            }
+            manifest["metrics"]["scores_bytes"] = int(row["bytes"] or 0)
+            manifest["metrics"]["score_refresh_shuffled"] = _score_refresh_shuffled(scores)
+            lineage = (
+                structure_r.groupBy("shard")
+                .agg(
+                    F.count("*").alias("n_lists"),
+                    F.sum("n_docs").alias("n_postings"),
+                    F.sum("payload_bytes").alias("structure_bytes"),
+                )
+                .join(
+                    spark.read.parquet(scores_path)
+                    .groupBy("shard").agg(F.sum("scores_bytes").alias("scores_bytes")),
+                    "shard", "left",
+                )
+            )
+            lineage.write.mode("overwrite").parquet(lineage_path)
+            m = manifest["metrics"]
+            m["payload_bytes"] = int(m.get("structure_bytes", 0)) + int(m["scores_bytes"])
+            wall_s = manifest["phases"]["structure"]["wall_sec"]
+            wall = wall_s + (time.time() - t0)
+            m["postings_per_sec"] = m["n_postings"] / wall if wall > 0 else 0.0
+            m["structure_postings_per_sec"] = m["n_postings"] / wall_s if wall_s > 0 else 0.0
+            _save_manifest(index_dir, manifest)
 
-    # ---- phase 4 (fused 4+5): structure AND scores in ONE encoder pass.
-    # The encoder already holds each list's tfs/dls arrays and per-term
-    # df, so emitting the BM25 score stream costs one numpy expression
-    # per list — versus the old separate phase-5 job (a full structure
-    # re-read + re-decode + second write), which BENCH.md measured as
-    # part of the build's Amdahl tail.  The combined file serves both
-    # artifacts (readers project their side's columns); any later
-    # refresh/delete/compact splits scores back out as its own
-    # versioned file via score_postings_df — bit-identical by
-    # construction (same float64 expression over the same values).
-    from pyspark.sql import Observation
+        # ---- join the docmeta thread (it overlapped the encode above)
+        if f_meta is not None:
+            meta_res = f_meta.result()
+            if meta_res["dups"]:
+                raise ValueError(
+                    f"{meta_res['dups']} duplicate doc_ids in input (duplicate natural keys "
+                    f"{cfg.id_cols or '(doc_id column)'} or hash collision) — dedup the input first"
+                )
+            if meta_res["rows"] != n_docs:
+                # belt+braces: distinct-doc count must equal the input count
+                # the score globals were computed with (dups raise above)
+                raise ValueError(
+                    f"docmeta rows {meta_res['rows']} != input docs {n_docs}"
+                )
+            manifest["phases"]["docmeta"] = {
+                "rows": meta_res["rows"], "wall_sec": meta_res["wall_sec"],
+            }
+            nonempty = spark.read.parquet(meta_path).agg(
+                F.sum((F.col("doc_len") > 0).cast("long")).alias("ne")
+            ).collect()[0]
+            manifest["metrics"]["docs_with_terms"] = int(nonempty["ne"] or 0)
+            _save_manifest(index_dir, manifest)
+    except BaseException as exc:
+        # surface a concurrent docmeta failure instead of silently
+        # dropping it when the main thread raised first
+        merr = f_meta.exception() if (f_meta is not None and f_meta.done()) else None
+        if merr is not None and merr is not exc:
+            raise ExceptionGroup(
+                "build failed; the concurrent docmeta phase also failed",
+                [exc, merr],
+            ) from None
+        raise
+    finally:
+        # error path: drop queued work and detach — never hang the
+        # caller on an in-flight background Spark job (normal path: both
+        # futures are already consumed above, shutdown is instant)
+        pool.shutdown(wait=False, cancel_futures=True)
 
-    if not _phase_done(manifest, "structure", struct_path):
-        t0 = time.time()
-        obs = Observation()
-        # meta=None: canonical placement derives from doc_id as an
-        # expression; doc lengths come from the slim doclens dim —
-        # docmeta never enters the dominant phase's data path
-        combined = encode_structure_df(
-            tf, None, stats, cfg, doclens=doclens_r, score_globals=(n_docs, avgdl)
-        ).observe(
-            obs,
-            F.count(F.lit(1)).alias("lists"),
-            F.sum("n_docs").alias("postings"),
-            F.sum("payload_bytes").alias("bytes"),
-            F.sum("scores_bytes").alias("sbytes"),
-        )
-        combined.write.mode("overwrite").parquet(struct_path)
-        row = obs.get
-        wall = time.time() - t0
-        manifest["phases"]["structure"] = {
-            "rows": int(row["lists"] or 0), "wall_sec": wall, "fused_scores": True,
-        }
-        m = manifest["metrics"]
-        m.update(
-            n_postings=int(row["postings"] or 0),
-            structure_bytes=int(row["bytes"] or 0),
-            scores_bytes=int(row["sbytes"] or 0),
-        )
-        m["payload_bytes"] = int(m["structure_bytes"]) + int(m["scores_bytes"])
-        m["postings_per_sec"] = m["n_postings"] / wall if wall > 0 else 0.0
-        # same pass now ⇒ the round-comparable structure rate equals the
-        # headline rate (r1/r2 reported the pre-fusion structure-only wall)
-        m["structure_postings_per_sec"] = m["postings_per_sec"]
-        # the refresh-degrade flag stays visible at build time: plan (not
-        # run) the index-wide score refresh and record whether Catalyst
-        # would broadcast the dictionary or shuffle the payloads
-        m["score_refresh_shuffled"] = _score_refresh_shuffled(
-            score_postings_df(
-                spark.read.parquet(struct_path), stats, cfg, n_docs, avgdl
-            )
-        )
-        # per-shard lineage (north_rule): int/sidecar columns only — the
-        # binary payloads are never re-read for metrics
-        lineage = (
-            spark.read.parquet(struct_path)
-            .groupBy("shard")
-            .agg(
-                F.count("*").alias("n_lists"),
-                F.sum("n_docs").alias("n_postings"),
-                F.sum("payload_bytes").alias("structure_bytes"),
-                F.sum("scores_bytes").alias("scores_bytes"),
-            )
-        )
-        lineage.write.mode("overwrite").parquet(lineage_path)
-        _save_manifest(index_dir, manifest)
-    elif not manifest["phases"]["structure"].get("fused_scores") and not _phase_done(
-        manifest, "scores", scores_path
-    ):
-        # resume of a pre-fusion partial build (structure file on disk
-        # without score columns): finish it with the separate score pass
-        t0 = time.time()
-        structure_r = spark.read.parquet(struct_path)
-        obs = Observation()
-        scores = score_postings_df(structure_r, stats, cfg, n_docs, avgdl).observe(
-            obs, F.count(F.lit(1)).alias("lists"), F.sum("scores_bytes").alias("bytes")
-        )
-        scores.write.mode("overwrite").parquet(scores_path)
-        row = obs.get
-        manifest["phases"]["scores"] = {
-            "rows": int(row["lists"] or 0), "wall_sec": time.time() - t0
-        }
-        manifest["metrics"]["scores_bytes"] = int(row["bytes"] or 0)
-        manifest["metrics"]["score_refresh_shuffled"] = _score_refresh_shuffled(scores)
-        lineage = (
-            structure_r.groupBy("shard")
-            .agg(
-                F.count("*").alias("n_lists"),
-                F.sum("n_docs").alias("n_postings"),
-                F.sum("payload_bytes").alias("structure_bytes"),
-            )
-            .join(
-                spark.read.parquet(scores_path)
-                .groupBy("shard").agg(F.sum("scores_bytes").alias("scores_bytes")),
-                "shard", "left",
-            )
-        )
-        lineage.write.mode("overwrite").parquet(lineage_path)
-        m = manifest["metrics"]
-        m["payload_bytes"] = int(m.get("structure_bytes", 0)) + int(m["scores_bytes"])
-        wall_s = manifest["phases"]["structure"]["wall_sec"]
-        wall = wall_s + (time.time() - t0)
-        m["postings_per_sec"] = m["n_postings"] / wall if wall > 0 else 0.0
-        m["structure_postings_per_sec"] = m["n_postings"] / wall_s if wall_s > 0 else 0.0
-        _save_manifest(index_dir, manifest)
-
-    # ---- join the docmeta thread (it overlapped the encode above)
-    if f_meta is not None:
-        meta_res = f_meta.result()
-        if meta_res["dups"]:
-            raise ValueError(
-                f"{meta_res['dups']} duplicate doc_ids in input (duplicate natural keys "
-                f"{cfg.id_cols or '(doc_id column)'} or hash collision) — dedup the input first"
-            )
-        if meta_res["rows"] != n_docs:
-            # belt+braces: distinct-doc count must equal the input count
-            # the score globals were computed with (dups raise above)
-            raise ValueError(
-                f"docmeta rows {meta_res['rows']} != input docs {n_docs}"
-            )
-        manifest["phases"]["docmeta"] = {
-            "rows": meta_res["rows"], "wall_sec": meta_res["wall_sec"],
-        }
-        nonempty = spark.read.parquet(meta_path).agg(
-            F.sum((F.col("doc_len") > 0).cast("long")).alias("ne")
-        ).collect()[0]
-        manifest["metrics"]["docs_with_terms"] = int(nonempty["ne"] or 0)
-        _save_manifest(index_dir, manifest)
-    pool.shutdown()
-
-    manifest["metrics"]["build_wall_sec_total"] = round(
+    # actual elapsed wall of this invocation — NOT the sum of per-phase
+    # walls, which double-counts concurrency (docmeta overlaps the
+    # encode, doclens overlaps the dictionary).  A pure-resume call (no
+    # phase ran) keeps the previously-recorded wall; the overlap-blind
+    # sum stays visible as its own metric for per-phase accounting.
+    if ran_phases or need_meta or need_dict or need_dl:
+        manifest["metrics"]["build_wall_sec_total"] = round(time.time() - t_start, 3)
+    manifest["metrics"]["build_phase_sec_sum"] = round(
         sum(p["wall_sec"] for p in manifest["phases"].values()), 3
     )
     manifest.setdefault("paths", {
