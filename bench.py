@@ -10,6 +10,13 @@ index-build wall time (+ postings/sec, skew ratio) and batched BM25
 top-k throughput (queries/sec; TAAT default strategy).  Scaling-efficiency
 evidence (same job at two parallelism levels) lives in bench_scaling.py
 → BENCH.md.
+
+Measurement methodology (round-4, noise-robust): headline queries run
+in TWO interleaved passes (median reported, both passes recorded);
+batch top-k runs a discarded warm-up then two 4-rep runs with cache
+perturbation between reps and a run-to-run stability ratio in the
+output — same-code spreads up to 2x were measured on this shared host,
+so single-shot / best-of-N numbers are unattributable.
 """
 
 from __future__ import annotations
@@ -51,6 +58,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict = {}
+    rep_log: dict[str, list[float]] = {}
 
     def timed(name, fn):
         t0 = time.time()
@@ -59,16 +67,38 @@ def main() -> None:
         log(f"{name}: {timings[name]}s")
         return out
 
-    # ---- sf-dir headline queries (force execution via count/collect)
+    # ---- sf-dir headline queries, measured noise-robustly: TWO full
+    # interleaved passes over the set (reps of one query are separated
+    # by every other query, so a monotone JVM/cache warm-up ramp can't
+    # masquerade as a per-query number), per-query value = median of
+    # the passes, both raw passes recorded.  Same-code spreads of up to
+    # 2x were measured on this host (BENCH.md) — single-shot timings
+    # are unattributable.
     HEADLINE = [
         "term_frequency", "global_term_stats", "tfidf_topn_per_doc",
         "bm25_or_topk", "bm25_and_topk", "minhash_candidates",
         "ann_cosine_topk", "token_counts", "events_windowed",
         "sessionize", "lineitem_pricing", "broadcast_join_agg",
     ]
-    qmap = entry.queries()
+    qmap = entry._all_queries()  # headline set spans checked + folded entries
+    # pass 0 is a DISCARDED warm-up (first-touch costs dominate it:
+    # JIT, parquet footers, codegen compile — measured 2-14x the steady
+    # numbers); passes 1..N are measured and recorded
+    HEADLINE_PASSES = 1 + int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    for p in range(HEADLINE_PASSES):
+        for name in HEADLINE:
+            t0 = time.time()
+            qmap[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            if p == 0:
+                log(f"{name} [warm-up, discarded]: {dt:.3f}s")
+                continue
+            rep_log.setdefault(name, []).append(round(dt, 3))
+            log(f"{name} [pass {p}/{HEADLINE_PASSES - 1}]: {dt:.3f}s")
+    import statistics as _st
+
     for name in HEADLINE:
-        timed(name, lambda n=name: qmap[n](spark, sf_dir).count())
+        timings[name] = round(_st.median(rep_log[name]), 3)
 
     # ---- north-rule metrics: index build + WAND q/s on the bench corpus
     idx_dir = f"/tmp/wikitfidf_bench_idx_{n_docs}"
@@ -120,26 +150,53 @@ def main() -> None:
         "delta_scores_sec": round(ph.get("delta_scores_wall_sec", 0.0), 3),
     }
 
+    # ---- batched top-k throughput, noise-robust (round-3 methodology
+    # fix): the old best-of-3 back-to-back reps in one warm JVM measured
+    # a monotone warm-up ramp (r3 reps [23.9, 34.4, 44.4] q/s), i.e.
+    # cache state, not the engine.  Now: one DISCARDED warm-up rep, then
+    # two runs of 4 measured reps each with a perturbing query between
+    # reps (a different 20-query mix — decorrelates shard/footer cache
+    # state), separated by an unrelated heavy query.  Reported number =
+    # median of all 8 measured reps; both run medians + the full rep
+    # list + the run-to-run stability ratio are recorded so a regression
+    # is attributable (stability ~1.0 = trustworthy, >1.2 = noisy host).
     idx = InvertedIndex(spark, idx_dir)
     queries = make_queries(100)
-    # warm-up (JIT, parquet footer cache), then best-of-3: single-shot
-    # q/s on this shared host varies ~1.5-2x run-to-run (measured across
-    # identical index states, BENCH.md), which is larger than any plan
-    # difference at this batch size — best-of filters the noise
-    idx.topk_batch(queries[:4]).count()
-    reps = []
-    n_rows = 0
-    for _ in range(3):
-        t0 = time.time()
-        n_rows = idx.topk_batch(queries).count()
-        reps.append(time.time() - t0)
-    timings["batch_topk_100q"] = round(min(reps), 3)
-    log(f"batch_topk_100q: {timings['batch_topk_100q']}s (best of {len(reps)})")
+    perturb = make_queries(140)[120:]  # 20 queries disjoint in position
+    import statistics as _st2
+
+    t0 = time.time()
+    n_rows = idx.topk_batch(queries).count()
+    log(f"batch_topk_100q warm-up (discarded): {time.time() - t0:.3f}s")
+
+    def topk_run(tag: str, n_reps: int = 4) -> list[float]:
+        reps = []
+        for i in range(n_reps):
+            idx.topk_batch(perturb).count()  # perturb cache state between reps
+            t0 = time.time()
+            idx.topk_batch(queries).count()
+            reps.append(time.time() - t0)
+            log(f"batch_topk_100q [{tag} rep {i + 1}/{n_reps}]: {reps[-1]:.3f}s")
+        return reps
+
+    reps1 = topk_run("run1")
+    # separate the two runs with unrelated heavy work so run2 does not
+    # inherit run1's exact cache state
+    qmap["term_frequency"](spark, sf_dir).count()
+    reps2 = topk_run("run2")
+    all_reps = reps1 + reps2
+    med1, med2 = _st2.median(reps1), _st2.median(reps2)
+    timings["batch_topk_100q"] = round(_st2.median(all_reps), 3)
     qps = len(queries) / timings["batch_topk_100q"]
     extras["topk_qps"] = round(qps, 2)
-    extras["topk_qps_reps"] = [round(len(queries) / t, 1) for t in reps]
+    extras["topk_qps_reps"] = [round(len(queries) / t, 1) for t in all_reps]
+    extras["topk_run_medians_sec"] = [round(med1, 3), round(med2, 3)]
+    extras["topk_run_stability"] = round(max(med1, med2) / min(med1, med2), 3)
     extras["topk_result_rows"] = n_rows
-    log(f"batched top-k throughput: {qps:.1f} q/s over {len(queries)} queries")
+    log(
+        f"batched top-k throughput: {qps:.1f} q/s (median of {len(all_reps)} reps; "
+        f"run medians {med1:.2f}s/{med2:.2f}s, stability {extras['topk_run_stability']})"
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -149,6 +206,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "bench_corpus_docs": n_docs,
+        "headline_passes": {k: v for k, v in rep_log.items()},
         **extras,
     }))
     spark.stop()
