@@ -62,15 +62,18 @@ def snowball_lite(word: str) -> str:
 
 
 from .porter2 import porter2_en
+from .snowball_sv import snowball_sv
 
 #: named stemmers usable from JSON-serializable config (IndexConfig.stemmer).
-#: ``porter2_en`` is the full Snowball-English algorithm implemented in
-#: :mod:`wikitfidf_spark.operators.porter2` (dependency-free), matching
-#: what the reference's nltk SnowballStemmer("english") computes;
+#: ``porter2_en`` (full Snowball English, :mod:`.porter2`) and
+#: ``snowball_sv`` (full Snowball Swedish, :mod:`.snowball_sv`) are
+#: dependency-free spec implementations matching what the reference's
+#: nltk SnowballStemmer("english"/"swedish") computes;
 #: ``snowball_lite`` remains the cheap table-driven stand-in.
 STEMMERS: dict[str, Callable[[str], str]] = {
     "snowball_lite": snowball_lite,
     "porter2_en": porter2_en,
+    "snowball_sv": snowball_sv,
 }
 
 #: the reference's Snowball language set (textnormalizer.pyx:113-115),
