@@ -147,18 +147,26 @@ def test_available_language_gate():
 
 
 def test_available_language_full_truth_table():
-    """Every code LANGUAGES maps now ships a curated (original) word
-    list — the map and the data directory are consistent: all 23 codes
-    available, each list non-empty lowercase newline words, loadable by
-    the reference-format loader."""
+    """Every code LANGUAGES maps ships a curated (original) word list —
+    the map and the data directory are consistent across all 26 codes
+    (the reference's 23 mapped codes incl. simple/cr aliases, plus
+    eo/ru/tr whose data the reference ships without exposing a code).
+    Depth floors: english >= 300 entries, the majors >= 50, every list
+    >= 40; all entries lowercase newline words via the reference-format
+    loader."""
     from wikitfidf_spark.operators import badwords as bw
 
+    assert len(bw.LANGUAGES) == 26
+    assert {"eo", "ru", "tr"} <= set(bw.LANGUAGES)
+    majors = {"en", "es", "fr", "de", "it", "pt", "ru"}
     for code, name in bw.LANGUAGES.items():
         got_name, ok = bw.available_language(code)
         assert (got_name, ok) == (name, True), f"{code} -> {got_name}, {ok}"
         terms = bw.flagged_terms_for_lang(code)
-        assert terms and len(terms) >= 8, f"{name}: {len(terms or [])} terms"
+        floor = 300 if name == "english" else (50 if code in majors else 40)
+        assert terms and len(terms) >= floor, f"{name}: {len(terms or [])} terms"
         assert all(t == t.strip() and t == t.lower() for t in terms), name
+        assert len(set(terms)) == len(terms), f"{name}: duplicate entries"
     # aliases share the english list
     assert bw.flagged_terms_for_lang("cr") == bw.flagged_terms_for_lang("en")
 

@@ -24,13 +24,18 @@ from pyspark.sql import functions as F
 #: reference's test-mode wiki).  The lists themselves are original data
 #: in wikitfidf_spark/data/badwords/<name> (one lowercase word per
 #: line); drop additional files there to enable more languages.
+#: eo/ru/tr: the reference SHIPS data files for esperanto, russian and
+#: turkish (internal/badwords/data/) but its code map never exposes a
+#: language code for them — here they are mapped so the shipped data is
+#: reachable (documented deviation: data-dir parity over map parity).
 LANGUAGES: dict[str, str] = {
     "en": "english", "ar": "arabic", "da": "danish", "nl": "dutch",
     "fi": "finnish", "fr": "french", "de": "german", "hu": "hungarian",
     "it": "italian", "no": "norwegian", "pt": "portuguese",
     "es": "spanish", "sv": "swedish", "zh": "chinese", "cs": "czech",
     "hi": "hindi", "ja": "japanese", "ko": "korean", "fa": "persian",
-    "pl": "polish", "th": "thai", "simple": "english", "cr": "english",
+    "pl": "polish", "th": "thai", "eo": "esperanto", "ru": "russian",
+    "tr": "turkish", "simple": "english", "cr": "english",
 }
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "badwords")
