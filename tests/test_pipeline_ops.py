@@ -164,6 +164,25 @@ def test_cosine_pairs_exact_guard(spark, vectors):
     assert (0, 1) in [(r["id_a"], r["id_b"]) for r in forced]
 
 
+def test_cosine_pairs_exact_guard_count_memoized(spark, vectors):
+    """The guard's count job runs ONCE per DataFrame object: repeated
+    guarded calls hit the weak-key memo, and an n_rows hint skips the
+    action entirely (asserted by counting Spark jobs via statusTracker)."""
+    tracker = spark.sparkContext.statusTracker()
+    similarity.cosine_pairs_exact(vectors, threshold=0.5)  # memo warm
+    # plan twice more WITHOUT executing: no new count job may launch
+    n_jobs_before = max([0, *(tracker.getJobIdsForGroup() or [])])
+    similarity.cosine_pairs_exact(vectors, threshold=0.6)
+    similarity.cosine_pairs_exact(vectors, threshold=0.7)
+    n_jobs_after = max([0, *(tracker.getJobIdsForGroup() or [])])
+    assert n_jobs_after == n_jobs_before, "guard count re-ran despite memo"
+    # n_rows hint: guard fires without any job even on a fresh DataFrame
+    fresh = vectors.select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="cosine_pairs_lsh"):
+        similarity.cosine_pairs_exact(fresh, threshold=0.5, max_rows=10, n_rows=11)
+    assert max([0, *(tracker.getJobIdsForGroup() or [])]) == n_jobs_after
+
+
 def test_banded_lsh_recall_on_planted_near_dups(spark):
     """Banded near-dup LSH recall, quantified on PLANTED pairs (the
     embedding analogue of corpus.py's DUP_EVERY): 400 background

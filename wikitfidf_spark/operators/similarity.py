@@ -219,6 +219,29 @@ def _pair_score_fn(threshold: float):
 #: — the all-pairs anchor must not be invocable at scale by accident
 EXACT_PAIRS_MAX_ROWS = 50_000
 
+#: per-DataFrame-object memo for the guard's row count — repeated
+#: guarded calls over the same DataFrame cost ONE count job, not one
+#: per call (weak keys: the memo never pins a DataFrame alive)
+_GUARD_COUNT_MEMO: "weakref.WeakKeyDictionary[DataFrame, int]" = None  # type: ignore[assignment]
+
+
+def _guarded_count(vecs: DataFrame) -> int:
+    global _GUARD_COUNT_MEMO
+    import weakref
+
+    if _GUARD_COUNT_MEMO is None:
+        _GUARD_COUNT_MEMO = weakref.WeakKeyDictionary()
+    try:
+        return _GUARD_COUNT_MEMO[vecs]
+    except (KeyError, TypeError):
+        pass
+    n = int(vecs.count())
+    try:
+        _GUARD_COUNT_MEMO[vecs] = n
+    except TypeError:
+        pass
+    return n
+
 
 def cosine_pairs_exact(
     vecs: DataFrame,
@@ -227,6 +250,7 @@ def cosine_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     quantized cosine ≥ ``threshold``.  Exact baseline: broadcast
@@ -238,9 +262,13 @@ def cosine_pairs_exact(
     be 5·10^11 pair rows).  It therefore guards itself: above
     ``max_rows`` vectors it raises and points at ``cosine_pairs_lsh``
     (banded LSH candidates + the same exact verify kernel).  Pass
-    ``max_rows=None`` to force the quadratic plan knowingly."""
+    ``max_rows=None`` to force the quadratic plan knowingly.
+
+    The guard's count job runs once per DataFrame object (memoized with
+    weak keys), and callers that already know the cardinality can pass
+    ``n_rows`` to skip the action entirely."""
     if max_rows is not None:
-        n = vecs.count()
+        n = n_rows if n_rows is not None else _guarded_count(vecs)
         if n > max_rows:
             raise ValueError(
                 f"cosine_pairs_exact is the O(n^2) all-pairs anchor: {n} vectors > "
