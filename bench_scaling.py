@@ -157,7 +157,10 @@ def main() -> None:
         "dram_bw_gbps": {"n_procs": bw_lo, "n4_procs": bw_hi},
     }
     print(json.dumps(summary))
-    write_bench_md(summary)
+    # BENCH.md is hand-curated (host-noise narrative + merge-shape
+    # tables); opt into regenerating the skeleton explicitly
+    if os.environ.get("SCALE_WRITE_MD", "0") == "1":
+        write_bench_md(summary)
 
 
 def _phase_table(lo: dict, hi: dict) -> str:
