@@ -396,6 +396,34 @@ def encode_structure_df(
     )
 
 
+def _write_dictionary(
+    spark: SparkSession, tf_all: DataFrame, cfg: IndexConfig, abs_path: str
+) -> tuple[DataFrame, dict]:
+    """Write the global dictionary with every summary the caller needs
+    (token total, vocab size, skew ratio) observed DURING the write —
+    no read-back aggregate jobs, no separate skew_ratio job.  Returns
+    the re-read stats DataFrame and {tok, n_terms, skew}."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    stats = termstats.global_term_stats(tf_all, n_salts=cfg.n_salts).observe(
+        obs,
+        F.sum("cf").alias("tok"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("df").alias("max_df"),
+        F.sum("df").alias("sum_df"),
+    )
+    stats.write.mode("overwrite").parquet(abs_path)
+    row = obs.get
+    n_terms = int(row["n_terms"] or 0)
+    mean_df = (float(row["sum_df"]) / n_terms) if n_terms else 0.0
+    return spark.read.parquet(abs_path), {
+        "tok": int(row["tok"] or 0),
+        "n_terms": n_terms,
+        "skew": (float(row["max_df"]) / mean_df) if mean_df else 0.0,
+    }
+
+
 def score_postings_df(
     structure: DataFrame,
     stats: DataFrame,
@@ -599,32 +627,15 @@ def build_index(
                 "wall_sec": time.time() - t0}
 
     def _run_dictionary() -> dict:
-        t0 = time.time()
-        from pyspark.sql import Observation as _Obs
-
-        obs = _Obs()
         # every summary the build needs (token total, vocab size, the
         # skew_ratio metric) rides the write as CollectMetrics — the
         # old read-back count/sum job and the separate skew_ratio job
         # were two extra job launches on the build's serial segment
         # (the dictionary gates the encode; BENCH.md round 3 measured
-        # it at ~11% of the 4N build wall)
-        stats_w = termstats.global_term_stats(tf, n_salts=cfg.n_salts).observe(
-            obs,
-            F.sum("cf").alias("tok"),
-            F.count(F.lit(1)).alias("n_terms"),
-            F.max("df").alias("max_df"),
-            F.sum("df").alias("sum_df"),
-        )
-        stats_w.write.mode("overwrite").parquet(dict_path)
-        row = obs.get
-        n_terms = int(row["n_terms"] or 0)
-        mean_df = (float(row["sum_df"]) / n_terms) if n_terms else 0.0
-        return {
-            "tok": int(row["tok"] or 0), "n_terms": n_terms,
-            "skew": (float(row["max_df"]) / mean_df) if mean_df else 0.0,
-            "wall_sec": time.time() - t0,
-        }
+        # it at ~11% of the 4N build wall, round 4 at ~6%)
+        t0 = time.time()
+        _, summary = _write_dictionary(spark, tf, cfg, dict_path)
+        return {**summary, "wall_sec": time.time() - t0}
 
     # the slim doc-length dim the canonical encode joins (doc_id,
     # doc_len — two 8-byte columns): cheap columnar agg over the
@@ -1006,10 +1017,9 @@ def _update_derived(
         meta_all.write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
         meta_r = spark.read.parquet(os.path.join(index_dir, meta_rel))
 
-    stats = termstats.global_term_stats(tf_all, n_salts=cfg.n_salts)
-    stats.write.mode("overwrite").parquet(os.path.join(index_dir, dict_rel))
-    stats_r = spark.read.parquet(os.path.join(index_dir, dict_rel))
-    srow = stats_r.agg(F.sum("cf").alias("tok"), F.count("*").alias("n_terms")).collect()[0]
+    stats_r, srow = _write_dictionary(
+        spark, tf_all, cfg, os.path.join(index_dir, dict_rel)
+    )
     dl = meta_r.agg(
         F.sum("doc_len").alias("s"), F.count("*").alias("n"),
         F.sum((F.col("doc_len") > 0).cast("long")).alias("nonempty"),
@@ -1121,7 +1131,7 @@ def _update_derived(
         live_total_docs=n_docs_all,
         docs_with_terms=int(dl["nonempty"] or 0),
         avgdl=avgdl,
-        skew_ratio=termstats.skew_ratio(stats_r),
+        skew_ratio=srow["skew"],
         n_postings=int(lin["p"] or 0),
         structure_bytes=int(lin["sb"] or 0),
         scores_bytes=scores_bytes,
@@ -1634,10 +1644,9 @@ def refresh_scores(spark: SparkSession, index_dir: str) -> BuildResult:
     scores_rel = f"scores_v{version}.parquet"
     lin_rel = f"lineage_v{version}.parquet"
 
-    stats = termstats.global_term_stats(tf_all, n_salts=cfg.n_salts)
-    stats.write.mode("overwrite").parquet(os.path.join(index_dir, dict_rel))
-    stats_r = spark.read.parquet(os.path.join(index_dir, dict_rel))
-    srow = stats_r.agg(F.sum("cf").alias("tok"), F.count("*").alias("n_terms")).collect()[0]
+    stats_r, srow = _write_dictionary(
+        spark, tf_all, cfg, os.path.join(index_dir, dict_rel)
+    )
     meta_all = spark.read.parquet(
         *[os.path.join(index_dir, p) for p in paths["docmeta"]]
     )
@@ -1698,7 +1707,7 @@ def refresh_scores(spark: SparkSession, index_dir: str) -> BuildResult:
         live_total_docs=n_docs_all,
         docs_with_terms=int(dl["nonempty"] or 0),
         avgdl=avgdl,
-        skew_ratio=termstats.skew_ratio(stats_r),
+        skew_ratio=srow["skew"],
         n_postings=int(lin["p"] or 0),
         structure_bytes=int(lin["sb"] or 0),
         scores_bytes=scores_bytes,
