@@ -1,0 +1,73 @@
+"""Per-language normalization profiles (operators/normalize.py) vs the
+reference's _words_extractor configuration (textnormalizer.pyx:86-176):
+min-length table, stopword composition shape, stemmer routing, and the
+end-to-end wiring into the tokenizer hooks."""
+
+from __future__ import annotations
+
+from wikitfidf_spark.operators import normalize as nz
+from wikitfidf_spark.operators.stemdict import STEMMERS
+
+
+def test_min_word_length_reference_table():
+    """textnormalizer.pyx:170-176 — incl. the dead vi==2 branch: vi is
+    matched by the first arm, so it is 1 (documented, not replicated)."""
+    for lang in ("gan", "ja", "ko", "vi", "wuu", "zh", "zh-classical", "zh-yue"):
+        assert nz.min_word_length(lang) == 1, lang
+    for lang in ("en", "de", "ar", "fi", "xx", "simple"):
+        assert nz.min_word_length(lang) == 3, lang
+
+
+def test_stopwords_composition_shape():
+    """_lang_stopwords parity: english + forbidden always present; the
+    italian-dialect family aliases to italian+english; unknown
+    languages get the english fallback."""
+    en = nz.stopwords_for_lang("en")
+    assert set(nz.FORBIDDEN_WORDS) <= en
+    assert "the" in en
+    # unknown language -> english fallback + forbidden (same shape)
+    xx = nz.stopwords_for_lang("xx")
+    assert set(nz.FORBIDDEN_WORDS) <= xx and "the" in xx
+    # italian-dialect alias resolves without error and includes english
+    assert "the" in nz.stopwords_for_lang("pms")
+
+
+def test_profile_stemmer_routing():
+    p_sv = nz.profile_for_lang("sv")
+    assert p_sv.stemmer == "snowball_sv" and p_sv.min_len == 3
+    p_zh = nz.profile_for_lang("zh")
+    assert p_zh.stemmer is None and p_zh.min_len == 1
+    # en routes to the nltk key only when nltk registered it; the
+    # dependency-free porter2_en is opt-in by name, never silently
+    p_en = nz.profile_for_lang("en")
+    assert p_en.stemmer in (None, "snowball_en")
+
+
+def test_term_frequencies_for_lang_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the flickorna and flickor xx the"),
+            (2, "flicka a bc the klokast"),
+        ],
+        "doc_id long, content string",
+    )
+    # swedish: stemmer routes through the Arrow path; stopwords drop
+    # 'the'/'and'; min_len 3 drops 'a'/'bc'/'xx'... ('xx' is len 2)
+    tf = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in nz.term_frequencies_for_lang(docs, "sv").collect()
+    }
+    assert (1, "flick") in tf and tf[(1, "flick")] == 2  # flickorna+flickor
+    assert (2, "flick") in tf
+    assert not any(t in ("the", "and", "a", "bc", "xx") for _, t in tf)
+    assert STEMMERS["snowball_sv"]("flickorna") == "flick"
+
+    # zh profile: min_len 1 admits single-char identifiers, no stemmer
+    # (JVM path), stopwords still drop english+forbidden
+    tf_zh = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in nz.term_frequencies_for_lang(docs, "zh").collect()
+    }
+    assert (2, "a") in tf_zh and (1, "xx") in tf_zh
+    assert (1, "flickorna") in tf_zh  # surface form: no stemming for zh
+    assert not any(t == "the" for _, t in tf_zh)
