@@ -84,7 +84,8 @@ def main() -> None:
     # pass 0 is a DISCARDED warm-up (first-touch costs dominate it:
     # JIT, parquet footers, codegen compile — measured 2-14x the steady
     # numbers); passes 1..N are measured and recorded
-    HEADLINE_PASSES = 1 + int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # floor of 1 measured pass: pass 0 is always the discarded warm-up
+    HEADLINE_PASSES = 1 + max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     for p in range(HEADLINE_PASSES):
         for name in HEADLINE:
             t0 = time.time()

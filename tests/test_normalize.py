@@ -32,15 +32,39 @@ def test_stopwords_composition_shape():
     assert "the" in nz.stopwords_for_lang("pms")
 
 
+def test_stopwords_guard_corpus_call_not_just_import(monkeypatch):
+    """nltk installed WITHOUT `nltk.download('stopwords')` raises
+    LookupError at corpus ACCESS — the fallback must catch the call,
+    not only the import."""
+    import sys
+    import types
+
+    corpus = types.ModuleType("nltk.corpus")
+
+    class _Broken:
+        def words(self, name):
+            raise LookupError("Resource stopwords not found")
+
+    corpus.stopwords = _Broken()
+    nltk_mod = types.ModuleType("nltk")
+    nltk_mod.corpus = corpus
+    monkeypatch.setitem(sys.modules, "nltk", nltk_mod)
+    monkeypatch.setitem(sys.modules, "nltk.corpus", corpus)
+    sw = nz.stopwords_for_lang("en")
+    assert "the" in sw and set(nz.FORBIDDEN_WORDS) <= sw  # shipped fallback
+
+
 def test_profile_stemmer_routing():
     p_sv = nz.profile_for_lang("sv")
     assert p_sv.stemmer == "snowball_sv" and p_sv.min_len == 3
     p_zh = nz.profile_for_lang("zh")
     assert p_zh.stemmer is None and p_zh.min_len == 1
-    # en routes to the nltk key only when nltk registered it; the
-    # dependency-free porter2_en is opt-in by name, never silently
+    # en routes to nltk's snowball when registered, else to the
+    # dependency-free spec-equivalent porter2_en (same algorithm)
     p_en = nz.profile_for_lang("en")
-    assert p_en.stemmer in (None, "snowball_en")
+    assert p_en.stemmer in ("porter2_en", "snowball_en")
+    # languages with neither an nltk stemmer nor a spec fallback skip
+    assert nz.profile_for_lang("fi").stemmer is None
 
 
 def test_term_frequencies_for_lang_end_to_end(spark):

@@ -40,8 +40,13 @@ def test_stemmer_for_lang_reference_table():
         if "isri_ar" in stemdict.STEMMERS:
             assert stemdict.stemmer_for_lang("ar") == "isri_ar"
     else:
-        assert stemdict.stemmer_for_lang("en") is None
+        # dependency-free SPEC implementations of the same algorithms
+        # route when nltk is absent; languages without one skip honestly
+        assert stemdict.stemmer_for_lang("en") == "porter2_en"
+        assert stemdict.stemmer_for_lang("simple") == "porter2_en"
         assert stemdict.stemmer_for_lang("ar") is None
+        assert stemdict.stemmer_for_lang("de") is None
+    assert stemdict.stemmer_for_lang("sv") == "snowball_sv"
     # outside the reference's table in ANY world
     for lang in ("zh", "ja", "fi", "xx"):
         assert stemdict.stemmer_for_lang(lang) is None

@@ -583,16 +583,19 @@ def build_index(
     need_dict = not _phase_done(manifest, "dictionary", dict_path)
 
     def _run_docmeta() -> dict:
-        t0 = time.time()
         from pyspark.sql import Observation as _Obs
 
         # reuse the doclens aggregate the parallel doclens phase just
         # wrote instead of re-deriving the identical O(|tf|) groupBy —
         # docmeta is off the critical path, so waiting on f_dl (also
         # running on this pool) costs nothing and halves the doc-length
-        # aggregation work per fresh build
+        # aggregation work per fresh build.  t0 starts AFTER the wait:
+        # docmeta's recorded wall is its own work, not doclens' (which
+        # has its own phase row — double-counting would poison the
+        # per-phase Amdahl analysis in BENCH.md)
         if f_dl is not None:
             f_dl.result()
+        t0 = time.time()
         doclens = spark.read.parquet(dl_path).select("doc_id", "doc_len")
         obs = _Obs()
         meta_cols = [*cfg.id_cols, "topic", "content_sha256"]
@@ -1138,7 +1141,11 @@ def _update_derived(
         payload_bytes=int(lin["sb"] or 0) + scores_bytes,
         postings_per_sec=(int(lin["p"] or 0) / wall if wall > 0 else 0.0),
     )
-    manifest["metrics"]["build_wall_sec_total"] = round(
+    # same semantics as build_index: actual elapsed of THIS operation
+    # (phase walls overlap by design; their sum stays visible as
+    # build_phase_sec_sum for per-phase accounting)
+    manifest["metrics"]["build_wall_sec_total"] = round(time.time() - t_start, 3)
+    manifest["metrics"]["build_phase_sec_sum"] = round(
         sum(p["wall_sec"] for p in manifest["phases"].values()), 3
     )
     _save_manifest(index_dir, manifest)
@@ -1714,7 +1721,11 @@ def refresh_scores(spark: SparkSession, index_dir: str) -> BuildResult:
         payload_bytes=int(lin["sb"] or 0) + scores_bytes,
         stale_delta_scores_bytes=0,
     )
-    manifest["metrics"]["build_wall_sec_total"] = round(
+    # same semantics as build_index: actual elapsed of THIS operation
+    # (phase walls overlap by design; their sum stays visible as
+    # build_phase_sec_sum for per-phase accounting)
+    manifest["metrics"]["build_wall_sec_total"] = round(time.time() - t_start, 3)
+    manifest["metrics"]["build_phase_sec_sum"] = round(
         sum(p["wall_sec"] for p in manifest["phases"].values()), 3
     )
     _save_manifest(index_dir, manifest)

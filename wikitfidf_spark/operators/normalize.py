@@ -95,12 +95,20 @@ def stopwords_for_lang(lang: str) -> frozenset[str]:
     lists when importable, the shipped english stand-in otherwise."""
     try:
         from nltk.corpus import stopwords as _sw
-
-        def words(name: str) -> list[str]:
-            return list(_sw.words(name))
     except Exception:
-        def words(name: str) -> list[str]:
-            return list(EN_STOPWORDS) if name == "english" else []
+        _sw = None
+
+    def words(name: str) -> list[str]:
+        # guard the CALL too, not just the import: nltk installed
+        # without `nltk.download('stopwords')` raises LookupError at
+        # corpus access, and some nltk_data versions lack individual
+        # language files — every miss falls back to the shipped list
+        if _sw is not None:
+            try:
+                return list(_sw.words(name))
+            except Exception:
+                pass
+        return list(EN_STOPWORDS) if name == "english" else []
 
     en = words("english")
     if lang in IT_DIALECTS:

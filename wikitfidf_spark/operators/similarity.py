@@ -221,7 +221,12 @@ EXACT_PAIRS_MAX_ROWS = 50_000
 
 #: per-DataFrame-object memo for the guard's row count — repeated
 #: guarded calls over the same DataFrame cost ONE count job, not one
-#: per call (weak keys: the memo never pins a DataFrame alive)
+#: per call (weak keys: the memo never pins a DataFrame alive).
+#: Caveat, by design: the guard is a foot-gun protector, not a hard
+#: limit — if the FILES under a memoized DataFrame's path grow between
+#: calls (Spark re-lists per action), the cached count is stale and the
+#: guard may under-count; pass n_rows or a fresh DataFrame when the
+#: source mutates
 _GUARD_COUNT_MEMO: "weakref.WeakKeyDictionary[DataFrame, int]" = None  # type: ignore[assignment]
 
 

@@ -117,17 +117,31 @@ def register_nltk_stemmers(registry: dict[str, Callable[[str], str]] = STEMMERS)
 register_nltk_stemmers()
 
 
+#: spec-implemented dependency-free stemmers that stand in for their
+#: nltk equivalents when nltk is absent (same published algorithm —
+#: porter2.py/snowball_sv.py implement the Snowball specs directly)
+_SPEC_FALLBACKS: dict[str, str] = {
+    "en": "porter2_en", "simple": "porter2_en", "sv": "snowball_sv",
+}
+
+
 def stemmer_for_lang(lang: str) -> str | None:
     """``_get_stemmer`` parity (textnormalizer.pyx:112-121): the
-    STEMMERS key to use for a language, or ``None`` = skip stemming
-    (the reference skips unsupported languages rather than falling back
-    to an approximate stemmer; when nltk is absent no language maps, so
-    behavior stays honest — opt into ``snowball_lite`` explicitly)."""
+    STEMMERS key to use for a language, or ``None`` = skip stemming.
+    Resolution order: the nltk-registered ``snowball_<lang>``/
+    ``isri_ar`` when present, else the dependency-free SPEC
+    implementation of the same algorithm (porter2_en for en/simple,
+    snowball_sv for sv), else ``None`` — the reference skips
+    unsupported languages rather than approximating, and so does this
+    (``snowball_lite`` is opt-in by name, never routed silently)."""
     if lang == "ar":
         return "isri_ar" if "isri_ar" in STEMMERS else None
     if lang in _SNOWBALL_LANGS:
         key = f"snowball_{lang}"
-        return key if key in STEMMERS else None
+        if key in STEMMERS:
+            return key
+        fb = _SPEC_FALLBACKS.get(lang)
+        return fb if fb in STEMMERS else None
     return None
 
 
