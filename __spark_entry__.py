@@ -25,6 +25,7 @@ from wikitfidf_spark.sources import read_named_table
 from wikitfidf_spark.tokenize import TOKEN_REGEX
 from wikitfidf_spark.operators import termstats, topk, badwords as bw, stemdict, filters
 from wikitfidf_spark.operators import dedup, similarity, textstats, multimodal
+from wikitfidf_spark.operators import sampling
 from wikitfidf_spark.operators.scoring import QUANT, round_half_up
 from wikitfidf_spark.streaming import jobs as stream_jobs
 
@@ -838,6 +839,56 @@ def q_token_counts(spark, sf_dir):
 
 COOC_TERM = "join"   # PMI association target (hot term -> rich panel)
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}  # dataset_split mix
+SPLIT_SEED = 7
+STRAT_FRACTIONS = {"en": 0.5, "zh": 0.2}  # per-language sample rates
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (the training-pipeline
+    primitive in front of dedup/quality): md5-unit-hash thresholds,
+    engine-independent and stable under dataset growth — a row's split
+    is a pure function of (seed, doc_id).  Pure codegen projection, no
+    shuffle, no UDF (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.split_assign(docs, SPLIT_WEIGHTS, seed=SPLIT_SEED)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling over the same unit hash:
+    keep 50% of en docs, 20% of zh, 0% elsewhere (explicit opt-in per
+    stratum).  The threshold filter sits directly on the scan."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(
+        docs, STRAT_FRACTIONS, strata_col="lang", seed=SPLIT_SEED
+    )
+
+
+def _split_case_sql() -> str:
+    """CASE branches for the dataset_split oracle, generated with the
+    SAME python float arithmetic split_assign uses (repr round-trips
+    the exact IEEE thresholds into DuckDB)."""
+    total = float(sum(SPLIT_WEIGHTS.values()))
+    names = list(SPLIT_WEIGHTS)
+    cum, branches = 0.0, []
+    for name in names[:-1]:
+        cum += float(SPLIT_WEIGHTS[name]) / total
+        branches.append(f"WHEN u < {cum!r} THEN '{name}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
+#: the unit-hash SQL shared by both sampling oracles — same md5-hex ->
+#: 60-bit int -> exact /2^60 contract the Spark operator computes
+_UNIT_SQL = (
+    "(('0x' || substr(md5('{seed}|' || doc_id::varchar), 1, 15))::bigint)::double"
+    " / 1152921504606846976.0"
+).format(seed=SPLIT_SEED)
+
+#: per-stratum fraction branches (exact IEEE literals via repr)
+_STRAT_CASE = " ".join(
+    f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(STRAT_FRACTIONS.items())
+)
+
 
 def q_term_cooccurrence(spark, sf_dir):
     """Doc-level co-occurrence + PMI against COOC_TERM: the related-
@@ -928,6 +979,8 @@ FOLDED_QUERIES = frozenset({
     "index_fuzzy_suggest",     # scan path; shares _SUGGEST_ORACLE with the indexed row
     "embedding_near_dup",      # exact all-pairs anchor of embedding_near_dup_lsh
     "minhash_candidates",      # the candidate stage inside jaccard_pairs' plan
+    "simhash",                 # fingerprint variant; 'fingerprints' keeps the row
+    "stratified_sample",       # per-stratum restriction of dataset_split's kernel
     "token_counts",            # n_tokens is also a checked quality_scores column
     "frame_samples",           # multimodal_features keeps the family's row
     "resize_payload",          # multimodal_features keeps the family's row
@@ -973,6 +1026,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_boosted_topk": q_index_boosted_topk,
         "index_synonym_topk": q_index_synonym_topk,
         "index_hybrid_rerank": q_index_hybrid_rerank,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1446,6 +1501,15 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE d.lang = 'zh'
             GROUP BY sc.doc_id
             ORDER BY score_q DESC, sc.doc_id ASC LIMIT {TOPK}
+        """,
+        "dataset_split": f"""
+            WITH u AS (SELECT doc_id, {_UNIT_SQL} AS u FROM documents)
+            SELECT doc_id, {_split_case_sql()} AS split FROM u
+        """,
+        "stratified_sample": f"""
+            WITH u AS (SELECT doc_id, lang, {_UNIT_SQL} AS u FROM documents)
+            SELECT doc_id, lang FROM u
+            WHERE u < CASE lang {_STRAT_CASE} ELSE 0.0 END
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*)::bigint AS n_dups
