@@ -252,3 +252,43 @@ def test_index_roundtrip_snowball_sv(spark, tmp_path):
     }
     assert destemmed["flicka"] == 3      # stem 'flick' -> shortest original, df=3 docs
     assert destemmed["jakten"] == 2      # stem 'jakt' -> only original 'jakten'
+
+
+def test_search_analyzes_query_through_index_config(spark, tmp_path):
+    """Free-text search must normalize the query exactly like the
+    build: a Swedish-stemmed index answers surface-form queries
+    (flickorna/klokaste) because analyze() runs the config's stemmer —
+    raw topk on the surface form misses by design."""
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.query import InvertedIndex, Query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "sv", "flickorna klokast jakten"),
+            (2, "sv", "flickor hopplöst stolarna"),
+            (3, "sv", "husets jakten"),
+        ],
+        "doc_id long, lang string, content string",
+    )
+    d = str(tmp_path / "idx_search_sv")
+    build_index(
+        spark, docs, d,
+        IndexConfig(n_shards=2, n_salts=2, id_cols=(), tokenizer="arrow",
+                    stemmer="snowball_sv"),
+        resume=False,
+    )
+    idx = InvertedIndex(spark, d)
+    assert idx.analyze("Flickorna och KLOKASTE flickor") == ["flick", "och", "klok"]
+    hits = {r["doc_id"] for r in idx.search("flickorna klokaste", k=10).collect()}
+    assert hits == {1, 2}
+    # raw term path (no analysis) misses the surface form — the gap
+    # analyze()/search() exist to close
+    assert idx.topk_batch([Query(0, ["flickorna"], "OR", 10)]).count() == 0
+    # un-stemmed index: analyze is the plain grammar (dedup preserved)
+    d2 = str(tmp_path / "idx_search_plain")
+    build_index(
+        spark, docs, d2, IndexConfig(n_shards=2, n_salts=2, id_cols=()), resume=False
+    )
+    idx2 = InvertedIndex(spark, d2)
+    assert idx2.analyze("Jakten JAKTEN a xy") == ["jakten"]
+    assert {r["doc_id"] for r in idx2.search("jakten", k=10).collect()} == {1, 3}

@@ -634,6 +634,39 @@ class InvertedIndex:
     def topk(self, terms: Sequence[str], k: int = 10, mode: str = "OR") -> DataFrame:
         return self.topk_batch([Query(0, list(terms), mode, k)]).drop("query_id")
 
+    # ---------- free-text entry: query-side analysis ----------
+
+    def analyze(self, text: str) -> list[str]:
+        """Normalize a free-text query EXACTLY like the index's build
+        config: the identifier grammar, then the config's stemmer.  An
+        index built with ``IndexConfig(stemmer=...)`` stores STEMS as
+        its term space (build-side S7 fusion), so un-analyzed surface
+        forms silently miss — query analysis must mirror the build, the
+        same invariant the reference keeps by normalizing queries and
+        documents through one code path (textnormalizer.pyx).  Returns
+        order-preserving deduped terms (duplicate query terms would
+        double-count in the OR sum)."""
+        from ..tokenize import tokenize_py
+        from .build import _load_cfg
+
+        cfg = _load_cfg(self.manifest, self.index_dir)
+        toks = tokenize_py(text)
+        if cfg.stemmer != "none":
+            from ..operators.stemdict import STEMMERS
+
+            stem = STEMMERS[cfg.stemmer]
+            toks = [stem(t) for t in toks]
+        return list(dict.fromkeys(toks))
+
+    def search(
+        self, text: str, k: int = 10, mode: str = "OR", strategy: str = "taat"
+    ) -> DataFrame:
+        """Free-text top-k: ``analyze`` the query through the index's
+        own normalization, then serve it like any term query."""
+        return self.topk_batch(
+            [Query(0, self.analyze(text), mode, k)], strategy=strategy
+        ).drop("query_id")
+
     def _posting_rows(self, all_terms: list[str]) -> DataFrame:
         """Term-pruned posting rows for the per-shard scorers: ONE
         combined-file scan in the fused state, else structure+scores
