@@ -292,3 +292,25 @@ def test_search_analyzes_query_through_index_config(spark, tmp_path):
     idx2 = InvertedIndex(spark, d2)
     assert idx2.analyze("Jakten JAKTEN a xy") == ["jakten"]
     assert {r["doc_id"] for r in idx2.search("jakten", k=10).collect()} == {1, 3}
+
+
+def test_snowball_sv_total_function():
+    """Property: snowball_sv never raises, is deterministic, and never
+    grows the input (every step deletes — unlike Porter2's 1b there is
+    no insertion), over the full Swedish lowercase alphabet."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wikitfidf_spark.operators.snowball_sv import snowball_sv
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyzäåö", min_size=0, max_size=24))
+    @settings(max_examples=500, deadline=None)
+    def prop(word):
+        out = snowball_sv(word)
+        assert out == snowball_sv(word)
+        assert len(out) <= len(word)
+        assert word.startswith(out)  # pure suffix removal
+        if len(word) > 3:
+            assert len(out) >= 3  # R1's 3-letter floor protects the stem
+
+    prop()
