@@ -491,34 +491,36 @@ def q_index_incremental_topk(spark, sf_dir):
     return out.select("doc_id", "score_q")
 
 
-MERGE_MOD = 4  # merge split: docs with doc_id % 4 == 0 build separately
-
-
 def q_index_merged_topk(spark, sf_dir):
-    """WAND top-k over an index assembled by MERGING two independently
-    built per-partition indexes (doc_id % MERGE_MOD splits the corpus
-    3:1) — the 100-TB build pattern: partition, build slices in
-    parallel with zero coordination, fold together O(src) per merge.
+    """WAND top-k over an index assembled by ONE K-WAY MERGE of three
+    independently built per-partition indexes (doc_id % 3 splits the
+    corpus) — the 100-TB build pattern: partition, build slices in
+    parallel with zero coordination, fold every slice together in a
+    single merge_indexes call (O(Σ src), fixed per-merge costs paid
+    once — not k-1 times as sequential pairwise folds would).
     The oracle is the full-corpus BM25 SQL: a merged index must be
     rank- AND score-identical to a monolithic build."""
     import shutil as _sh
 
-    from wikitfidf_spark.index.build import build_index, merge_from_index
+    from wikitfidf_spark.index.build import build_index, merge_indexes
     from wikitfidf_spark.index.query import InvertedIndex, Query
 
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
     cfg = _entry_idx_cfg()
-    idx_dir = _idx_cache_dir(sf_dir, cfg, tag=f"merge{MERGE_MOD}")
+    idx_dir = _idx_cache_dir(sf_dir, cfg, tag="kway3")
     done = os.path.join(idx_dir, "_MERGE_DONE")
     if not os.path.exists(done):
         _sh.rmtree(idx_dir, ignore_errors=True)
-        src_dir = idx_dir + "_src"
-        _sh.rmtree(src_dir, ignore_errors=True)
-        split = F.col("doc_id") % MERGE_MOD == 0
-        build_index(spark, docs.filter(~split), idx_dir, cfg)
-        build_index(spark, docs.filter(split), src_dir, cfg)
-        merge_from_index(spark, idx_dir, src_dir)
-        _sh.rmtree(src_dir, ignore_errors=True)  # dst is self-contained
+        src_dirs = [idx_dir + f"_src{i}" for i in (1, 2)]
+        for d in src_dirs:
+            _sh.rmtree(d, ignore_errors=True)
+        slice_col = F.col("doc_id") % 3
+        build_index(spark, docs.filter(slice_col == 0), idx_dir, cfg)
+        for i, d in enumerate(src_dirs, start=1):
+            build_index(spark, docs.filter(slice_col == i), d, cfg)
+        merge_indexes(spark, idx_dir, src_dirs)
+        for d in src_dirs:
+            _sh.rmtree(d, ignore_errors=True)  # dst is self-contained
         with open(done, "w") as f:
             f.write("ok")
     idx = InvertedIndex(spark, idx_dir)

@@ -216,3 +216,86 @@ def test_mutators_reject_stale_format_dst(spark, dirs, tmp_path):
         with pytest.raises(ValueError, match="format"):
             op()
     assert sorted(os.listdir(stale)) == before  # nothing was written
+
+
+@pytest.fixture(scope="module")
+def kway_dirs(spark, dirs, tmp_path_factory):
+    """Three independent slice builds over a 3-way split of the SAME
+    700-doc corpus as `dirs` — the k-way fan-in pattern (one merge
+    call folds every slice, paying the fixed per-merge costs once)."""
+    docs = make_code_files(spark, n_docs=700, seed=42).cache()
+    slice_col = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(3))
+    slice_dirs = []
+    for i in range(3):
+        d = str(tmp_path_factory.mktemp(f"kway_s{i}"))
+        build_index(spark, docs.filter(slice_col == i), d, CFG, resume=False)
+        slice_dirs.append(d)
+    return slice_dirs
+
+
+def test_kway_merge_rank_identical_and_compacts_to_monolith(
+    spark, dirs, kway_dirs, tmp_path
+):
+    """ONE merge_indexes call folding two srcs == the monolithic build:
+    rank/score-identical immediately, byte-identical after compact."""
+    from wikitfidf_spark.index.build import merge_indexes
+
+    full_dir = dirs[0]
+    merged = str(tmp_path / "kway_merged")
+    shutil.copytree(kway_dirs[0], merged)
+    merge_indexes(spark, merged, kway_dirs[1:])
+    m = load_manifest(merged)
+    assert m["metrics"]["total_docs"] == 700
+    ph = next(v for k, v in m["phases"].items() if k.startswith("merge_g"))
+    assert ph["existing_shards_reencoded"] == 0
+    # exactly ONE new generation for the whole fan-in
+    assert len(m["paths"]["tf"]) == 2
+    assert _topk_rows(spark, full_dir) == _topk_rows(spark, merged)
+    compact(spark, merged)
+    assert _postings_rows(spark, full_dir) == _postings_rows(spark, merged)
+
+
+def test_kway_matches_sequential_pairwise(spark, kway_dirs, tmp_path):
+    """The k-way fold and the sequential pairwise fold converge to the
+    same postings after compaction (same final corpus, same layout)."""
+    from wikitfidf_spark.index.build import merge_indexes
+
+    kway = str(tmp_path / "kway")
+    shutil.copytree(kway_dirs[0], kway)
+    merge_indexes(spark, kway, kway_dirs[1:], refresh_scores=False)
+    pair = str(tmp_path / "pairwise")
+    shutil.copytree(kway_dirs[0], pair)
+    for d in kway_dirs[1:]:
+        merge_from_index(spark, pair, d, refresh_scores=False)
+    compact(spark, kway)
+    compact(spark, pair)
+    assert _postings_rows(spark, kway) == _postings_rows(spark, pair)
+
+
+def test_kway_cross_src_collision_raises(spark, kway_dirs, tmp_path):
+    """Each src is internally unique, but the same doc_id appearing in
+    TWO srcs must be caught — the k-way path scans the union."""
+    from wikitfidf_spark.index.build import merge_indexes
+
+    dup_src = str(tmp_path / "s1_copy")
+    shutil.copytree(kway_dirs[1], dup_src)
+    dst = str(tmp_path / "kway_dst")
+    shutil.copytree(kway_dirs[0], dst)
+    with pytest.raises(ValueError, match="within new docs"):
+        merge_indexes(spark, dst, [kway_dirs[1], dup_src])
+
+
+def test_kway_same_src_listed_twice_raises(spark, kway_dirs, tmp_path):
+    from wikitfidf_spark.index.build import merge_indexes
+
+    dst = str(tmp_path / "kway_dst2")
+    shutil.copytree(kway_dirs[0], dst)
+    with pytest.raises(ValueError, match="listed twice"):
+        merge_indexes(spark, dst, [kway_dirs[1], kway_dirs[1]])
+
+
+def test_kway_empty_src_list_raises(spark, kway_dirs):
+    from wikitfidf_spark.index.build import merge_indexes
+
+    with pytest.raises(ValueError, match="at least one"):
+        merge_indexes(spark, kway_dirs[0], [])

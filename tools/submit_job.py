@@ -28,11 +28,12 @@ def run_merge_mode(args) -> None:
     """The partitioned-build + merge shape (BENCH.md 'parallel
     partitioned builds'): K independent slice builds — at real scale
     these run on K disjoint clusters with ZERO coordination, so the
-    parallel wall is max(slice walls) — folded together with
-    merge_from_index (O(src postings) per merge, no dst shard
-    re-encoded) and finished with compact (byte-identical to a
-    monolithic build, test-asserted).  Reports every component so the
-    merge tree's overhead is measurable against the monolithic wall."""
+    parallel wall is max(slice walls) — folded together with ONE
+    k-way merge_indexes call (O(Σ src postings), no dst shard
+    re-encoded, fixed per-merge costs paid once instead of k-1 times)
+    and finished with compact (byte-identical to a monolithic build,
+    test-asserted).  Reports every component so the merge tree's
+    overhead is measurable against the monolithic wall."""
     import os
 
     from pyspark.sql import SparkSession
@@ -40,7 +41,7 @@ def run_merge_mode(args) -> None:
 
     from wikitfidf_spark.corpus import make_code_files, bench_query_mix
     from wikitfidf_spark.index.build import (
-        IndexConfig, build_index, compact, load_manifest, merge_from_index,
+        IndexConfig, build_index, compact, load_manifest, merge_indexes,
     )
     from wikitfidf_spark.index.query import InvertedIndex
 
@@ -65,18 +66,18 @@ def run_merge_mode(args) -> None:
         build_index(spark, corpus.filter(slice_col == i), d, cfg, resume=False)
         slice_secs.append(round(time.time() - t0, 3))
 
-    # fold slices 1..k-1 into slice 0; deferred score refresh per fold,
-    # one exact refresh at the end via compact (the production policy —
-    # per-merge exact refresh would recompute the O(corpus) score map
-    # k-1 times for the same final state)
+    # fold slices 1..k-1 into slice 0 with ONE k-way merge; deferred
+    # score refresh, one exact refresh at the end via compact (the
+    # production policy — per-merge exact refresh would recompute the
+    # O(corpus) score map for the same final state)
     dst = os.path.join(base_dir, "slice0")
-    merge_secs = []
-    for i in range(1, k):
-        t0 = time.time()
-        merge_from_index(
-            spark, dst, os.path.join(base_dir, f"slice{i}"), refresh_scores=False
-        )
-        merge_secs.append(round(time.time() - t0, 3))
+    t0 = time.time()
+    merge_indexes(
+        spark, dst,
+        [os.path.join(base_dir, f"slice{i}") for i in range(1, k)],
+        refresh_scores=False,
+    )
+    merge_secs = [round(time.time() - t0, 3)]
     t0 = time.time()
     compact(spark, dst)
     compact_sec = round(time.time() - t0, 3)

@@ -71,7 +71,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections.abc import Iterable
+from collections.abc import Iterable, Sequence
 from dataclasses import asdict, dataclass, field
 
 import pandas as pd
@@ -1499,64 +1499,101 @@ def merge_from_index(
     refresh_scores: bool = True,
 ) -> BuildResult:
     """Segment-style index MERGE: fold the live documents of the index
-    at ``src_dir`` into the index at ``index_dir`` without re-reading
-    or re-tokenizing any raw text — the src's already-tokenized tf and
-    docmeta generations are harvested as one new dst generation
-    (src tombstones folded out first), the src docs are re-encoded
-    into fresh generation shards (O(src); NO existing dst shard is
-    touched, manifest-provable like adds), and global stats refresh
-    exactly — or defer under ``refresh_scores=False`` (the same
-    bounded-staleness contract as :func:`add_documents`).
+    at ``src_dir`` into the index at ``index_dir``.  Thin wrapper over
+    :func:`merge_indexes` — see there for the full contract."""
+    return merge_indexes(spark, index_dir, [src_dir], refresh_scores=refresh_scores)
+
+
+def merge_indexes(
+    spark: SparkSession,
+    index_dir: str,
+    src_dirs: Sequence[str],
+    *,
+    refresh_scores: bool = True,
+) -> BuildResult:
+    """Segment-style K-WAY index MERGE: fold the live documents of the
+    indexes at ``src_dirs`` into the index at ``index_dir`` without
+    re-reading or re-tokenizing any raw text — every src's
+    already-tokenized tf and docmeta generations are harvested as ONE
+    new dst generation (src tombstones folded out first), the src docs
+    are re-encoded into fresh generation shards (O(Σ src); NO existing
+    dst shard is touched, manifest-provable like adds), and global
+    stats refresh exactly — or defer under ``refresh_scores=False``
+    (the same bounded-staleness contract as :func:`add_documents`).
 
     This is the 100-TB build pattern: partition the corpus, build
     per-partition indexes INDEPENDENTLY in parallel (each a plain
     :func:`build_index` over its slice — no coordination, no global
-    shuffle across slices), then fold them together with merges whose
-    cost is O(src postings), never O(dst).  Unlike classic LSM/Lucene
-    segment merges, scores stay EXACT for the merged corpus (or
-    explicitly epoch-stale in deferred mode) — north_rule requires
-    rank-identity with a monolithic build, and ``compact`` afterwards
-    is byte-identical to one (tests assert it).
+    shuffle across slices), then fold them together in ONE merge whose
+    cost is O(Σ src postings), never O(dst).  A k-way fold pays the
+    fixed per-merge costs (dst docmeta scan, clash check, manifest
+    round-trip, job launches) once instead of k-1 times — the
+    sequential-pairwise alternative re-reads the growing dst's docmeta
+    at every step.  Unlike classic LSM/Lucene segment merges, scores
+    stay EXACT for the merged corpus (or explicitly epoch-stale in
+    deferred mode) — north_rule requires rank-identity with a
+    monolithic build, and ``compact`` afterwards is byte-identical to
+    one (tests assert it).
 
-    The positions artifact merges without re-tokenizing when both
-    sides carry a current one (position lists are doc-local — only the
-    shard placement is remapped); if only one side has it, the merged
+    The positions artifact merges without re-tokenizing when the dst
+    AND every src carry a current one (position lists are doc-local —
+    only the shard placement is remapped); otherwise the merged
     artifact goes stale and readers' version check fires.
 
-    Requires identical IndexConfig on both sides; raises on any doc_id
-    present in both (same natural key indexed twice) or tombstoned in
-    the dst.  The src index is read-only throughout and remains valid.
+    Requires identical IndexConfig on all sides; raises on any doc_id
+    present in more than one participant (same natural key indexed
+    twice) or tombstoned in the dst.  The src indexes are read-only
+    throughout and remain valid.
     """
-    if os.path.realpath(src_dir) == os.path.realpath(index_dir):
-        raise ValueError("cannot merge an index into itself")
+    if not src_dirs:
+        raise ValueError("merge_indexes needs at least one src index")
+    dst_real = os.path.realpath(index_dir)
+    seen: set[str] = set()
+    for d in src_dirs:
+        r = os.path.realpath(d)
+        if r == dst_real:
+            raise ValueError("cannot merge an index into itself")
+        if r in seen:
+            raise ValueError(f"src index {d} listed twice")
+        seen.add(r)
     manifest = load_manifest(index_dir)
     cfg = _load_cfg(manifest, index_dir)
-    src_manifest = load_manifest(src_dir)
-    if src_manifest.get("format") != INDEX_FORMAT:
-        raise ValueError(
-            f"{src_dir} holds index format {src_manifest.get('format')} "
-            f"(merge expects {INDEX_FORMAT}); rebuild it"
-        )
-    src_cfg = _load_cfg(src_manifest, src_dir)
-    if src_cfg.to_json() != cfg.to_json():
-        raise ValueError("src index was built with a different config; rebuild one side")
-    paths, src_paths = index_paths(manifest), index_paths(src_manifest)
+    src_manifests = []
+    for src_dir in src_dirs:
+        src_manifest = load_manifest(src_dir)
+        if src_manifest.get("format") != INDEX_FORMAT:
+            raise ValueError(
+                f"{src_dir} holds index format {src_manifest.get('format')} "
+                f"(merge expects {INDEX_FORMAT}); rebuild it"
+            )
+        src_cfg = _load_cfg(src_manifest, src_dir)
+        if src_cfg.to_json() != cfg.to_json():
+            raise ValueError(
+                f"src index {src_dir} was built with a different config; rebuild one side"
+            )
+        src_manifests.append(src_manifest)
+    paths = index_paths(manifest)
+    all_src_paths = [index_paths(m) for m in src_manifests]
     gen = int(manifest.get("next_gen", len(paths["tf"])))
     version = int(manifest.get("version", 0)) + 1
     t_start = time.time()
 
-    src_tf = spark.read.parquet(*[os.path.join(src_dir, p) for p in src_paths["tf"]])
-    src_meta = spark.read.parquet(
-        *[os.path.join(src_dir, p) for p in src_paths["docmeta"]]
-    )
-    src_tombs = _tombstones(spark, src_dir, src_manifest)
-    if src_tombs is not None:
-        src_tf = src_tf.join(src_tombs.select("doc_id"), "doc_id", "left_anti")
-        src_meta = src_meta.join(src_tombs.select("doc_id"), "doc_id", "left_anti")
+    src_tf = src_meta = None
+    for src_dir, src_manifest, src_paths in zip(src_dirs, src_manifests, all_src_paths):
+        tf_i = spark.read.parquet(*[os.path.join(src_dir, p) for p in src_paths["tf"]])
+        meta_i = spark.read.parquet(
+            *[os.path.join(src_dir, p) for p in src_paths["docmeta"]]
+        )
+        src_tombs = _tombstones(spark, src_dir, src_manifest)
+        if src_tombs is not None:
+            tf_i = tf_i.join(src_tombs.select("doc_id"), "doc_id", "left_anti")
+            meta_i = meta_i.join(src_tombs.select("doc_id"), "doc_id", "left_anti")
+        src_tf = tf_i if src_tf is None else src_tf.unionByName(tf_i)
+        src_meta = meta_i if src_meta is None else src_meta.unionByName(meta_i)
 
     n_new_docs = src_meta.count()
     if n_new_docs == 0:
-        raise ValueError(f"src index {src_dir} has no live documents")
+        raise ValueError(f"src indexes {list(src_dirs)} have no live documents")
 
     # generation sizing + placement: the same density policy as adds
     shard_base, g_shards = _generation_layout(manifest, cfg, n_new_docs)
@@ -1571,31 +1608,40 @@ def merge_from_index(
     ).write.mode("overwrite").parquet(os.path.join(index_dir, meta_rel))
     meta_new = spark.read.parquet(os.path.join(index_dir, meta_rel))
 
+    # a single well-formed src already guarantees unique doc_ids
+    # (build/add enforce it on every write path); across MULTIPLE srcs
+    # nothing does, so the k-way path scans the union for dups too
     meta_old = _check_doc_clashes(
         spark, index_dir, manifest, paths, meta_new,
-        check_dups_within=False, context="merge",
+        check_dups_within=len(src_dirs) > 1, context="merge",
     )
     tf_all, meta_all, shards_new = _assemble_generation(
         spark, index_dir, manifest, paths, meta_old, meta_new, tf_rel,
         gen=gen, shard_base=shard_base, g_shards=g_shards,
     )
 
-    # positions: both sides current -> shard-remap the src rows into a
-    # generation file (doc-local lists, no re-tokenize); otherwise the
-    # dst artifact (if any) goes stale — version advances past
+    # positions: all sides current -> shard-remap every src's rows into
+    # one generation file (doc-local lists, no re-tokenize); otherwise
+    # the dst artifact (if any) goes stale — version advances past
     # positions_version and readers refuse it honestly.
     dst_pos_current = paths.get("positions") is not None and int(
         manifest.get("positions_version", -1)
     ) == int(manifest.get("version", 0))
-    src_pos_current = src_paths.get("positions") is not None and int(
-        src_manifest.get("positions_version", -1)
-    ) == int(src_manifest.get("version", 0))
-    if dst_pos_current and src_pos_current:
+    srcs_pos_current = all(
+        sp.get("positions") is not None
+        and int(sm.get("positions_version", -1)) == int(sm.get("version", 0))
+        for sm, sp in zip(src_manifests, all_src_paths)
+    )
+    if dst_pos_current and srcs_pos_current:
         from .positions import _as_owner_map, read_positions
 
         pos_rel = f"positions_g{gen}.parquet"
+        src_pos = None
+        for src_dir, src_paths in zip(src_dirs, all_src_paths):
+            p_i = read_positions(spark, src_dir, src_paths["positions"])
+            src_pos = p_i if src_pos is None else src_pos.unionByName(p_i)
         (
-            read_positions(spark, src_dir, src_paths["positions"])
+            src_pos
             .drop("shard")
             .join(meta_new.select("doc_id", "shard"), "doc_id")
             .repartition(max(1, len(set(shards_new))), "shard")
