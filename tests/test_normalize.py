@@ -5,6 +5,8 @@ end-to-end wiring into the tokenizer hooks."""
 
 from __future__ import annotations
 
+import pytest
+
 from wikitfidf_spark.operators import normalize as nz
 from wikitfidf_spark.operators.stemdict import STEMMERS
 
@@ -95,3 +97,96 @@ def test_term_frequencies_for_lang_end_to_end(spark):
     assert (2, "a") in tf_zh and (1, "xx") in tf_zh
     assert (1, "flickorna") in tf_zh  # surface form: no stemming for zh
     assert not any(t == "the" for _, t in tf_zh)
+
+
+@pytest.fixture
+def fake_nlp_factory():
+    """Duck-typed spaCy pipeline for plumbing tests (the container
+    ships no spaCy).  The classes are defined INSIDE the fixture so
+    cloudpickle serializes them by value — executors cannot import the
+    test module.  pipe() splits on whitespace; tokens ending in '!'
+    become non-alpha, ALLCAPS become PUNCT (filtered by POS); lemma =
+    surface minus trailing 's'."""
+
+    class Tok:
+        def __init__(self, surface, pos="NOUN", alpha=True):
+            self.lower_ = surface.lower()
+            self.pos_ = pos
+            self.is_alpha = alpha
+            self.lemma_ = surface.rstrip("s")
+
+    class NLP:
+        def pipe(self, texts):
+            for t in texts:
+                toks = []
+                for w in t.split():
+                    if w.endswith("!"):
+                        toks.append(Tok(w, alpha=False))
+                    elif w.isupper():
+                        toks.append(Tok(w, pos="PUNCT"))
+                    else:
+                        toks.append(Tok(w))
+                yield toks
+
+    return NLP
+
+
+def test_lemma_term_frequencies_plumbing(spark, fake_nlp_factory):
+    """The spaCy flow's Spark plumbing (mapInPandas, POS filter,
+    is_alpha gate, stopword + length clean, lemma counting) runs with
+    an injected pipeline — textnormalizer.pyx:325-336 semantics."""
+    from wikitfidf_spark.operators.normalize import lemma_term_frequencies
+
+    docs = spark.createDataFrame(
+        [
+            (1, "walkers walkers walker the AND boom! streets"),
+            (2, "walkers streets streets ab"),
+        ],
+        "doc_id long, content string",
+    )
+    out = lemma_term_frequencies(docs, "en", nlp_factory=fake_nlp_factory)
+    rows = {(r["doc_id"], r["term"]): r["tf"] for r in out.collect()}
+    # 'walkers'/'walker' lemma to 'walker'; 'the' is a stopword; 'AND'
+    # is PUNCT (POS-filtered; also a stopword); 'boom!' fails is_alpha;
+    # 'ab' fails min length 3; 'streets' lemmas to 'street'
+    assert rows == {
+        (1, "walker"): 3,
+        (1, "street"): 1,
+        (2, "walker"): 1,
+        (2, "street"): 2,
+    }
+
+
+def test_lemma_term_frequencies_nonlemmatable_stems(spark, fake_nlp_factory):
+    """Non-lemmatable languages keep lower_ tokens and STEM them —
+    exactly the reference's `if not lemmatable: _stemming(...)` branch.
+    'vec' routes to a blank pipeline (no lemmas) and has no stemmer, so
+    tokens pass through lowercased."""
+    from wikitfidf_spark.operators.normalize import (
+        lemma_term_frequencies, spacy_model_for_lang,
+    )
+
+    assert spacy_model_for_lang("vec") == ("blank:it", False)
+    docs = spark.createDataFrame(
+        [(7, "Strada strada vecia")], "doc_id long, content string"
+    )
+    out = lemma_term_frequencies(docs, "vec", nlp_factory=fake_nlp_factory)
+    rows = {(r["doc_id"], r["term"]): r["tf"] for r in out.collect()}
+    assert rows == {(7, "strada"): 2, (7, "vecia"): 1}
+
+
+def test_lemma_term_frequencies_requires_spacy():
+    """Without spaCy and without an injected factory the flow fails
+    fast at the driver with guidance (import-guarded optional dep)."""
+    import pytest as _pytest
+
+    try:
+        import spacy  # noqa: F401
+
+        _pytest.skip("spacy installed; guard not reachable")
+    except ImportError:
+        pass
+    from wikitfidf_spark.operators.normalize import lemma_term_frequencies
+
+    with _pytest.raises(ImportError, match="spacy"):
+        lemma_term_frequencies(None, "en")

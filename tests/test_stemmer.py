@@ -45,8 +45,8 @@ def test_stemmer_for_lang_reference_table():
         assert stemdict.stemmer_for_lang("en") == "porter2_en"
         assert stemdict.stemmer_for_lang("simple") == "porter2_en"
         assert stemdict.stemmer_for_lang("ar") is None
-        assert stemdict.stemmer_for_lang("de") is None
     assert stemdict.stemmer_for_lang("sv") == "snowball_sv"
+    assert stemdict.stemmer_for_lang("de") == "snowball_de"
     # outside the reference's table in ANY world
     for lang in ("zh", "ja", "fi", "xx"):
         assert stemdict.stemmer_for_lang(lang) is None
@@ -314,3 +314,86 @@ def test_snowball_sv_total_function():
             assert len(out) >= 3  # R1's 3-letter floor protects the stem
 
     prop()
+
+
+def test_snowball_de_vectors():
+    """Hand-traced vectors for the spec-implemented Snowball German
+    stemmer (snowball_de.py; longest-match-then-R1 semantics, R2 from
+    the UNadjusted R1, umlaut/ß postlude)."""
+    from wikitfidf_spark.operators.snowball_de import snowball_de as s
+
+    assert s("abhängen") == "abhang"        # step 1 'en', umlaut strip
+    assert s("aufeinander") == "aufeinand"  # step 1 'er'
+    assert s("armes") == "arm"              # step 1 'es'
+    assert s("äckern") == "ack"             # step 1 'ern' (longest wins)
+    assert s("ackers") == "ack"             # step 1 's', then step 2 'er'
+    assert s("bedürfnissen") == "bedurfnis" # step 1 'en' + niss rule
+    assert s("bedürfnisse") == "bedurfnis"  # step 1 'e' + niss rule
+    assert s("derbsten") == "derb"          # step 1 'en', step 2 'st' (b-ending)
+    assert s("bezeichnung") == "bezeichn"   # step 3 'ung' in R2
+    assert s("heimlichkeit") == "heimlich"  # step 3 'keit'; 'lich' not in R2
+    assert s("könig") == "konig"            # 'ig' NOT in R2 -> kept
+    assert s("kategorie") == "kategori"     # step 1 'e'
+    assert s("weißes") == "weiss"           # prelude ß->ss, step 1 'es'
+    # u between vowels is marked consonant: R1 starts right after it
+    assert s("bauer") == "bau"              # step 1 'er'; marked U unmarks
+    assert s("bauen") == "bau"              # step 1 'en'; marked U unmarks
+
+
+def test_snowball_de_total_function():
+    """Property: snowball_de never raises, is deterministic, never
+    grows the input beyond the ß->ss expansion, and emits no umlaut,
+    ß, or internal consonant marker."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wikitfidf_spark.operators.snowball_de import snowball_de
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüß", min_size=0, max_size=24))
+    @settings(max_examples=500, deadline=None)
+    def prop(word):
+        out = snowball_de(word)
+        assert out == snowball_de(word)
+        assert len(out) <= len(word) + word.count("ß")
+        assert not set(out) & set("äöüßUY")
+        expanded = word.replace("ß", "ss")
+        if len(expanded) > 3:
+            assert len(out) >= 3  # R1's 3-letter floor protects the stem
+
+    prop()
+
+
+def test_index_roundtrip_snowball_de(spark, tmp_path):
+    """IndexConfig(stemmer='snowball_de', token_letters=de-class)
+    round-trips build -> query: umlaut surface forms tokenize whole,
+    collapse to one indexed stem, and the stem answers BM25 queries."""
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.query import InvertedIndex, Query
+    from wikitfidf_spark.operators.normalize import letters_for_lang
+
+    docs = spark.createDataFrame(
+        [
+            (1, "de", "abhängen bezeichnung armes"),
+            (2, "de", "bedürfnissen aufeinander abhängen"),
+            (3, "de", "bedürfnisse derbsten abhängen"),
+        ],
+        "doc_id long, lang string, content string",
+    )
+    d = str(tmp_path / "idx_de")
+    build_index(
+        spark, docs, d,
+        IndexConfig(n_shards=2, n_salts=2, id_cols=(), tokenizer="arrow",
+                    stemmer="snowball_de",
+                    token_letters=letters_for_lang("de")),
+        resume=False,
+    )
+    idx = InvertedIndex(spark, d)
+    hits = {r["doc_id"] for r in idx.topk_batch([Query(0, ["abhang"], "OR", 10)]).collect()}
+    assert hits == {1, 2, 3}
+    hits = {r["doc_id"] for r in idx.topk_batch([Query(0, ["bedurfnis"], "OR", 10)]).collect()}
+    assert hits == {2, 3}
+    # surface form as a RAW term finds nothing: the index holds stems
+    assert idx.topk_batch([Query(0, ["abhängen"], "OR", 10)]).count() == 0
+    # ...but free-text search analyzes through the config (letters +
+    # stemmer ride the manifest), so the surface form hits
+    assert {r["doc_id"] for r in idx.search("abhängen").collect()} == {1, 2, 3}

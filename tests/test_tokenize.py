@@ -72,3 +72,47 @@ def test_duckdb_regex_parity(corpus_pdf):
     ).fetchall()
     for content, toks in rows:
         assert toks == tokenize_py(content)
+
+
+def test_letters_parity_all_three_paths(spark):
+    """The per-language letter-class knob (token grammar widened with
+    diacritics / script ranges) produces identical rows through the
+    JVM codegen, Arrow, and pure-Python tokenizers — including the
+    DuckDB oracle regex (RE2)."""
+    import duckdb
+
+    from wikitfidf_spark.operators.normalize import letters_for_lang
+    from wikitfidf_spark.tokenize import token_regex
+
+    rows = [
+        (1, "Abhängen straße 分析 русский текст naïve"),
+        (2, "汉字 café señor łódź abc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    for lang, min_len in (("de", 3), ("zh", 1), ("ru", 3), ("fr", 3)):
+        letters = letters_for_lang(lang)
+        jvm = termstats.term_frequencies(docs, letters=letters, min_len=min_len)
+        arrow = tf_map_in_pandas(docs, letters=letters, min_len=min_len)
+        a = {(r["doc_id"], r["term"]): r["tf"] for r in jvm.collect()}
+        b = {(r["doc_id"], r["term"]): r["tf"] for r in arrow.collect()}
+        assert a == b, lang
+        c = {}
+        for did, text in rows:
+            for t, n in Counter(
+                tokenize_py(text, letters=letters, min_len=min_len)
+            ).items():
+                c[(did, t)] = n
+        assert a == c, lang
+        # DuckDB RE2 agrees on the same pattern (oracle-expressible)
+        pat = token_regex(min_len, letters=letters)
+        d = {}
+        for did, text in rows:
+            toks = duckdb.sql(
+                "select unnest(regexp_extract_all(lower(?), ?)) t", params=[text, pat]
+            ).fetchall()
+            for t, n in Counter(x[0] for x in toks).items():
+                d[(did, t)] = n
+        assert a == d, lang
+    # the German class tokenizes umlaut words whole; ASCII splits them
+    assert tokenize_py("abhängen", letters=letters_for_lang("de")) == ["abhängen"]
+    assert tokenize_py("abhängen") == ["abh", "ngen"]

@@ -142,6 +142,13 @@ class IndexConfig:
     # config JSON-serializable for the manifest; Python stemmers need
     # tokenizer="arrow" (the JVM regexp path can't call Python).
     stemmer: str = "none"
+    # letter class of the token grammar (lowercase char-class body).
+    # "a-z" = the ASCII identifier grammar (the code corpus); extend per
+    # language for natural-language corpora (operators.normalize ships
+    # per-language classes — the reference tokenizes unicode words).
+    # Rides the manifest like every config knob so adds/merges/queries
+    # tokenize identically to the base build.
+    token_letters: str = "a-z"
     # natural-key columns hashed into the stable doc_id; empty tuple =
     # the input already carries a unique ``doc_id`` column (used as-is)
     id_cols: tuple[str, ...] = ("repo", "path", "commit")
@@ -189,8 +196,13 @@ def _tokenize(base: DataFrame, cfg: IndexConfig) -> DataFrame:
             raise ValueError("a Python stemmer requires tokenizer='arrow'")
         stem_py = STEMMERS[cfg.stemmer]
     if cfg.tokenizer == "arrow":
-        return tf_map_in_pandas(base, doc_id="doc_id", text=cfg.text_col, stem_py=stem_py)
-    return termstats.term_frequencies(base, doc_id="doc_id", text=cfg.text_col)
+        return tf_map_in_pandas(
+            base, doc_id="doc_id", text=cfg.text_col, stem_py=stem_py,
+            letters=cfg.token_letters,
+        )
+    return termstats.term_frequencies(
+        base, doc_id="doc_id", text=cfg.text_col, letters=cfg.token_letters
+    )
 
 
 def _manifest_path(index_dir: str) -> str:
@@ -505,8 +517,16 @@ def build_index(
     cfg = config or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     manifest = load_manifest(index_dir) if resume else {"phases": {}, "metrics": {}, "config": None}
-    if manifest["config"] not in (None, cfg.to_json()):
-        raise ValueError("index_dir was built with a different config; pass resume=False")
+    if manifest["config"] is not None:
+        # normalize through the dataclass so a config knob added later
+        # with a default (e.g. token_letters) doesn't fail resume on
+        # dirs built before the knob existed
+        cj = dict(manifest["config"])
+        cj["id_cols"] = tuple(cj.get("id_cols") or ())
+        if IndexConfig(**cj).to_json() != cfg.to_json():
+            raise ValueError(
+                "index_dir was built with a different config; pass resume=False"
+            )
     if manifest["phases"] and manifest.get("format") != INDEX_FORMAT:
         raise ValueError(
             f"index_dir holds format {manifest.get('format')} (current {INDEX_FORMAT}); "

@@ -650,7 +650,7 @@ class InvertedIndex:
         from .build import _load_cfg
 
         cfg = _load_cfg(self.manifest, self.index_dir)
-        toks = tokenize_py(text)
+        toks = tokenize_py(text, letters=cfg.token_letters)
         if cfg.stemmer != "none":
             from ..operators.stemdict import STEMMERS
 

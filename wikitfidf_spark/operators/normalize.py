@@ -88,6 +88,59 @@ def min_word_length(lang: str) -> int:
     return 1 if lang in MIN_LEN_1_LANGS else 3
 
 
+#: per-language letter-class extensions for the token grammar.  The
+#: reference tokenizes unicode word characters; the engine's default
+#: grammar is ASCII (the code corpus), so natural-language profiles
+#: widen the class per language.  Classes are lowercase (matching runs
+#:  on lowercased text); Java regex, RE2 and Python ``re`` all accept
+#: literal unicode chars and ranges identically.
+_LATIN_EXT = {
+    "de": "a-zäöüß",
+    "sv": "a-zäåö",
+    "da": "a-zæøå", "no": "a-zæøå",
+    "fi": "a-zäöå",
+    "fr": "a-zàâæçéèêëîïôœùûüÿ",
+    "es": "a-záéíóúüñ", "gl": "a-záéíóúüñ", "ca": "a-zàéèíïóòúüç",
+    "pt": "a-zàáâãçéêíóôõú",
+    "it": "a-zàèéìíîòóùú",
+    "ro": "a-zăâîșşțţ",
+    "hu": "a-záéíóöőúüű",
+    "tr": "a-zçğıöşü",
+    "cs": "a-záčďéěíňóřšťúůýž", "sk": "a-záäčďéíĺľňóôŕšťúýž",
+    "pl": "a-ząćęłńóśźż",
+    "nl": "a-zéèëïĳ",
+    "az": "a-zçəğıöşü", "eu": "a-zñ", "ga": "a-záéíóú",
+    "lv": "a-zāčēģīķļņšūž", "lt": "a-ząčęėįšųūž",
+    "sl": "a-zčšž", "sh": "a-zčćđšž",
+}
+
+#: script ranges for non-Latin alphabets (the min-len-1 CJK family plus
+#: the reference's other stopword-table scripts)
+_SCRIPT_LETTERS = {
+    "ru": "a-zа-яё", "uk": "a-zа-щьюяєіїґ", "bg": "a-zа-я", "kk": "a-zа-яёәғқңөұүһі",
+    "ar": "a-z\u0621-\u064a", "fa": "a-z\u0621-\u064a\u067e\u0686\u0698\u06a9\u06af\u06cc",
+    "ur": "a-z\u0621-\u064a\u0679\u067e\u0686\u0688\u0691\u0698\u06a9\u06af\u06ba\u06be\u06c1\u06cc\u06d2",
+    "he": "a-z\u05d0-\u05ea",
+    "hy": "a-z\u0561-\u0587", "el": "a-z\u03b1-\u03c9",
+    "hi": "a-z\u0900-\u097f", "mr": "a-z\u0900-\u097f", "ne": "a-z\u0900-\u097f",
+    "bn": "a-z\u0980-\u09ff", "th": "a-z\u0e01-\u0e5b",
+    "zh": "a-z\u4e00-\u9fff", "zh-classical": "a-z\u4e00-\u9fff",
+    "zh-yue": "a-z\u4e00-\u9fff", "gan": "a-z\u4e00-\u9fff",
+    "wuu": "a-z\u4e00-\u9fff",
+    "ja": "a-z\u3040-\u30ff\u4e00-\u9fff",
+    "ko": "a-z\uac00-\ud7af\u1100-\u11ff",
+    "vi": "a-zàáâãèéêìíòóôõùúýăđĩũơưạ-ỹ",
+}
+
+
+def letters_for_lang(lang: str) -> str:
+    """Letter-class body of the token grammar for a language: the ASCII
+    default widened by the language's Latin diacritics or script range.
+    Unknown languages keep the ASCII class (the engine's code-corpus
+    grammar) — widening is per-language data, not a behavior change."""
+    return _SCRIPT_LETTERS.get(lang) or _LATIN_EXT.get(lang, "a-z")
+
+
 def stopwords_for_lang(lang: str) -> frozenset[str]:
     """``_lang_stopwords`` parity (textnormalizer.pyx:86-101): the
     language's list + english + forbidden; english + forbidden when the
@@ -120,12 +173,13 @@ def stopwords_for_lang(lang: str) -> frozenset[str]:
 
 @dataclass(frozen=True)
 class NormalizationProfile:
-    """The three per-language knobs the reference's normalizer sets,
-    in engine-hook form."""
+    """The per-language knobs the reference's normalizer sets, in
+    engine-hook form."""
     lang: str
     min_len: int
     stopwords: frozenset[str]
     stemmer: str | None  # STEMMERS key for IndexConfig.stemmer, or None
+    letters: str = "a-z"  # token-grammar letter class (tokenize.token_regex)
 
 
 def profile_for_lang(lang: str) -> NormalizationProfile:
@@ -134,6 +188,7 @@ def profile_for_lang(lang: str) -> NormalizationProfile:
         min_len=min_word_length(lang),
         stopwords=stopwords_for_lang(lang),
         stemmer=stemmer_for_lang(lang),
+        letters=letters_for_lang(lang),
     )
 
 
@@ -150,7 +205,7 @@ def term_frequencies_for_lang(docs, lang: str, *, doc_id: str = "doc_id",
 
         return termstats.term_frequencies(
             docs, doc_id=doc_id, text=text, extra_cols=extra_cols,
-            stopwords=p.stopwords, min_len=p.min_len,
+            stopwords=p.stopwords, min_len=p.min_len, letters=p.letters,
         )
     from ..tokenize import tf_map_in_pandas
     from .stemdict import STEMMERS
@@ -158,4 +213,154 @@ def term_frequencies_for_lang(docs, lang: str, *, doc_id: str = "doc_id",
     return tf_map_in_pandas(
         docs, doc_id=doc_id, text=text, extra_cols=extra_cols,
         stem_py=STEMMERS[p.stemmer], stopwords=p.stopwords, min_len=p.min_len,
+        letters=p.letters,
     )
+
+
+# ---------------------------------------------------------------------------
+# spaCy lemmatization flow (textnormalizer.pyx:151-167, 325-336)
+# ---------------------------------------------------------------------------
+
+#: reference's allowed part-of-speech tags (textnormalizer.pyx:29) —
+#: lemmatizable languages keep ONLY these tokens
+ALLOWED_POS = frozenset({"ADJ", "ADV", "NOUN", "PROPN", "VERB"})
+
+#: ``_get_nlp_processor`` parity (textnormalizer.pyx:151-167): language
+#: -> (spaCy model name, lemmatable).  Blank pipelines tokenize without
+#: lemmas (the reference then falls back to stemming).
+_SPACY_LEMMA_LANGS = frozenset(
+    {"ca", "da", "de", "el", "es", "fr", "it", "lt", "mk", "nl", "pl", "pt", "ro", "ru"}
+)
+_IT_BLANK_LANGS = frozenset(
+    {"eml", "fur", "lij", "la", "lmo", "nap", "pms", "sc", "scn", "roa-tara", "vec"}
+)
+
+
+def spacy_model_for_lang(lang: str) -> tuple[str, bool]:
+    """(model name, lemmatable) per the reference's table.  Blank
+    pipelines are named ``blank:<lang>``."""
+    if lang in ("en", "simple"):
+        return "en_core_web_sm", True
+    if lang in _SPACY_LEMMA_LANGS:
+        return f"{lang}_core_news_sm", True
+    if lang == "ja":
+        return "ja_core_news_sm", False
+    if lang == "zh":
+        return "zh_core_web_sm", False
+    if lang == "no":
+        return "nb_core_news_sm", True
+    if lang in _IT_BLANK_LANGS:
+        return "blank:it", False
+    return "blank:xx", False
+
+
+_SPACY_CACHE: dict = {}
+
+
+def _load_spacy(model_name: str):
+    """Worker-side spaCy load (memoized per process — one model per
+    executor, shared across Arrow batches).  Import-guarded: callers
+    hand a clear error to users without the optional dependency."""
+    cache = _SPACY_CACHE
+    nlp = cache.get(model_name)
+    if nlp is None:
+        import spacy  # optional dependency, never imported at module load
+
+        if model_name.startswith("blank:"):
+            nlp = spacy.blank(model_name.split(":", 1)[1])
+        else:
+            nlp = spacy.load(
+                model_name, exclude=["parser", "ner", "textcat", "custom"]
+            )
+        cache[model_name] = nlp
+    return nlp
+
+
+def lemma_term_frequencies(
+    docs,
+    lang: str,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "content",
+    nlp_factory=None,
+):
+    """Per-doc term frequencies through the reference's spaCy flow
+    (textnormalizer.pyx:325-336): ``nlp.pipe`` the batch, keep
+    ``lemma_`` for ALLOWED_POS alphabetic tokens when the language's
+    model lemmatizes (else ``lower_`` for alphabetic tokens), clean
+    with the language's stopwords + length band (``_words_cleaner``,
+    :107-109), and — exactly like the reference — stem only the
+    NON-lemmatable branch.  Deviation (documented): lemmas are
+    lowercased to fit the engine's lowercase term space; the reference
+    keeps spaCy's lemma case.
+
+    Spark-side plumbing is real and tested with an injected
+    ``nlp_factory`` (a zero-arg callable returning an object with
+    ``.pipe(texts)`` yielding token sequences carrying ``lemma_``,
+    ``pos_``, ``is_alpha``, ``lower_``); the spaCy path itself is
+    import-guarded — this container ships no spaCy models, so the
+    default factory raises ImportError with guidance at the driver
+    (before any job runs) when spacy is absent."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from ..tokenize import MAX_TOKEN_LEN
+
+    model_name, lemmatable = spacy_model_for_lang(lang)
+    if nlp_factory is None:
+        try:
+            import spacy  # noqa: F401 — fail fast on the driver
+        except ImportError as e:
+            raise ImportError(
+                "lemma_term_frequencies needs the optional spacy dependency "
+                f"(model {model_name!r}); install spacy + the model, or pass "
+                "nlp_factory"
+            ) from e
+
+        def nlp_factory():
+            return _load_spacy(model_name)
+
+    stop = stopwords_for_lang(lang)
+    min_len = min_word_length(lang)
+    stem_key = stemmer_for_lang(lang) if not lemmatable else None
+    id_type = docs.schema[doc_id].dataType.simpleString()
+    out_schema = f"`{doc_id}` {id_type}, term string, tf long"
+
+    def fn(batches):
+        nlp = nlp_factory()
+        stem = None
+        if stem_key is not None:
+            from .stemdict import STEMMERS
+
+            stem = STEMMERS[stem_key]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, terms, tfs = [], [], []
+            texts = pdf[text].fillna("").tolist()
+            for did, doc in zip(pdf[doc_id], nlp.pipe(texts)):
+                if lemmatable:
+                    toks = [w.lemma_ for w in doc if w.pos_ in ALLOWED_POS and w.is_alpha]
+                else:
+                    toks = [w.lower_ for w in doc if w.is_alpha]
+                toks = [
+                    t.lower() for t in toks
+                    if t.lower() not in stop and min_len <= len(t) <= MAX_TOKEN_LEN
+                ]
+                if stem is not None:
+                    memo: dict[str, str] = {}
+                    stemmed = []
+                    for t in toks:
+                        r = memo.get(t)
+                        if r is None:
+                            r = memo[t] = stem(t)
+                        stemmed.append(r)
+                    toks = stemmed
+                for t, n in Counter(toks).items():
+                    ids.append(did)
+                    terms.append(t)
+                    tfs.append(n)
+            yield pd.DataFrame({doc_id: ids, "term": terms, "tf": tfs})
+
+    return docs.select(doc_id, text).mapInPandas(fn, schema=out_schema)

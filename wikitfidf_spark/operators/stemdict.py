@@ -62,18 +62,21 @@ def snowball_lite(word: str) -> str:
 
 
 from .porter2 import porter2_en
+from .snowball_de import snowball_de
 from .snowball_sv import snowball_sv
 
 #: named stemmers usable from JSON-serializable config (IndexConfig.stemmer).
-#: ``porter2_en`` (full Snowball English, :mod:`.porter2`) and
-#: ``snowball_sv`` (full Snowball Swedish, :mod:`.snowball_sv`) are
+#: ``porter2_en`` (full Snowball English, :mod:`.porter2`),
+#: ``snowball_sv`` (full Snowball Swedish, :mod:`.snowball_sv`) and
+#: ``snowball_de`` (full Snowball German, :mod:`.snowball_de`) are
 #: dependency-free spec implementations matching what the reference's
-#: nltk SnowballStemmer("english"/"swedish") computes;
+#: nltk SnowballStemmer("english"/"swedish"/"german") computes;
 #: ``snowball_lite`` remains the cheap table-driven stand-in.
 STEMMERS: dict[str, Callable[[str], str]] = {
     "snowball_lite": snowball_lite,
     "porter2_en": porter2_en,
     "snowball_sv": snowball_sv,
+    "snowball_de": snowball_de,
 }
 
 #: the reference's Snowball language set (textnormalizer.pyx:113-115),
@@ -122,6 +125,7 @@ register_nltk_stemmers()
 #: porter2.py/snowball_sv.py implement the Snowball specs directly)
 _SPEC_FALLBACKS: dict[str, str] = {
     "en": "porter2_en", "simple": "porter2_en", "sv": "snowball_sv",
+    "de": "snowball_de",
 }
 
 

@@ -32,6 +32,7 @@ def term_frequencies(
     extra_cols: tuple[str, ...] = (),
     stopwords: frozenset[str] | set[str] | tuple[str, ...] | None = None,
     min_len: int | None = None,
+    letters: str | None = None,
 ) -> DataFrame:
     """(doc_id, [extra...], term, tf) via JVM-side regexp + explode +
     hash agg (codegen path; oracle-expressible in ANSI SQL).
@@ -51,11 +52,12 @@ def term_frequencies(
     normalization hooks: stopword drop + per-language CJK min length,
     textnormalizer.pyx:103-109,170-176) — still pure JVM codegen.
     """
-    from ..tokenize import MIN_TOKEN_LEN
+    from ..tokenize import DEFAULT_LETTERS, MIN_TOKEN_LEN
 
     toks = tokens_col(
         text, stopwords=stopwords,
         min_len=MIN_TOKEN_LEN if min_len is None else min_len,
+        letters=DEFAULT_LETTERS if letters is None else letters,
     )
     return (
         docs.select(doc_id, *extra_cols, F.explode(toks).alias("term"))

@@ -42,16 +42,29 @@ from pyspark.sql import functions as F
 MIN_TOKEN_LEN = 3
 MAX_TOKEN_LEN = 33
 
+#: default letter class: the ASCII identifier grammar (the code corpus
+#: the engine is built over).  Natural-language corpora extend it per
+#: language via the ``letters`` knob (operators.normalize profiles) —
+#: the reference tokenizes unicode word chars (textnormalizer.pyx).
+DEFAULT_LETTERS = "a-z"
 
-def token_regex(min_len: int = MIN_TOKEN_LEN, max_len: int = MAX_TOKEN_LEN) -> str:
+
+def token_regex(
+    min_len: int = MIN_TOKEN_LEN,
+    max_len: int = MAX_TOKEN_LEN,
+    letters: str = DEFAULT_LETTERS,
+) -> str:
     """The identifier grammar at a given length band.  ``min_len`` is
     the reference's per-language MIN_WORD_LENGTH knob — 3 for most
     languages, 1 for CJK (textnormalizer.pyx:170-176, the zh/ja/ko/th
     branch) — expressed as the repetition bound after the first char.
-    Java regex, RE2 (DuckDB) and Python ``re`` agree on the result."""
+    ``letters`` is the char-class body of word letters (lowercase;
+    matching runs on lowercased text) — literal unicode chars and
+    ranges are fine, Java regex, RE2 (DuckDB) and Python ``re`` all
+    accept them and agree on the result."""
     if not (1 <= min_len <= max_len):
         raise ValueError(f"need 1 <= min_len <= max_len, got [{min_len}, {max_len}]")
-    return rf"[a-z_][a-z0-9_]{{{min_len - 1},{max_len - 1}}}"
+    return rf"[{letters}_][{letters}0-9_]{{{min_len - 1},{max_len - 1}}}"
 
 
 # {2,32} repetitions after the first char -> total length in [3, 33].
@@ -65,6 +78,7 @@ def tokens_col(
     *,
     stopwords: frozenset[str] | set[str] | tuple[str, ...] | None = None,
     min_len: int = MIN_TOKEN_LEN,
+    letters: str = DEFAULT_LETTERS,
 ) -> Column:
     """Array-of-tokens column, entirely JVM-side (codegen'd, no UDF).
 
@@ -75,7 +89,7 @@ def tokens_col(
     which would also dedupe surviving tokens and corrupt tf.
     ``min_len``: per-language minimum token length (CJK=1 parity)."""
     c = F.col(text) if isinstance(text, str) else text
-    arr = F.regexp_extract_all(F.lower(c), F.lit(token_regex(min_len)), 0)
+    arr = F.regexp_extract_all(F.lower(c), F.lit(token_regex(min_len, letters=letters)), 0)
     if stopwords:
         stop = sorted(set(stopwords))
         arr = F.filter(arr, lambda t: ~t.isin(stop))
@@ -87,11 +101,16 @@ def tokenize_py(
     *,
     stopwords: frozenset[str] | set[str] | tuple[str, ...] | None = None,
     min_len: int = MIN_TOKEN_LEN,
+    letters: str = DEFAULT_LETTERS,
 ) -> list[str]:
     """Pure-Python oracle tokenizer (identical semantics)."""
     if not text:
         return []
-    pat = _TOKEN_RE if min_len == MIN_TOKEN_LEN else re.compile(token_regex(min_len))
+    pat = (
+        _TOKEN_RE
+        if min_len == MIN_TOKEN_LEN and letters == DEFAULT_LETTERS
+        else re.compile(token_regex(min_len, letters=letters))
+    )
     toks = pat.findall(text.lower())
     if stopwords:
         stop = set(stopwords)
@@ -112,6 +131,7 @@ def tf_map_in_pandas(
     stem_py=None,
     stopwords: frozenset[str] | set[str] | tuple[str, ...] | None = None,
     min_len: int = MIN_TOKEN_LEN,
+    letters: str = DEFAULT_LETTERS,
 ) -> DataFrame:
     """Fused tokenize + per-doc term-frequency count as ``mapInPandas``.
 
@@ -145,7 +165,7 @@ def tf_map_in_pandas(
         + ["term string", "tf long"]
     )
 
-    pat = token_regex(min_len)
+    pat = token_regex(min_len, letters=letters)
     stop = frozenset(stopwords) if stopwords else None
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
