@@ -190,3 +190,66 @@ def test_lemma_term_frequencies_requires_spacy():
 
     with _pytest.raises(ImportError, match="spacy"):
         lemma_term_frequencies(None, "en")
+
+
+def test_index_full_profile_lifecycle(spark, tmp_path):
+    """IndexConfig(**index_knobs_for_lang('de')): stopwords drop at
+    build, umlaut words tokenize whole and stem, and free-text
+    search() analyzes the query through the SAME manifest-carried
+    knobs — surface form and stopword-laden queries both behave."""
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.query import InvertedIndex
+    from wikitfidf_spark.operators.normalize import index_knobs_for_lang
+
+    knobs = index_knobs_for_lang("de")
+    assert knobs["stemmer"] == "snowball_de"
+    assert knobs["min_token_len"] == 3
+    assert "the" in knobs["stopwords"]  # english rides every list
+
+    docs = spark.createDataFrame(
+        [
+            (1, "de", "the abhängen bezeichnung"),
+            (2, "de", "bedürfnisse the the abhängen"),
+        ],
+        "doc_id long, lang string, content string",
+    )
+    d = str(tmp_path / "idx_profile_de")
+    build_index(
+        spark, docs, d,
+        IndexConfig(n_shards=2, n_salts=2, id_cols=(), **knobs),
+        resume=False,
+    )
+    idx = InvertedIndex(spark, d)
+    # the stopword never entered the index
+    terms = {r["term"] for r in spark.read.parquet(f"{d}/dictionary.parquet").collect()}
+    assert "the" not in terms and "abhang" in terms
+    # free-text search: stopword dropped query-side, umlaut form stems
+    hits = {r["doc_id"] for r in idx.search("the abhängen").collect()}
+    assert hits == {1, 2}
+    assert idx.analyze("the abhängen") == ["abhang"]
+
+
+def test_index_min_len_1_cjk(spark, tmp_path):
+    """A zh-profile index (min_token_len=1 + Han letter range) indexes
+    single-character words — the reference's CJK branch end-to-end."""
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.query import InvertedIndex
+    from wikitfidf_spark.operators.normalize import index_knobs_for_lang
+
+    knobs = index_knobs_for_lang("zh")
+    assert knobs["min_token_len"] == 1
+    assert "stemmer" not in knobs  # zh has no stemmer: JVM path fine
+
+    docs = spark.createDataFrame(
+        [(1, "zh", "汉 字 分析"), (2, "zh", "分析 字")],
+        "doc_id long, lang string, content string",
+    )
+    d = str(tmp_path / "idx_zh")
+    build_index(
+        spark, docs, d,
+        IndexConfig(n_shards=2, n_salts=2, id_cols=(), **knobs),
+        resume=False,
+    )
+    idx = InvertedIndex(spark, d)
+    assert {r["doc_id"] for r in idx.search("字").collect()} == {1, 2}
+    assert {r["doc_id"] for r in idx.search("汉").collect()} == {1}

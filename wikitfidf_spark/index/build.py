@@ -149,13 +149,23 @@ class IndexConfig:
     # Rides the manifest like every config knob so adds/merges/queries
     # tokenize identically to the base build.
     token_letters: str = "a-z"
+    # remaining per-language normalization knobs (operators.normalize
+    # profiles): minimum token length (CJK=1 parity) and a stopword
+    # tuple dropped on the SURFACE token before stemming — both ride
+    # the manifest so the whole index lifecycle (build/add/merge/
+    # free-text analyze) normalizes identically.
+    min_token_len: int = 3
+    stopwords: tuple[str, ...] = ()
     # natural-key columns hashed into the stable doc_id; empty tuple =
     # the input already carries a unique ``doc_id`` column (used as-is)
     id_cols: tuple[str, ...] = ("repo", "path", "commit")
 
     def to_json(self) -> dict:
         d = asdict(self)
-        d["id_cols"] = list(d["id_cols"])  # JSON round-trip: tuple -> list
+        # JSON round-trip: tuples -> lists (stopwords sorted: the set is
+        # order-insensitive and config equality compares the JSON)
+        d["id_cols"] = list(d["id_cols"])
+        d["stopwords"] = sorted(set(d["stopwords"]))
         return d
 
 
@@ -195,13 +205,15 @@ def _tokenize(base: DataFrame, cfg: IndexConfig) -> DataFrame:
         if cfg.tokenizer != "arrow":
             raise ValueError("a Python stemmer requires tokenizer='arrow'")
         stem_py = STEMMERS[cfg.stemmer]
+    stop = frozenset(cfg.stopwords) if cfg.stopwords else None
     if cfg.tokenizer == "arrow":
         return tf_map_in_pandas(
             base, doc_id="doc_id", text=cfg.text_col, stem_py=stem_py,
-            letters=cfg.token_letters,
+            letters=cfg.token_letters, min_len=cfg.min_token_len, stopwords=stop,
         )
     return termstats.term_frequencies(
-        base, doc_id="doc_id", text=cfg.text_col, letters=cfg.token_letters
+        base, doc_id="doc_id", text=cfg.text_col,
+        letters=cfg.token_letters, min_len=cfg.min_token_len, stopwords=stop,
     )
 
 
@@ -523,6 +535,7 @@ def build_index(
         # dirs built before the knob existed
         cj = dict(manifest["config"])
         cj["id_cols"] = tuple(cj.get("id_cols") or ())
+        cj["stopwords"] = tuple(cj.get("stopwords") or ())
         if IndexConfig(**cj).to_json() != cfg.to_json():
             raise ValueError(
                 "index_dir was built with a different config; pass resume=False"
@@ -977,6 +990,7 @@ def _load_cfg(manifest: dict, index_dir: str) -> IndexConfig:
         )
     cj = dict(manifest["config"])
     cj["id_cols"] = tuple(cj.get("id_cols") or ())
+    cj["stopwords"] = tuple(cj.get("stopwords") or ())
     return IndexConfig(**cj)
 
 

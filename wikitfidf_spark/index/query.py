@@ -650,7 +650,10 @@ class InvertedIndex:
         from .build import _load_cfg
 
         cfg = _load_cfg(self.manifest, self.index_dir)
-        toks = tokenize_py(text, letters=cfg.token_letters)
+        toks = tokenize_py(
+            text, letters=cfg.token_letters, min_len=cfg.min_token_len,
+            stopwords=frozenset(cfg.stopwords) if cfg.stopwords else None,
+        )
         if cfg.stemmer != "none":
             from ..operators.stemdict import STEMMERS
 

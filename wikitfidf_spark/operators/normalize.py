@@ -364,3 +364,23 @@ def lemma_term_frequencies(
             yield pd.DataFrame({doc_id: ids, "term": terms, "tf": tfs})
 
     return docs.select(doc_id, text).mapInPandas(fn, schema=out_schema)
+
+
+def index_knobs_for_lang(lang: str) -> dict:
+    """IndexConfig kwargs for a language's full normalization profile —
+    ``IndexConfig(n_shards=..., **index_knobs_for_lang("de"))`` builds
+    an index whose WHOLE lifecycle (build, add, merge, free-text
+    ``search``) tokenizes with the language's letter class, min token
+    length, stopwords and stemmer.  Stemming needs the Arrow tokenizer
+    (a Python stemmer can't run in the JVM expression), so the
+    tokenizer knob rides along when a stemmer routes."""
+    p = profile_for_lang(lang)
+    knobs: dict = {
+        "token_letters": p.letters,
+        "min_token_len": p.min_len,
+        "stopwords": tuple(sorted(p.stopwords)),
+    }
+    if p.stemmer is not None:
+        knobs["stemmer"] = p.stemmer
+        knobs["tokenizer"] = "arrow"
+    return knobs
