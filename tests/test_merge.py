@@ -299,3 +299,51 @@ def test_kway_empty_src_list_raises(spark, kway_dirs):
 
     with pytest.raises(ValueError, match="at least one"):
         merge_indexes(spark, kway_dirs[0], [])
+
+
+def test_kway_merge_folds_src_tombstones(spark, kway_dirs, tmp_path):
+    """Docs deleted from a src BEFORE the merge must not enter the dst:
+    the per-src tombstone anti-join harvests only live rows, and the
+    merged index compacts to byte-identity with a fresh build over the
+    live corpus."""
+    from wikitfidf_spark.index.build import delete_documents, merge_indexes
+
+    docs = make_code_files(spark, n_docs=700, seed=42).cache()
+    slice_col = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(3))
+    ids1 = docs.filter(slice_col == 1).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id")
+    )
+    dead = ids1.orderBy("doc_id").limit(20)
+    n_dead = dead.count()
+    assert n_dead == 20
+
+    src1 = str(tmp_path / "s1_with_deletes")
+    shutil.copytree(kway_dirs[1], src1)
+    delete_documents(spark, dead, src1)
+
+    dst = str(tmp_path / "dst_tombs")
+    shutil.copytree(kway_dirs[0], dst)
+    merge_indexes(spark, dst, [src1, kway_dirs[2]])
+    m = load_manifest(dst)
+    assert m["metrics"]["total_docs"] == 700 - n_dead
+
+    # dead ids never appear in any result
+    dead_set = {r["doc_id"] for r in dead.collect()}
+    got = {
+        r["doc_id"]
+        for r in InvertedIndex(spark, dst).topk_batch(
+            [Query(0, ["arg_cfg_get"], "OR", 1000)]
+        ).collect()
+    }
+    assert not (got & dead_set)
+
+    # byte-identity with a fresh build over the live corpus
+    live = docs.join(
+        dead.withColumnRenamed("doc_id", "dead_id"),
+        F.xxhash64("repo", "path", "commit") == F.col("dead_id"),
+        "left_anti",
+    )
+    fresh = str(tmp_path / "fresh_live")
+    build_index(spark, live, fresh, CFG, resume=False)
+    compact(spark, dst)
+    assert _postings_rows(spark, fresh) == _postings_rows(spark, dst)
