@@ -133,3 +133,39 @@ def test_compat_artifacts_reference_shapes(spark, tmp_path):
     # badwords.go:135-143): doc 2 has 'error' twice but counts once
     assert bad["2"] == {"TopicID": "python", "Abs": 1, "Rel": 0.2, "BadW": {"error": 1}}
     assert bad["1"]["BadW"] == {"slow": 1}
+
+
+def test_export_artifacts_with_lang_profile(spark, tmp_path):
+    """export_artifacts(lang='de') runs one reference-shaped
+    per-language pipeline invocation: the profile's stopwords drop on
+    the surface token, umlaut words tokenize whole (letter class),
+    stem through snowball_de, and destem back to the shortest surface
+    form in the word artifacts."""
+    docs = spark.createDataFrame(
+        [
+            (1, "de", "the abhängen abhängen bezeichnung"),
+            (2, "de", "bedürfnisse the abhängen flags"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "artifacts_de")
+    ex.export_artifacts(spark, docs, out, ["abhang"], lang="de")
+    exp = ex.Exporter.from_dir(spark, out)
+
+    gw = {r["term"]: r["cf"] for r in exp.global_words().collect()}
+    assert "the" not in gw                 # profile stopword dropped
+    # stem 'abhang' (cf 3) destems to the only surface form
+    assert gw["abhängen"] == 3
+    assert "abhang" not in gw
+    # flagged stem matches every doc containing any surface form
+    flagged = {r["doc_id"] for r in exp.page_badwords().collect()}
+    assert flagged == {1, 2}
+
+    # explicit stem_py overrides the profile stemmer
+    out2 = str(tmp_path / "artifacts_de_id")
+    ex.export_artifacts(
+        spark, docs, out2, [], lang="de", stem_py=lambda t: t
+    )
+    exp2 = ex.Exporter.from_dir(spark, out2)
+    gw2 = {r["term"]: r["cf"] for r in exp2.global_words().collect()}
+    assert gw2["abhängen"] == 3 and "the" not in gw2

@@ -70,6 +70,7 @@ def export_artifacts(
     topic: str = "lang",
     text: str = "text",
     stem_py=None,
+    lang: str | None = None,
 ) -> dict:
     """Compute and write the four artifacts from the raw document table.
 
@@ -83,12 +84,26 @@ def export_artifacts(
     stemrevaggregator.go:53-61) — and the per-page + global word
     artifacts are de-stemmed at export exactly like the reference's
     destemmer.pyx:45-101 (GlobalPagesTFIDF + GlobalWords destemmed,
-    topics left stemmed; unmatched terms pass through via coalesce)."""
+    topics left stemmed; unmatched terms pass through via coalesce).
+
+    ``lang``: optional language code — resolves the FULL normalization
+    profile (operators.normalize: stopwords dropped on the surface
+    token, per-language min token length, letter class, stemmer) so
+    the whole artifact chain runs exactly like one reference
+    per-language pipeline invocation.  An explicit ``stem_py`` wins
+    over the profile's stemmer."""
     lim = limits or Limits()
     os.makedirs(out_dir, exist_ok=True)
+    norm = None
+    if lang is not None:
+        from .operators.normalize import profile_for_lang
+
+        norm = profile_for_lang(lang)
+        if stem_py is None and norm.stemmer is not None:
+            stem_py = stemdict.STEMMERS[norm.stemmer]
     frames = _artifact_frames(
         spark, docs, flagged_terms, lim,
-        doc_id=doc_id, topic=topic, text=text, stem_py=stem_py,
+        doc_id=doc_id, topic=topic, text=text, stem_py=stem_py, norm=norm,
     )
 
     def write(df: DataFrame, name: str) -> None:
@@ -120,11 +135,18 @@ def _artifact_frames(
     topic: str,
     text: str,
     stem_py,
+    norm=None,
 ) -> dict:
     """The four artifact DataFrames + totals, shared by the partitioned
-    JSONL writer (the scale path) and the reference-shape compat writer."""
+    JSONL writer (the scale path) and the reference-shape compat writer.
+    ``norm``: optional NormalizationProfile — stopword/min-len/letters
+    knobs for the tokenize (stopwords drop on the SURFACE token, before
+    any stemming: the reference's order, textnormalizer.pyx:103-121)."""
     tf = termstats.term_frequencies(
-        docs, doc_id=doc_id, text=text, extra_cols=(topic,)
+        docs, doc_id=doc_id, text=text, extra_cols=(topic,),
+        stopwords=norm.stopwords if norm else None,
+        min_len=norm.min_len if norm else None,
+        letters=norm.letters if norm else None,
     )
     dictionary = None
     tf_raw = None
@@ -197,6 +219,7 @@ def write_compat_artifacts(
     topic: str = "lang",
     text: str = "text",
     stem_py=None,
+    lang: str | None = None,
 ) -> dict:
     """Reference-exact artifact files for drop-in consumers: each
     artifact is ONE gzip (level 9 — badwords.go:80,
@@ -231,9 +254,16 @@ def write_compat_artifacts(
 
     lim = limits or Limits()
     os.makedirs(out_dir, exist_ok=True)
+    norm = None
+    if lang is not None:
+        from .operators.normalize import profile_for_lang
+
+        norm = profile_for_lang(lang)
+        if stem_py is None and norm.stemmer is not None:
+            stem_py = stemdict.STEMMERS[norm.stemmer]
     frames = _artifact_frames(
         spark, docs, flagged_terms, lim,
-        doc_id=doc_id, topic=topic, text=text, stem_py=stem_py,
+        doc_id=doc_id, topic=topic, text=text, stem_py=stem_py, norm=norm,
     )
 
     def stream_dict(name: str, entries) -> None:
