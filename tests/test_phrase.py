@@ -311,3 +311,35 @@ def test_positions_lengths_match_tf(spark, built):
         .filter((F.col("np") != F.col("tf")) | F.col("np").isNull() | F.col("tf").isNull())
     )
     assert joined.count() == 0
+
+
+def test_search_phrase_analyzes_through_config(spark, tmp_path):
+    """Free-text phrase search normalizes the query through the
+    index's own config — order-preserving WITH repeats (analyze()'s
+    dedup would corrupt a phrase) — and serves via phrase_topk."""
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.positions import build_positions
+    from wikitfidf_spark.index.query import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [
+            (1, "sv", "jakten flickorna jakten stolarna"),
+            (2, "sv", "flickorna jakten jakten stolarna"),
+            (3, "sv", "jakten stolarna flickorna"),
+        ],
+        "doc_id long, lang string, content string",
+    )
+    d = str(tmp_path / "idx_phrase_stem")
+    cfg = IndexConfig(n_shards=2, n_salts=2, id_cols=(), tokenizer="arrow",
+                      stemmer="snowball_sv")
+    build_index(spark, docs, d, cfg, resume=False)
+    build_positions(spark, docs, d)
+    idx = InvertedIndex(spark, d)
+    # repeats survive analysis: 'jakten jakten' is a 2-term phrase
+    assert idx.analyze_ordered("jakten jakten") == ["jakt", "jakt"]
+    assert idx.analyze("jakten jakten") == ["jakt"]
+    hits = {r["doc_id"] for r in idx.search_phrase("jakten jakten").collect()}
+    assert hits == {2}  # only doc 2 has consecutive jakt jakt
+    # surface-form multi-word phrase stems term-by-term, order kept
+    hits = {r["doc_id"] for r in idx.search_phrase("flickorna jakten").collect()}
+    assert hits == {1, 2}

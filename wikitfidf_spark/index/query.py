@@ -646,6 +646,21 @@ class InvertedIndex:
         documents through one code path (textnormalizer.pyx).  Returns
         order-preserving deduped terms (duplicate query terms would
         double-count in the OR sum)."""
+        return list(dict.fromkeys(self.analyze_ordered(text)))
+
+    def search(
+        self, text: str, k: int = 10, mode: str = "OR", strategy: str = "taat"
+    ) -> DataFrame:
+        """Free-text top-k: ``analyze`` the query through the index's
+        own normalization, then serve it like any term query."""
+        return self.topk_batch(
+            [Query(0, self.analyze(text), mode, k)], strategy=strategy
+        ).drop("query_id")
+
+    def analyze_ordered(self, text: str) -> list[str]:
+        """:meth:`analyze` WITHOUT the dedup: phrase queries need the
+        token stream in order with repeats (``"to be or not to be"``
+        is a 6-term phrase, not 4 distinct terms)."""
         from ..tokenize import tokenize_py
         from .build import _load_cfg
 
@@ -659,16 +674,13 @@ class InvertedIndex:
 
             stem = STEMMERS[cfg.stemmer]
             toks = [stem(t) for t in toks]
-        return list(dict.fromkeys(toks))
+        return toks
 
-    def search(
-        self, text: str, k: int = 10, mode: str = "OR", strategy: str = "taat"
-    ) -> DataFrame:
-        """Free-text top-k: ``analyze`` the query through the index's
-        own normalization, then serve it like any term query."""
-        return self.topk_batch(
-            [Query(0, self.analyze(text), mode, k)], strategy=strategy
-        ).drop("query_id")
+    def search_phrase(self, text: str, k: int = 10, slop: int = 0) -> DataFrame:
+        """Free-text phrase top-k: normalize the query through the
+        index's own config (order-preserving, repeats kept) and serve
+        it through :meth:`phrase_topk`."""
+        return self.phrase_topk(self.analyze_ordered(text), k, slop=slop)
 
     def _posting_rows(self, all_terms: list[str]) -> DataFrame:
         """Term-pruned posting rows for the per-shard scorers: ONE
