@@ -514,7 +514,10 @@ def q_index_merged_topk(spark, sf_dir):
         src_dirs = [idx_dir + f"_src{i}" for i in (1, 2)]
         for d in src_dirs:
             _sh.rmtree(d, ignore_errors=True)
-        slice_col = F.col("doc_id") % 3
+        # pmod, not %: Spark's % keeps the dividend's sign, so signed
+        # (hash-derived) doc_ids would fall into slices -1/-2 and be
+        # silently dropped from every slice
+        slice_col = F.pmod(F.col("doc_id"), F.lit(3))
         build_index(spark, docs.filter(slice_col == 0), idx_dir, cfg)
         for i, d in enumerate(src_dirs, start=1):
             build_index(spark, docs.filter(slice_col == i), d, cfg)

@@ -343,3 +343,50 @@ def test_search_phrase_analyzes_through_config(spark, tmp_path):
     # surface-form multi-word phrase stems term-by-term, order kept
     hits = {r["doc_id"] for r in idx.search_phrase("flickorna jakten").collect()}
     assert hits == {1, 2}
+
+
+def test_phrase_over_full_profile_index(spark, tmp_path):
+    """Positions must normalize EXACTLY like the tf path: an index
+    built with the full de profile (letter class + stopwords + min-len
+    + stemmer) answers surface-form phrase queries; positions tokenize
+    umlauts whole, drop the profile's stopwords, and record stems —
+    otherwise the phrase silently misses (review finding)."""
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.positions import build_positions
+    from wikitfidf_spark.index.query import InvertedIndex
+    from wikitfidf_spark.operators.normalize import index_knobs_for_lang
+
+    docs = spark.createDataFrame(
+        [
+            # 'the' is a profile stopword: adjacency must hold ACROSS it
+            (1, "de", "abhängen the bezeichnung flags"),
+            (2, "de", "bezeichnung abhängen flags"),
+            (3, "de", "abhängen flags bezeichnung"),
+        ],
+        "doc_id long, lang string, content string",
+    )
+    d = str(tmp_path / "idx_phrase_profile")
+    build_index(
+        spark, docs, d,
+        IndexConfig(n_shards=2, n_salts=2, id_cols=(), **index_knobs_for_lang("de")),
+        resume=False,
+    )
+    build_positions(spark, docs, d)
+    idx = InvertedIndex(spark, d)
+    # surface phrase, stopword inside: doc 1 has abhang<stop>bezeichn,
+    # which IS adjacent in the post-filter stream (reference order:
+    # stopwords drop before anything indexes)
+    hits = {r["doc_id"] for r in idx.search_phrase("abhängen the bezeichnung").collect()}
+    assert hits == {1}
+    hits = {r["doc_id"] for r in idx.search_phrase("bezeichnung abhängen").collect()}
+    assert hits == {2}
+    # len(poss) == tf invariant holds with the stopword filter on
+    from wikitfidf_spark.index.positions import read_positions
+    from wikitfidf_spark.index.build import index_paths, load_manifest
+
+    m = load_manifest(d)
+    pos = read_positions(spark, d, index_paths(m)["positions"])
+    assert {r["term"] for r in pos.select("term").distinct().collect()} >= {
+        "abhang", "bezeichn", "flag"
+    }
+    assert "the" not in {r["term"] for r in pos.select("term").distinct().collect()}

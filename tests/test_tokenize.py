@@ -87,9 +87,13 @@ def test_letters_parity_all_three_paths(spark):
     rows = [
         (1, "Abhängen straße 分析 русский текст naïve"),
         (2, "汉字 café señor łódź abc"),
+        (3, "Καλημέρα αυτό ωραίο"),
+        (4, "यह वाक्य। १२३ สวัสดี ๑๒๓"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, content string")
-    for lang, min_len in (("de", 3), ("zh", 1), ("ru", 3), ("fr", 3)):
+    for lang, min_len in (
+        ("de", 3), ("zh", 1), ("ru", 3), ("fr", 3), ("el", 3), ("hi", 1), ("th", 1)
+    ):
         letters = letters_for_lang(lang)
         jvm = termstats.term_frequencies(docs, letters=letters, min_len=min_len)
         arrow = tf_map_in_pandas(docs, letters=letters, min_len=min_len)
@@ -116,3 +120,10 @@ def test_letters_parity_all_three_paths(spark):
     # the German class tokenizes umlaut words whole; ASCII splits them
     assert tokenize_py("abhängen", letters=letters_for_lang("de")) == ["abhängen"]
     assert tokenize_py("abhängen") == ["abh", "ngen"]
+    # Greek accented vowels stay inside the word (tonos on most words)
+    assert tokenize_py("καλημέρα αυτό", letters=letters_for_lang("el")) == [
+        "καλημέρα", "αυτό"
+    ]
+    # script-local digits and punctuation stay OUT of the class
+    assert tokenize_py("वाक्य। १२३", min_len=1, letters=letters_for_lang("hi")) == ["वाक्य"]
+    assert tokenize_py("ไทย ๑๒๓ ฿", min_len=1, letters=letters_for_lang("th")) == ["ไทย"]

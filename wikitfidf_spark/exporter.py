@@ -59,6 +59,21 @@ class Limits:
     reverts: int = 10
 
 
+def _resolve_lang_norm(lang, stem_py):
+    """(NormalizationProfile | None, stem_py) for an optional language:
+    the profile's stemmer becomes the default stem_py (an explicit one
+    wins).  Shared by both artifact writers so profile resolution can
+    never diverge between them."""
+    if lang is None:
+        return None, stem_py
+    from .operators.normalize import profile_for_lang
+
+    norm = profile_for_lang(lang)
+    if stem_py is None and norm.stemmer is not None:
+        stem_py = stemdict.STEMMERS[norm.stemmer]
+    return norm, stem_py
+
+
 def export_artifacts(
     spark: SparkSession,
     docs: DataFrame,
@@ -94,13 +109,7 @@ def export_artifacts(
     over the profile's stemmer."""
     lim = limits or Limits()
     os.makedirs(out_dir, exist_ok=True)
-    norm = None
-    if lang is not None:
-        from .operators.normalize import profile_for_lang
-
-        norm = profile_for_lang(lang)
-        if stem_py is None and norm.stemmer is not None:
-            stem_py = stemdict.STEMMERS[norm.stemmer]
+    norm, stem_py = _resolve_lang_norm(lang, stem_py)
     frames = _artifact_frames(
         spark, docs, flagged_terms, lim,
         doc_id=doc_id, topic=topic, text=text, stem_py=stem_py, norm=norm,
@@ -254,13 +263,7 @@ def write_compat_artifacts(
 
     lim = limits or Limits()
     os.makedirs(out_dir, exist_ok=True)
-    norm = None
-    if lang is not None:
-        from .operators.normalize import profile_for_lang
-
-        norm = profile_for_lang(lang)
-        if stem_py is None and norm.stemmer is not None:
-            stem_py = stemdict.STEMMERS[norm.stemmer]
+    norm, stem_py = _resolve_lang_norm(lang, stem_py)
     frames = _artifact_frames(
         spark, docs, flagged_terms, lim,
         doc_id=doc_id, topic=topic, text=text, stem_py=stem_py, norm=norm,

@@ -530,13 +530,11 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     manifest = load_manifest(index_dir) if resume else {"phases": {}, "metrics": {}, "config": None}
     if manifest["config"] is not None:
-        # normalize through the dataclass so a config knob added later
-        # with a default (e.g. token_letters) doesn't fail resume on
-        # dirs built before the knob existed
-        cj = dict(manifest["config"])
-        cj["id_cols"] = tuple(cj.get("id_cols") or ())
-        cj["stopwords"] = tuple(cj.get("stopwords") or ())
-        if IndexConfig(**cj).to_json() != cfg.to_json():
+        # _load_cfg normalizes the manifest config through the dataclass,
+        # so a knob added later with a default (e.g. token_letters)
+        # doesn't fail resume on dirs built before the knob existed —
+        # and the resume compare can never drift from index loading
+        if _load_cfg(manifest, index_dir).to_json() != cfg.to_json():
             raise ValueError(
                 "index_dir was built with a different config; pass resume=False"
             )

@@ -39,28 +39,51 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tokenize import TOKEN_REGEX
+from ..tokenize import DEFAULT_LETTERS, MIN_TOKEN_LEN, token_regex
 
 POSITIONS_SCHEMA = "doc_id long, term string, poss array<int>"
 
 
-def positions_df(docs: DataFrame, *, text_col: str = "content", stem_py=None) -> DataFrame:
+def positions_df(
+    docs: DataFrame,
+    *,
+    text_col: str = "content",
+    stem_py=None,
+    stopwords=None,
+    min_len: int = MIN_TOKEN_LEN,
+    letters: str = DEFAULT_LETTERS,
+) -> DataFrame:
     """One Arrow pass: tokenize each doc and emit per-(doc, term) token
     position lists (0-based index in the doc's token stream — the same
     stream the tf path counts, so ``len(poss) == tf`` per row).
-    ``stem_py`` mirrors the tf path's pluggable stemmer: positions are
-    recorded against the stemmed term."""
+    ``stem_py``/``stopwords``/``min_len``/``letters`` mirror the tf
+    path's normalization knobs EXACTLY (stopwords drop on the surface
+    token before stemming, positions index the post-filter stream) —
+    an index built with IndexConfig normalization must get positions
+    over the same term space and the same adjacency, or phrase queries
+    silently miss."""
     import numpy as np
+
+    pat = token_regex(min_len, letters=letters)
+    stop = frozenset(stopwords) if stopwords else None
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            toks = pdf[text_col].fillna("").str.lower().str.findall(TOKEN_REGEX)
+            toks = pdf[text_col].fillna("").str.lower().str.findall(pat)
+            if stop is not None:
+                toks = toks.map(lambda lst: [t for t in lst if t not in stop])
             flat = [t for lst in toks for t in lst]
             if stem_py is not None:
                 memo: dict[str, str] = {}
-                flat = [memo.setdefault(t, stem_py(t)) for t in flat]
+                stemmed = []
+                for t in flat:
+                    r = memo.get(t)
+                    if r is None:
+                        r = memo[t] = stem_py(t)
+                    stemmed.append(r)
+                flat = stemmed
             lens = toks.str.len().to_numpy()
             if not len(flat):
                 continue
@@ -110,7 +133,11 @@ def build_positions(spark: SparkSession, docs: DataFrame, index_dir: str) -> dic
         "doc_id", F.xxhash64(*cfg.id_cols)
     )
     stem_py = None if cfg.stemmer in (None, "none") else STEMMERS[cfg.stemmer]
-    pos = positions_df(base, text_col=cfg.text_col, stem_py=stem_py)
+    pos = positions_df(
+        base, text_col=cfg.text_col, stem_py=stem_py,
+        stopwords=cfg.stopwords or None, min_len=cfg.min_token_len,
+        letters=cfg.token_letters,
+    )
     placement = spark.read.parquet(
         *[os.path.join(index_dir, p) for p in paths["docmeta"]]
     ).select("doc_id", "shard")
@@ -187,7 +214,11 @@ def extend_positions_for_delta(
 
     stem_py = None if cfg.stemmer in (None, "none") else STEMMERS[cfg.stemmer]
     rel = f"positions_g{gen}.parquet"
-    pos = positions_df(base, text_col=cfg.text_col, stem_py=stem_py)
+    pos = positions_df(
+        base, text_col=cfg.text_col, stem_py=stem_py,
+        stopwords=cfg.stopwords or None, min_len=cfg.min_token_len,
+        letters=cfg.token_letters,
+    )
     (
         pos.join(meta_new.select("doc_id", "shard"), "doc_id")
         .repartition(max(1, len(set(shards_new))), "shard")

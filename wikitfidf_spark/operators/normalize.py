@@ -115,15 +115,19 @@ _LATIN_EXT = {
 }
 
 #: script ranges for non-Latin alphabets (the min-len-1 CJK family plus
-#: the reference's other stopword-table scripts)
+#: the reference's other stopword-table scripts).  Ranges cover letters
+#: + combining vowel signs but EXCLUDE script-local digits and
+#: punctuation (Devanagari danda, Thai baht/repetition marks), and
+#: Greek includes the tonos-accented vowels (U+0390, U+03AC-03CE) —
+#: without them every accented word would split at its accent
 _SCRIPT_LETTERS = {
     "ru": "a-zа-яё", "uk": "a-zа-щьюяєіїґ", "bg": "a-zа-я", "kk": "a-zа-яёәғқңөұүһі",
     "ar": "a-z\u0621-\u064a", "fa": "a-z\u0621-\u064a\u067e\u0686\u0698\u06a9\u06af\u06cc",
     "ur": "a-z\u0621-\u064a\u0679\u067e\u0686\u0688\u0691\u0698\u06a9\u06af\u06ba\u06be\u06c1\u06cc\u06d2",
     "he": "a-z\u05d0-\u05ea",
-    "hy": "a-z\u0561-\u0587", "el": "a-z\u03b1-\u03c9",
-    "hi": "a-z\u0900-\u097f", "mr": "a-z\u0900-\u097f", "ne": "a-z\u0900-\u097f",
-    "bn": "a-z\u0980-\u09ff", "th": "a-z\u0e01-\u0e5b",
+    "hy": "a-z\u0561-\u0587", "el": "a-z\u0390\u03ac-\u03ce",
+    "hi": "a-z\u0900-\u0963\u0971-\u097f", "mr": "a-z\u0900-\u0963\u0971-\u097f", "ne": "a-z\u0900-\u0963\u0971-\u097f",
+    "bn": "a-z\u0980-\u09e3\u09f0-\u09f1", "th": "a-z\u0e01-\u0e3a\u0e40-\u0e4e",
     "zh": "a-z\u4e00-\u9fff", "zh-classical": "a-z\u4e00-\u9fff",
     "zh-yue": "a-z\u4e00-\u9fff", "gan": "a-z\u4e00-\u9fff",
     "wuu": "a-z\u4e00-\u9fff",
