@@ -102,3 +102,55 @@ def test_cli_partial_limits_rejected():
             "--lang", "en", "-d", "/tmp/never", "--input", "/tmp/never",
             "--rev", "2",
         ])
+
+
+def test_cli_date_range_without_revisions(spark, tmp_path):
+    """-s/-e must filter even on a pre-reduced documents table — the
+    reference always applies the date range (review finding)."""
+    rows = [
+        (1, "en", "2019-01-01", "ancient_doc_token"),
+        (2, "en", "2020-06-01", "current_doc_token"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ts string, text string")
+    src = str(tmp_path / "docs.parquet")
+    df.write.parquet(src)
+    out = str(tmp_path / "out_range")
+    rc = main(["--lang", "en", "-d", out, "--input", src,
+               "-s", "2020-01-01", "--no-profile"])
+    assert rc == 0
+    from wikitfidf_spark.exporter import Exporter
+
+    gw = {r["term"] for r in Exporter.from_dir(spark, out).global_words().collect()}
+    assert "ancient_doc_token" not in gw and "current_doc_token" in gw
+
+
+def test_cli_revision_selection_deterministic_on_ts_ties(spark, tmp_path):
+    """Tied timestamps keep a deterministic revision (text tiebreak) and
+    the page topic comes from the newest kept revision, not first()."""
+    rows = [
+        (1, "old_topic", "2020-01-01", "alpha_text_token"),
+        (1, "old_topic", "2020-01-01", "beta_text_token"),
+        (1, "new_topic", "2020-06-01", "newest_text_token"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ts string, text string")
+    src = str(tmp_path / "ties.parquet")
+    df.write.parquet(src)
+    from wikitfidf_spark.exporter import Exporter
+
+    seen = set()
+    for i in range(2):
+        out = str(tmp_path / f"out_tie_{i}")
+        rc = main(["--lang", "en", "-d", out, "--input", src, "--revisions",
+                   "--rev", "2", "--top-pages", "50", "--top-words", "100",
+                   "--top-topic", "100", "--no-profile"])
+        assert rc == 0
+        exp = Exporter.from_dir(spark, out)
+        gw = frozenset(r["term"] for r in exp.global_words().collect())
+        topics = {r["lang"] for r in exp.topics().collect()}
+        assert topics == {"new_topic"}  # topic of the NEWEST revision
+        seen.add(gw)
+    assert len(seen) == 1  # identical artifacts across runs
+    # rev=2 keeps the newest + the ts-tie winner (asc text: alpha)
+    assert "newest_text_token" in next(iter(seen))
+    assert "alpha_text_token" in next(iter(seen))
+    assert "beta_text_token" not in next(iter(seen))

@@ -74,7 +74,8 @@ def _parse_args(argv):
     p.add_argument("--no-profile", action="store_true",
                    help="skip per-language normalization (raw identifier grammar)")
     p.add_argument("--test", action="store_true",
-                   help="verbose + cap the source at 1000 rows (dothething -test)")
+                   help="cap the source at 1000 rows and log stage row counts "
+                        "to stderr (dothething -test)")
     return p.parse_args(argv)
 
 
@@ -101,19 +102,26 @@ def _limits(args):
 
 
 def _reduce_revisions(df, args, limits):
-    """dumpreducer parity: range-filter, keep the newest N revisions per
-    page, concatenate their texts per page in CHRONOLOGICAL order (the
-    reference emits reverts oldest-first into the page text)."""
+    """dumpreducer parity: keep the newest N revisions per page and
+    concatenate their texts per page in CHRONOLOGICAL order (the
+    reference emits reverts oldest-first into the page text).  The
+    text column breaks timestamp ties so selection is a total order
+    (two runs over identical input keep identical revisions); the
+    page's topic comes from its NEWEST kept revision, not Spark's
+    non-deterministic first()."""
     from pyspark.sql import functions as F
 
-    from wikitfidf_spark.operators.filters import range_filter
     from wikitfidf_spark.operators.topk import top_n_recent_per_group
 
-    df = range_filter(df, args.ts_col, args.start, args.end)
-    n_rev = limits.reverts if args.rev == 0 else args.rev
-    kept = top_n_recent_per_group(df, args.page_col, args.ts_col, n_rev)
+    kept = top_n_recent_per_group(
+        df, args.page_col, args.ts_col, limits.reverts,
+        tiebreak_col=args.text_col,
+    )
     return kept.groupBy(args.page_col).agg(
-        F.first(args.topic_col).alias(args.topic_col),
+        F.max(
+            F.struct(F.col(args.ts_col).alias("_ts"),
+                     F.col(args.topic_col).alias("_topic"))
+        )["_topic"].alias(args.topic_col),
         F.concat_ws(
             " ",
             F.transform(
@@ -144,10 +152,30 @@ def main(argv=None) -> int:
     if args.special_list:
         ids = [int(x) for x in args.special_list.split("-") if x]
         df = semi_filter(df, args.page_col, ids)
+    if args.start or args.end:
+        # the date range applies whether or not the input is
+        # revision-shaped — silently ignoring -s/-e off --revisions
+        # would ship out-of-range rows with exit code 0
+        from wikitfidf_spark.operators.filters import range_filter
+
+        df = range_filter(df, args.ts_col, args.start, args.end)
     if args.revisions:
         df = _reduce_revisions(df, args, limits)
+    if args.test:
+        print(f"[test] rows entering export: {df.count()}", file=sys.stderr)
 
-    flagged = flagged_terms_for_lang(args.lang) or []
+    flagged = flagged_terms_for_lang(args.lang)
+    if flagged is None:
+        # badwords.go:69-72 skips the report for an unlisted language;
+        # this exporter always writes all four artifacts (from_dir
+        # requires them), so the deviation is an EMPTY report + a loud
+        # diagnostic rather than a silent "no bad words found"
+        print(
+            f"[warn] no badwords list for lang={args.lang!r}: "
+            "BadWordsReport will be empty (reference skips it)",
+            file=sys.stderr,
+        )
+        flagged = []
     writer = write_compat_artifacts if args.compat else export_artifacts
     totals = writer(
         spark, df, args.dir, flagged, limits,
@@ -164,8 +192,7 @@ def main(argv=None) -> int:
         from wikitfidf_spark import exporter as _ex
 
         missing = [
-            a for a in (_ex.GLOBAL_PAGES_TFIDF, _ex.GLOBAL_WORDS,
-                        _ex.GLOBAL_TOPICS_WORDS, _ex.BADWORDS_REPORT)
+            a for a in _ex._ARTIFACTS
             if not os.path.exists(os.path.join(args.dir, a))
         ]
         if missing:

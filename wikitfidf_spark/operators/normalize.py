@@ -127,7 +127,7 @@ _SCRIPT_LETTERS = {
     "he": "a-z\u05d0-\u05ea",
     "hy": "a-z\u0561-\u0587", "el": "a-z\u0390\u03ac-\u03ce",
     "hi": "a-z\u0900-\u0963\u0971-\u097f", "mr": "a-z\u0900-\u0963\u0971-\u097f", "ne": "a-z\u0900-\u0963\u0971-\u097f",
-    "bn": "a-z\u0980-\u09e3\u09f0-\u09f1", "th": "a-z\u0e01-\u0e3a\u0e40-\u0e4e",
+    "bn": "a-z\u0980-\u09e3\u09f0-\u09f1", "th": "a-z\u0e01-\u0e3a\u0e40-\u0e45\u0e47-\u0e4e",
     "zh": "a-z\u4e00-\u9fff", "zh-classical": "a-z\u4e00-\u9fff",
     "zh-yue": "a-z\u4e00-\u9fff", "gan": "a-z\u4e00-\u9fff",
     "wuu": "a-z\u4e00-\u9fff",
