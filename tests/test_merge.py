@@ -347,3 +347,24 @@ def test_kway_merge_folds_src_tombstones(spark, kway_dirs, tmp_path):
     build_index(spark, live, fresh, CFG, resume=False)
     compact(spark, dst)
     assert _postings_rows(spark, fresh) == _postings_rows(spark, dst)
+
+
+def test_kway_merge_k5_byte_identical_to_monolith(spark, tmp_path):
+    """Wider fan-in (k=5, uneven hash slices, a corpus the other
+    fixtures don't use): one merge_indexes fold + compact is
+    byte-identical to the monolithic build.  Seed picked from a
+    randomized fuzz run; fixed here for determinism."""
+    from wikitfidf_spark.index.build import merge_indexes
+
+    docs = make_code_files(spark, n_docs=300, seed=283373).cache()
+    mono = str(tmp_path / "mono")
+    build_index(spark, docs, mono, CFG, resume=False)
+    sl = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    dirs = []
+    for i in range(5):
+        d = str(tmp_path / f"s{i}")
+        build_index(spark, docs.filter(sl == i), d, CFG, resume=False)
+        dirs.append(d)
+    merge_indexes(spark, dirs[0], dirs[1:])
+    compact(spark, dirs[0])
+    assert _postings_rows(spark, mono) == _postings_rows(spark, dirs[0])
