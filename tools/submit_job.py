@@ -139,7 +139,7 @@ def main() -> None:
         "--mode", choices=("mono", "merge"), default="mono",
         help="mono: one monolithic build_index. merge: the 1000-executor "
         "shape — split the corpus into --slices, build each slice index "
-        "independently, fold with merge_from_index, then compact; "
+        "independently, fold with one k-way merge_indexes, then compact; "
         "reports per-slice walls (max = the parallel-cluster wall), "
         "merge overhead and compact cost",
     )
