@@ -56,6 +56,33 @@ def test_stopwords_guard_corpus_call_not_just_import(monkeypatch):
     assert "the" in sw and set(nz.FORBIDDEN_WORDS) <= sw  # shipped fallback
 
 
+def test_nltk_lang_table_matches_reference_keys():
+    """_NLTK_LANG_NAMES must carry EXACTLY the reference's
+    _nltk_lang_to_name key set (textnormalizer.pyx:37-84) — a missing
+    key (el was once absent) silently downgrades that language to the
+    english-only fallback; an extra key (sl was once present) applies
+    a stopword list the reference never does."""
+    ref_keys = {
+        "en", "ar", "da", "nl", "fi", "fr", "de", "el", "hu", "id",
+        "it", "kk", "ne", "no", "pt", "ro", "ru", "es", "sv", "tr",
+        "hy", "az", "eu", "bn", "bg", "ca", "zh", "sh", "cs", "gl",
+        "he", "hi", "ga", "ja", "ko", "lv", "lt", "mr", "fa", "pl",
+        "sk", "th", "uk", "ur", "simple",
+    }
+    assert set(nz._NLTK_LANG_NAMES) == ref_keys
+    assert nz._NLTK_LANG_NAMES["el"] == "greek"
+
+
+def test_reference_forbidden_words_constant():
+    """The reference's wiki-markup leak list is exposed verbatim as an
+    opt-in (textnormalizer.pyx:33); the engine's default set is the
+    code-corpus analogue and deliberately keeps the token 'en'."""
+    assert nz.REFERENCE_FORBIDDEN_WORDS == (
+        "file", "isbn", "noeditsection", "rowspan", "colspan", "br", "en",
+    )
+    assert "en" not in nz.FORBIDDEN_WORDS
+
+
 def test_profile_stemmer_routing():
     p_sv = nz.profile_for_lang("sv")
     assert p_sv.stemmer == "snowball_sv" and p_sv.min_len == 3

@@ -345,6 +345,27 @@ def test_search_phrase_analyzes_through_config(spark, tmp_path):
     assert hits == {1, 2}
 
 
+def test_search_with_stemmer_none_config(spark, tmp_path):
+    """IndexConfig(stemmer=None) — accepted by the build and positions
+    paths — must round-trip through the manifest (null) into query-side
+    analysis without raising (analyze_ordered once guarded only
+    != 'none' and hit STEMMERS[None]; advisor finding r4)."""
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.query import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [(1, "en", "running shoes"), (2, "en", "walking shoes")],
+        "doc_id long, lang string, content string",
+    )
+    d = str(tmp_path / "idx_nostem")
+    cfg = IndexConfig(n_shards=2, n_salts=1, id_cols=(), stemmer=None)
+    build_index(spark, docs, d, cfg, resume=False)
+    idx = InvertedIndex(spark, d)
+    assert idx.analyze_ordered("running shoes") == ["running", "shoes"]
+    hits = {r["doc_id"] for r in idx.search("running").collect()}
+    assert hits == {1}
+
+
 def test_phrase_over_full_profile_index(spark, tmp_path):
     """Positions must normalize EXACTLY like the tf path: an index
     built with the full de profile (letter class + stopwords + min-len

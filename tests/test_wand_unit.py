@@ -85,3 +85,43 @@ def test_and_requires_all_terms():
         "b": [_make_row([2, 3, 4], [5, 5, 5])],
     }
     assert wand_top_k(rows, 10, "AND") == [(2, 15), (3, 15)]
+
+
+def test_merged_lists_pairs_union_halves():
+    """_merged_lists: fused rows pass through; a structure half and a
+    score half for the same (term, sub_shard) pair up by merge; an
+    unpaired half is dropped (vectorized rewrite, r5)."""
+    import pandas as pd
+
+    from wikitfidf_spark.index.query import _merged_lists
+
+    full = _make_row([1, 2, 3], [10, 20, 30])
+    full.pop("tfs_payload")
+    struct_cols = ["n_docs", "docs_payload", "block_firsts",
+                   "block_lasts", "block_counts", "block_doc_offs"]
+    score_cols = ["scores_payload", "block_max_score", "block_score_offs"]
+
+    def half(row, keep):
+        return {k: (v if k in keep else None) for k, v in row.items()}
+
+    # fused row for term a; split halves for term b; orphan half for c
+    rows = []
+    rows.append({"shard": 0, "term": "a", "sub_shard": 0, **full})
+    b = _make_row([4, 5], [7, 8]); b.pop("tfs_payload")
+    rows.append({"shard": 0, "term": "b", "sub_shard": 1, **half(b, struct_cols)})
+    rows.append({"shard": 0, "term": "b", "sub_shard": 1, **half(b, score_cols)})
+    c = _make_row([9], [1]); c.pop("tfs_payload")
+    rows.append({"shard": 0, "term": "c", "sub_shard": 0, **half(c, struct_cols)})
+    got = _merged_lists(pd.DataFrame(rows))
+    by_term = {r["term"]: r for r in got}
+    assert set(by_term) == {"a", "b"}  # orphan c dropped
+    for t, src in (("a", full), ("b", b)):
+        r = by_term[t]
+        docs, scores = codec.decode_docs_scores(r)
+        edocs, escores = codec.decode_docs_scores(src)
+        assert docs.tolist() == edocs.tolist()
+        assert scores.tolist() == escores.tolist()
+
+    # all-fused fast path: identical content, passthrough
+    fused_only = pd.DataFrame(rows[:1])
+    assert len(_merged_lists(fused_only)) == 1

@@ -197,7 +197,7 @@ def _tokenize(base: DataFrame, cfg: IndexConfig) -> DataFrame:
     implementation shared by build_index and add_documents — deltas must
     tokenize identically to the base build."""
     stem_py = None
-    if cfg.stemmer != "none":
+    if cfg.stemmer and cfg.stemmer != "none":
         from ..operators.stemdict import STEMMERS
 
         if cfg.stemmer not in STEMMERS:

@@ -315,22 +315,35 @@ def wand_top_k(
     return [(-d, s) for s, d in out]
 
 
+#: structure-half vs score-half column split for the unioned
+#: two-file scan (the fused combined file carries all of them)
+_STRUCT_COLS = (
+    "n_docs", "docs_payload",
+    "block_firsts", "block_lasts", "block_counts", "block_doc_offs",
+)
+_SCORE_COLS = ("scores_payload", "block_max_score", "block_score_offs")
+
+
 def _merged_lists(pdf: pd.DataFrame) -> list[dict]:
     """Match a shard's structure half-rows with their score half-rows
     by (term, sub_shard); unpaired halves (can't happen in a consistent
     index) are dropped.  Rows from a fused combined-file scan already
-    carry both halves and pass straight through."""
-    by_key: dict = {}
-    for r in pdf.to_dict("records"):
-        d = by_key.setdefault((r["term"], r["sub_shard"]), {})
-        for k, v in r.items():
-            if v is None or (isinstance(v, float) and v != v):
-                continue  # the union's null padding
-            d[k] = v
-    return [
-        d for d in by_key.values()
-        if "docs_payload" in d and "scores_payload" in d
-    ]
+    carry both halves and pass straight through.  Vectorized: the
+    half-pairing is one pandas inner merge, not a per-row per-column
+    Python loop (a 64-term OR over hot shards multiplies that loop)."""
+    has_docs = pdf["docs_payload"].notna()
+    has_scores = pdf["scores_payload"].notna()
+    fused = has_docs & has_scores
+    if fused.all():
+        return pdf.to_dict("records")
+    keys = ["term", "sub_shard"]
+    extra = [c for c in pdf.columns if c not in keys
+             and c not in _STRUCT_COLS and c not in _SCORE_COLS]
+    s_half = pdf.loc[has_docs & ~has_scores,
+                     keys + extra + list(_STRUCT_COLS)]
+    c_half = pdf.loc[has_scores & ~has_docs, keys + list(_SCORE_COLS)]
+    merged = s_half.merge(c_half, on=keys, how="inner")
+    return pdf.loc[fused].to_dict("records") + merged.to_dict("records")
 
 
 def _taat_kernel(
@@ -669,7 +682,7 @@ class InvertedIndex:
             text, letters=cfg.token_letters, min_len=cfg.min_token_len,
             stopwords=frozenset(cfg.stopwords) if cfg.stopwords else None,
         )
-        if cfg.stemmer != "none":
+        if cfg.stemmer and cfg.stemmer != "none":
             from ..operators.stemdict import STEMMERS
 
             stem = STEMMERS[cfg.stemmer]

@@ -38,6 +38,14 @@ FORBIDDEN_WORDS: tuple[str, ...] = (
     "http", "https", "www", "com", "org", "span", "nbsp", "amp",
 )
 
+#: the reference's own wiki-markup leak list (textnormalizer.pyx:33),
+#: exposed as an opt-in constant for wiki-corpus runs that must match
+#: reference artifacts exactly (it drops ``en`` from every corpus;
+#: this engine's default set deliberately does not).
+REFERENCE_FORBIDDEN_WORDS: tuple[str, ...] = (
+    "file", "isbn", "noeditsection", "rowspan", "colspan", "br", "en",
+)
+
 #: original minimal english stopword list (fallback when nltk is
 #: absent; the reference always has nltk, so this is the documented
 #: sandbox stand-in, not a claim of NLTK-list parity)
@@ -69,10 +77,11 @@ IT_DIALECTS = frozenset(
 #: used to decide whether a language HAS a stopword list
 _NLTK_LANG_NAMES = {
     "en": "english", "ar": "arabic", "da": "danish", "nl": "dutch",
-    "fi": "finnish", "fr": "french", "de": "german", "hu": "hungarian",
+    "fi": "finnish", "fr": "french", "de": "german", "el": "greek",
+    "hu": "hungarian",
     "id": "indonesian", "it": "italian", "kk": "kazakh", "ne": "nepali",
     "no": "norwegian", "pt": "portuguese", "ro": "romanian",
-    "ru": "russian", "sl": "slovene", "es": "spanish", "sv": "swedish",
+    "ru": "russian", "es": "spanish", "sv": "swedish",
     "tr": "turkish", "hy": "armenian", "az": "azerbaijani",
     "eu": "basque", "bn": "bengali", "bg": "bulgarian", "ca": "catalan",
     "zh": "chinese", "sh": "croatian", "cs": "czech", "gl": "galician",
@@ -146,10 +155,17 @@ def letters_for_lang(lang: str) -> str:
 
 
 def stopwords_for_lang(lang: str) -> frozenset[str]:
-    """``_lang_stopwords`` parity (textnormalizer.pyx:86-101): the
+    """``_lang_stopwords`` structure (textnormalizer.pyx:86-101): the
     language's list + english + forbidden; english + forbidden when the
     language has no list; italian-dialect aliases.  Uses real NLTK
-    lists when importable, the shipped english stand-in otherwise."""
+    lists when importable, the shipped english stand-in otherwise.
+
+    Deliberate deviation: the forbidden set is :data:`FORBIDDEN_WORDS`
+    (code-corpus boilerplate tokens), NOT the reference's wiki-markup
+    list — notably the reference drops the token ``en`` from every
+    corpus and this engine keeps it.  For exact-output comparison
+    against reference artifacts, pass
+    :data:`REFERENCE_FORBIDDEN_WORDS` to the tokenizer instead."""
     try:
         from nltk.corpus import stopwords as _sw
     except Exception:
