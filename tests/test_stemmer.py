@@ -37,14 +37,13 @@ def test_stemmer_for_lang_reference_table():
     if _HAS_NLTK:
         assert stemdict.stemmer_for_lang("en") == "snowball_en"
         assert stemdict.stemmer_for_lang("simple") == "snowball_simple"
-        if "isri_ar" in stemdict.STEMMERS:
-            assert stemdict.stemmer_for_lang("ar") == "isri_ar"
     else:
         # dependency-free SPEC implementations of the same algorithms
         # route when nltk is absent; languages without one skip honestly
         assert stemdict.stemmer_for_lang("en") == "porter2_en"
         assert stemdict.stemmer_for_lang("simple") == "porter2_en"
-        assert stemdict.stemmer_for_lang("ar") is None
+    # ISRI Arabic is a spec implementation since r5 — present in ANY world
+    assert stemdict.stemmer_for_lang("ar") == "isri_ar"
     assert stemdict.stemmer_for_lang("sv") == "snowball_sv"
     assert stemdict.stemmer_for_lang("de") == "snowball_de"
     # outside the reference's table in ANY world
@@ -397,3 +396,106 @@ def test_index_roundtrip_snowball_de(spark, tmp_path):
     # ...but free-text search analyzes through the config (letters +
     # stemmer ride the manifest), so the surface form hits
     assert {r["doc_id"] for r in idx.search("abhängen").collect()} == {1, 2, 3}
+
+
+def test_isri_ar_vectors():
+    """Hand-traced vectors for the spec-implemented ISRI Arabic
+    stemmer (isri_ar.py; Taghva et al. 2005): each case exercises a
+    named affix/pattern rule and lands on the known 3-letter root."""
+    from wikitfidf_spark.operators.isri_ar import stem as s
+
+    assert s("الكتاب") == "كتب"      # P2 'ال' strip + w4 فعال
+    assert s("والكتاب") == "كتب"     # P3 'وال' strip + w4 فعال
+    assert s("كاتب") == "كتب"        # w4 فاعل
+    assert s("مكتوب") == "كتب"       # w53 مفعول
+    assert s("مكتبة") == "كتب"       # w53 مفعلة
+    assert s("كتابة") == "كتب"       # w53 فعالة
+    assert s("مدرسة") == "درس"       # w53 مفعلة
+    assert s("مستخدم") == "خدم"      # w6 مستفعل
+    assert s("استخدام") == "خدم"     # len-7: pre1 'ا', w6-shed 'س', w53 تفعال
+    assert s("انفعال") == "فعل"      # w6-shed 'ا', w53-shed 'ن', w4 فعال
+    assert s("تفاعيل") == "فعل"      # w6 تفاعيل
+    assert s("فواعل") == "فعل"       # w53 فواعل
+    assert s("المكتبات") == "كتب"    # P2 + S2 'ات' + w4
+    assert s("كَتَبَ") == "كتب"        # diacritics stripped (norm step 1)
+    # initial-hamza normalization: أ -> ا before the pattern tables
+    assert s("أفعال") == "فعل"       # hamza alif -> w53 افعال
+    # function-word guard: closed-class particles return unstemmed
+    assert s("الذي") == "الذي"
+    # <=3 letters are roots already
+    assert s("كتب") == "كتب"
+
+
+def test_isri_ar_total_function():
+    """Property: isri_ar.stem never raises, is deterministic, never
+    grows the input (every rule deletes or substitutes 1:1), and emits
+    no diacritics, over Arabic letters + harakat."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wikitfidf_spark.operators.isri_ar import stem
+
+    arabic = "".join(chr(c) for c in range(0x0621, 0x064B))  # letters
+    harakat = "".join(chr(c) for c in range(0x064B, 0x0653))
+
+    @given(st.text(alphabet=arabic + harakat, min_size=0, max_size=16))
+    @settings(max_examples=500, deadline=None)
+    def prop(word):
+        out = stem(word)
+        assert out == stem(word)
+        assert len(out) <= len(word)
+        assert not any("ً" <= c <= "ْ" for c in out)
+        # a root is never shredded below 2 letters unless the input
+        # (sans diacritics) was that short already
+        bare = "".join(c for c in word if not "ً" <= c <= "ْ")
+        if len(bare) >= 4:
+            assert len(out) >= 2, (word, out)
+
+    prop()
+
+
+def test_index_roundtrip_isri_ar(spark, tmp_path):
+    """IndexConfig(stemmer='isri_ar') round-trips build -> BM25 query
+    -> destem: surface forms collapse to the root, the root answers
+    queries, and the stem-reverse dictionary maps back to the shortest
+    surface original (VERDICT r4 ask #2)."""
+    from wikitfidf_spark.index.build import IndexConfig, build_index
+    from wikitfidf_spark.index.query import InvertedIndex, Query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ar", "الكتاب مدرسة"),
+            (2, "ar", "كاتب مكتبة"),
+            (3, "ar", "مكتوب درس"),
+        ],
+        "doc_id long, lang string, content string",
+    )
+    from wikitfidf_spark.operators.normalize import letters_for_lang
+
+    d = str(tmp_path / "idx_ar")
+    build_index(
+        spark, docs, d,
+        IndexConfig(n_shards=2, n_salts=2, id_cols=(), tokenizer="arrow",
+                    stemmer="isri_ar", token_letters=letters_for_lang("ar")),
+        resume=False,
+    )
+    idx = InvertedIndex(spark, d)
+    # four surface forms of k-t-b collapse to the root
+    hits = {r["doc_id"] for r in idx.topk_batch([Query(0, ["كتب"], "OR", 10)]).collect()}
+    assert hits == {1, 2, 3}
+    # surface form is NOT in the term space...
+    assert idx.topk_batch([Query(0, ["الكتاب"], "OR", 10)]).count() == 0
+    # ...but free-text search analyzes it through the config
+    hits = {r["doc_id"] for r in idx.search("الكتاب").collect()}
+    assert hits == {1, 2, 3}
+
+    # destem: the indexed root maps back to the shortest original
+    surface = term_frequencies(
+        docs, text="content", letters=letters_for_lang("ar")
+    ).select("term").distinct()
+    d_map = stemdict.stem_dict(
+        surface, stem_fn=stemdict.column_stemmer(stemdict.STEMMERS["isri_ar"])
+    )
+    stats = spark.read.parquet(f"{d}/dictionary.parquet").select("term", "df")
+    destemmed = {r["term"]: r["df"] for r in stemdict.destem(stats, d_map).collect()}
+    assert destemmed["كاتب"] == 3    # root كتب -> shortest original, df=3

@@ -61,22 +61,28 @@ def snowball_lite(word: str) -> str:
     return word
 
 
+from .isri_ar import stem as isri_ar
 from .porter2 import porter2_en
 from .snowball_de import snowball_de
 from .snowball_sv import snowball_sv
 
 #: named stemmers usable from JSON-serializable config (IndexConfig.stemmer).
 #: ``porter2_en`` (full Snowball English, :mod:`.porter2`),
-#: ``snowball_sv`` (full Snowball Swedish, :mod:`.snowball_sv`) and
-#: ``snowball_de`` (full Snowball German, :mod:`.snowball_de`) are
-#: dependency-free spec implementations matching what the reference's
-#: nltk SnowballStemmer("english"/"swedish"/"german") computes;
-#: ``snowball_lite`` remains the cheap table-driven stand-in.
+#: ``snowball_sv`` (full Snowball Swedish, :mod:`.snowball_sv`),
+#: ``snowball_de`` (full Snowball German, :mod:`.snowball_de`) and
+#: ``isri_ar`` (ISRI Arabic, :mod:`.isri_ar`) are dependency-free spec
+#: implementations matching what the reference's nltk
+#: SnowballStemmer("english"/"swedish"/"german") / ISRIStemmer()
+#: compute; ``snowball_lite`` remains the cheap table-driven stand-in.
+#: Pre-registered spec implementations keep their keys even when nltk
+#: is installed (register_nltk_stemmers only fills missing keys —
+#: deterministic behavior regardless of environment).
 STEMMERS: dict[str, Callable[[str], str]] = {
     "snowball_lite": snowball_lite,
     "porter2_en": porter2_en,
     "snowball_sv": snowball_sv,
     "snowball_de": snowball_de,
+    "isri_ar": isri_ar,
 }
 
 #: the reference's Snowball language set (textnormalizer.pyx:113-115),
