@@ -151,19 +151,22 @@ def test_available_language_full_truth_table():
     the map and the data directory are consistent across all 26 codes
     (the reference's 23 mapped codes incl. simple/cr aliases, plus
     eo/ru/tr whose data the reference ships without exposing a code).
-    Depth floors: english >= 300 entries, the majors >= 50, every list
-    >= 40; all entries lowercase newline words via the reference-format
-    loader."""
+    Depth floors: english and the r5-deepened top-5 wiki languages
+    (de/fr/es/pt/ru) >= 300 entries, the other majors >= 50, every
+    list >= 40; all entries lowercase newline words via the
+    reference-format loader."""
     from wikitfidf_spark.operators import badwords as bw
 
     assert len(bw.LANGUAGES) == 26
     assert {"eo", "ru", "tr"} <= set(bw.LANGUAGES)
     majors = {"en", "es", "fr", "de", "it", "pt", "ru"}
+    deep = {"en", "de", "fr", "es", "pt", "ru"}  # r4 ask #6: curated depth
     for code, name in bw.LANGUAGES.items():
         got_name, ok = bw.available_language(code)
         assert (got_name, ok) == (name, True), f"{code} -> {got_name}, {ok}"
         terms = bw.flagged_terms_for_lang(code)
-        floor = 300 if name == "english" else (50 if code in majors else 40)
+        floor = 300 if code in deep or name == "english" else (
+            50 if code in majors else 40)
         assert terms and len(terms) >= floor, f"{name}: {len(terms or [])} terms"
         assert all(t == t.strip() and t == t.lower() for t in terms), name
         assert len(set(terms)) == len(terms), f"{name}: duplicate entries"

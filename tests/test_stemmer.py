@@ -358,6 +358,16 @@ def test_snowball_de_total_function():
         expanded = word.replace("ß", "ss")
         if len(expanded) > 3:
             assert len(out) >= 3  # R1's 3-letter floor protects the stem
+        # prefix preservation: modulo the prelude/postlude character
+        # folds (ß->ss, umlaut strip, U/Y unmark), every step is pure
+        # suffix removal — the stem is a prefix of the folded input
+        folded = expanded.translate(str.maketrans("äöü", "aou"))
+        assert folded.startswith(out)
+        # postlude idempotence: the output is fold-stable (re-folding
+        # changes nothing), so double-stemming can't re-trigger the
+        # prelude marks
+        assert out.replace("ß", "ss").translate(
+            str.maketrans("äöü", "aou")) == out
 
     prop()
 
