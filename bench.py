@@ -218,6 +218,73 @@ def main() -> None:
         f"({extras['topk_qps_1000q']} q/s amortized)"
     )
 
+    # ---- mixed serving workload (round-4 ask #4): 100 queries over 5
+    # families — batched WAND/TAAT top-k, phrase, facets, dictionary
+    # suggest, more-like-this — so serving regressions in the non-WAND
+    # paths are visible, with the same warm-up/median/stability
+    # protocol.  Counts: 60 batched top-k (one batch) + 10 each of the
+    # four per-call families (their per-call Spark-action fixed cost is
+    # the honest price of the current API).
+    from wikitfidf_spark.index.positions import build_positions
+    from wikitfidf_spark.tokenize import tokenize_py
+
+    full_corpus = corpus.unionByName(delta)
+    timed("positions_build", lambda: build_positions(spark, full_corpus, idx_dir))
+    idx = InvertedIndex(spark, idx_dir)  # re-open: manifest gained positions
+
+    sample_txt = corpus.orderBy("repo", "path", "commit").limit(1).collect()[0]["content"]
+    toks = tokenize_py(sample_txt)
+    phrases = [toks[j:j + 2] for j in range(0, 50, 5)]  # 10 real bigrams
+    from wikitfidf_spark.corpus import _vocab
+    hot = _vocab(2000, 43)[:10]
+    mlt_ids = [r["doc_id"] for r in
+               idx.docmeta.select("doc_id").orderBy("doc_id").limit(10).collect()]
+    wand_qs = make_queries(60)
+
+    def mixed_pass() -> dict[str, float]:
+        fam: dict[str, float] = {}
+        t0 = time.time()
+        idx.topk_batch(wand_qs).count()
+        fam["wand60"] = time.time() - t0
+        t0 = time.time()
+        for p in phrases:
+            idx.phrase_topk(p, 10).count()
+        fam["phrase10"] = time.time() - t0
+        t0 = time.time()
+        for t in hot:
+            idx.facet_counts([t], facet="topic").count()
+        fam["facet10"] = time.time() - t0
+        t0 = time.time()
+        for t in hot[:5]:
+            idx.prefix_terms(t[:3], 10).count()
+        for t in hot[5:]:
+            idx.suggest(t, max_dist=1, n=10).count()
+        fam["suggest10"] = time.time() - t0
+        t0 = time.time()
+        for did in mlt_ids:
+            idx.more_like_this(did, m=8, k=10).count()
+        fam["mlt10"] = time.time() - t0
+        return fam
+
+    warm = mixed_pass()
+    log(f"mixed_100q warm-up (discarded): { {k: round(v, 2) for k, v in warm.items()} }")
+    pass1, pass2 = mixed_pass(), mixed_pass()
+    fam_med = {k: round(_st2.median([pass1[k], pass2[k]]), 3) for k in pass1}
+    timings["mixed_100q"] = round(sum(fam_med.values()), 3)
+    tot1, tot2 = sum(pass1.values()), sum(pass2.values())
+    extras["mixed"] = {
+        "families_sec": fam_med,
+        "families_qps": {
+            k: round((60 if k == "wand60" else 10) / v, 1) for k, v in fam_med.items()
+        },
+        "qps": round(100 / timings["mixed_100q"], 2),
+        "pass_totals_sec": [round(tot1, 3), round(tot2, 3)],
+        "stability": round(max(tot1, tot2) / min(tot1, tot2), 3),
+    }
+    log(f"mixed_100q: {timings['mixed_100q']}s ({extras['mixed']['qps']} q/s; "
+        f"per-family {extras['mixed']['families_qps']}; "
+        f"stability {extras['mixed']['stability']})")
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_plus_index_build_total_sec",

@@ -71,6 +71,8 @@ def test_entry_scans_go_through_the_switch(spark, monkeypatch):
 # Real-catalog integration: gated on an iceberg-spark-runtime jar being
 # present (absent in this sandbox; drop one into $SPARK_HOME/jars — or
 # pass --packages — on a catalog-equipped cluster and this test runs).
+# Fetch attempted 2026-08-18: repo1.maven.org does not resolve from the
+# sandbox (no outbound DNS), so the gate stays — see README "Iceberg".
 # It executes in a SUBPROCESS spark-submit because Iceberg's SQL
 # extensions + catalog must be set at session construction, which the
 # shared session fixture cannot do.
