@@ -219,13 +219,16 @@ def main() -> None:
     )
 
     # ---- mixed serving workload (round-4 ask #4): 100 queries over 5
-    # families — batched WAND/TAAT top-k, phrase, facets, dictionary
-    # suggest, more-like-this — so serving regressions in the non-WAND
-    # paths are visible, with the same warm-up/median/stability
-    # protocol.  Counts: 60 batched top-k (one batch) + 10 each of the
-    # four per-call families (their per-call Spark-action fixed cost is
-    # the honest price of the current API).
+    # families — batched top-k, phrase, facets, dictionary suggest,
+    # more-like-this — so serving regressions in the non-WAND paths
+    # are visible, with the same warm-up/median/stability protocol.
+    # Counts: 60 batched top-k + 10 each of the other four.  Phrase,
+    # facets and MLT run through their batch APIs (phrase_topk_batch /
+    # facet_counts_batch / more_like_this_batch): one Spark job per
+    # family per pass — the serving shape; suggest stays per-call (a
+    # single TakeOrdered over the dictionary each, no batch to win).
     from wikitfidf_spark.index.positions import build_positions
+    from wikitfidf_spark.index.query import PhraseQuery
     from wikitfidf_spark.tokenize import tokenize_py
 
     full_corpus = corpus.unionByName(delta)
@@ -247,12 +250,14 @@ def main() -> None:
         idx.topk_batch(wand_qs).count()
         fam["wand60"] = time.time() - t0
         t0 = time.time()
-        for p in phrases:
-            idx.phrase_topk(p, 10).count()
+        idx.phrase_topk_batch(
+            [PhraseQuery(i, p, 10) for i, p in enumerate(phrases)]
+        ).count()
         fam["phrase10"] = time.time() - t0
         t0 = time.time()
-        for t in hot:
-            idx.facet_counts([t], facet="topic").count()
+        idx.facet_counts_batch(
+            [(i, [t]) for i, t in enumerate(hot)], facet="topic"
+        ).count()
         fam["facet10"] = time.time() - t0
         t0 = time.time()
         for t in hot[:5]:
@@ -261,8 +266,7 @@ def main() -> None:
             idx.suggest(t, max_dist=1, n=10).count()
         fam["suggest10"] = time.time() - t0
         t0 = time.time()
-        for did in mlt_ids:
-            idx.more_like_this(did, m=8, k=10).count()
+        idx.more_like_this_batch(mlt_ids, m=8, k=10).count()
         fam["mlt10"] = time.time() - t0
         return fam
 

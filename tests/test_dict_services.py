@@ -439,3 +439,41 @@ def test_boost_validation(idx):
         idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, boosts=(1, 2))])
     with pytest.raises(ValueError, match=">= 1"):
         idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, boosts=(0,))])
+
+
+def test_facet_counts_batch_equals_per_call(idx):
+    """facet_counts_batch == a loop of single facet_counts calls; a
+    term shared by two panels fans out to both."""
+    t1, t2 = [
+        r["term"]
+        for r in idx.dictionary.orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+    ]
+    panels = [(0, [t1]), (1, [t2, t1]), (2, ["zz_missing"])]
+    batch = idx.facet_counts_batch(panels, facet="topic").collect()
+    got = {(r["query_id"], r["topic"], r["n_docs"]) for r in batch}
+    want = set()
+    for qid, terms in panels:
+        for r in idx.facet_counts(terms, facet="topic").collect():
+            want.add((qid, r["topic"], r["n_docs"]))
+    assert got == want and got
+    # batch output ordering: (query_id asc, n_docs desc, facet asc)
+    keys = [(r["query_id"], -r["n_docs"], r["topic"]) for r in batch]
+    assert keys == sorted(keys)
+
+
+def test_more_like_this_batch_equals_per_call(spark, idx, corpus):
+    """more_like_this_batch == a loop of single more_like_this calls:
+    same (doc, score, rank) per source, source doc structurally
+    excluded, unknown sources rejected."""
+    ids = [r["doc_id"] for r in
+           idx.docmeta.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    batch = idx.more_like_this_batch(ids, m=6, k=5).collect()
+    got = {(r["src_doc_id"], r["doc_id"], r["score_q"], r["rank"]) for r in batch}
+    want = set()
+    for src in ids:
+        for r in idx.more_like_this(src, m=6, k=5).collect():
+            want.add((src, r["doc_id"], r["score_q"], r["rank"]))
+    assert got == want and got
+    assert all(r["doc_id"] != r["src_doc_id"] for r in batch)
+    with pytest.raises(ValueError, match="not live"):
+        idx.more_like_this_batch([ids[0], 123456789], m=6, k=5)

@@ -411,3 +411,25 @@ def test_phrase_over_full_profile_index(spark, tmp_path):
         "abhang", "bezeichn", "flag"
     }
     assert "the" not in {r["term"] for r in pos.select("term").distinct().collect()}
+
+
+def test_phrase_topk_batch_equals_per_call(spark, built):
+    """phrase_topk_batch == a loop of single phrase_topk calls (same
+    kernel, fixed costs paid once): every (query, doc, score, rank)
+    identical, heterogeneous k/slop respected."""
+    from wikitfidf_spark.index.query import InvertedIndex, PhraseQuery
+
+    docs, d = built
+    idx = InvertedIndex(spark, d)
+    rows = docs.limit(3).collect()
+    phrases = []
+    for i, r in enumerate(rows):
+        toks = tokenize_py(r["content"])
+        phrases.append(PhraseQuery(i, toks[i * 3:i * 3 + 2], k=5 + i, slop=i % 2))
+    batch = idx.phrase_topk_batch(phrases).collect()
+    got = {(r["query_id"], r["doc_id"], r["score_q"], r["rank"]) for r in batch}
+    want = set()
+    for q in phrases:
+        for r in idx.phrase_topk(q.terms, q.k, slop=q.slop).collect():
+            want.add((q.query_id, r["doc_id"], r["score_q"], r["rank"]))
+    assert got == want and got  # identical and non-empty

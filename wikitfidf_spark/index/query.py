@@ -448,6 +448,17 @@ class Query:
     offset: int = 0
 
 
+@dataclass
+class PhraseQuery:
+    """One phrase in a :meth:`InvertedIndex.phrase_topk_batch` batch:
+    ``terms`` must appear as consecutive tokens (each gap relaxed to
+    ordered proximity by ``slop``)."""
+    query_id: int
+    terms: list[str]
+    k: int = 10
+    slop: int = 0
+
+
 class InvertedIndex:
     """Reader over an index directory produced by build.build_index."""
 
@@ -757,16 +768,29 @@ class InvertedIndex:
         (positions.verify_phrase_docs), then the standard TAAT kernel
         scores the surviving docs; the global merge is the usual
         ≤ shards*k window."""
+        return self.phrase_topk_batch(
+            [PhraseQuery(0, list(terms), k, slop)]
+        ).drop("query_id")
+
+    def phrase_topk_batch(self, phrases: Sequence[PhraseQuery]) -> DataFrame:
+        """One Spark job for a batch of phrase queries → (query_id,
+        doc_id, score_q, score, rank).  Same plan shape as a single
+        :meth:`phrase_topk` — ONE term-pruned positions scan + ONE
+        posting scan cogrouped on shard — so the per-batch fixed cost
+        (two scans, one shuffle, one merge window) is paid once for the
+        whole batch instead of once per phrase (the difference between
+        ~1 q/s and serving-rate phrase search)."""
         from .build import index_paths
         from .positions import verify_phrase_docs
 
-        terms = list(terms)
-        if len(terms) < 2:
-            raise ValueError("phrase_topk needs at least 2 terms")
-        if k < 1:
-            raise ValueError(f"k must be >= 1, got {k}")
-        if slop < 0:
-            raise ValueError(f"slop must be >= 0, got {slop}")
+        phrases = list(phrases)
+        for q in phrases:
+            if len(q.terms) < 2:
+                raise ValueError(f"query {q.query_id}: phrase needs at least 2 terms")
+            if q.k < 1:
+                raise ValueError(f"query {q.query_id}: k must be >= 1, got {q.k}")
+            if q.slop < 0:
+                raise ValueError(f"query {q.query_id}: slop must be >= 0, got {q.slop}")
         p = index_paths(self.manifest)
         rel = p.get("positions")
         if not rel:
@@ -783,24 +807,37 @@ class InvertedIndex:
             )
         from .positions import read_positions
 
+        all_terms = sorted({t for q in phrases for t in q.terms})
         pos_rows = read_positions(self.spark, self.index_dir, rel).filter(
-            F.col("term").isin(terms)
+            F.col("term").isin(all_terms)
         )
-        rows = self._posting_rows(sorted(set(terms)))
-        qspec = [(0, terms, "AND", k, (), None)]
+        rows = self._posting_rows(all_terms)
+        qspec = [(q.query_id, list(q.terms), q.k, q.slop) for q in phrases]
 
         def per_shard_phrase(key, pdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
-            allowed = verify_phrase_docs(ppdf, terms, slop)
-            if not len(allowed):
+            out = []
+            for qid, terms, k, slop in qspec:
+                tset = set(terms)
+                allowed = verify_phrase_docs(
+                    ppdf[ppdf["term"].isin(tset)], terms, slop
+                )
+                if not len(allowed):
+                    continue
+                out.append(_taat_kernel(
+                    pdf[pdf["term"].isin(tset)],
+                    [(qid, terms, "AND", k, (), None)],
+                    allowed,
+                ))
+            if not out:
                 return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
-            return _taat_kernel(pdf, qspec, allowed)
+            return pd.concat(out, ignore_index=True)
 
         local = (
             rows.groupBy("shard")
             .cogroup(pos_rows.groupBy("shard"))
             .applyInPandas(per_shard_phrase, "query_id int, doc_id long, score_q long")
         )
-        return self._rank_and_limit(local, {0: k}).drop("query_id")
+        return self._rank_and_limit(local, {q.query_id: q.k for q in phrases})
 
     def snippets(
         self,
@@ -881,43 +918,100 @@ class InvertedIndex:
         m query terms come to the driver (m is tiny — queries are
         driver-side objects by definition), then the standard batched
         engine serves the top-k."""
+        return (
+            self.more_like_this_batch(
+                [doc_id], m=m, k=k, strategy=strategy, predicate=predicate
+            )
+            .drop("query_id", "src_doc_id")
+        )
+
+    def more_like_this_batch(
+        self,
+        doc_ids: Sequence[int],
+        m: int = 8,
+        k: int = 10,
+        strategy: str = "wand",
+        predicate: str | None = None,
+    ) -> DataFrame:
+        """More-like-this for a batch of source docs in ONE pipeline →
+        (query_id, src_doc_id, doc_id, score_q, score, rank).
+
+        Term extraction batches too: the doc-major tf artifact is
+        scanned ONCE with an ``isin`` pushdown for all sources, joined
+        to the broadcast dictionary, and the per-doc top-``m`` terms
+        come back in one window + one collect (≤ m·|docs| rows — query
+        construction is driver-side by definition).  Serving is one
+        :meth:`topk_batch`; each query's own source doc is excluded
+        structurally (ask k+1, drop the source row, re-rank — identical
+        results to a per-query ``doc_id != src`` predicate, without
+        per-query predicates)."""
         from .build import _tombstones, index_paths
 
         if m < 1:
             raise ValueError(f"m must be >= 1, got {m}")
-        doc_id = int(doc_id)
-        meta_row = self.docmeta.filter(F.col("doc_id") == doc_id).select("doc_len").take(1)
-        if not meta_row:
-            raise ValueError(f"doc_id {doc_id} is not live in the index")
+        doc_ids = [int(d) for d in doc_ids]
+        meta = {
+            r["doc_id"]: int(r["doc_len"])
+            for r in self.docmeta.filter(F.col("doc_id").isin(doc_ids))
+            .select("doc_id", "doc_len").collect()
+        }
+        missing = [d for d in doc_ids if d not in meta]
+        if missing:
+            raise ValueError(f"doc_ids not live in the index: {missing}")
         p = index_paths(self.manifest)
         tf = self.spark.read.parquet(
             *[os.path.join(self.index_dir, t) for t in p["tf"]]
-        ).filter(F.col("doc_id") == doc_id)
+        ).filter(F.col("doc_id").isin(doc_ids))
         tombs = _tombstones(self.spark, self.index_dir, self.manifest)
         if tombs is not None:  # docmeta said live, so this is belt+braces
             tf = tf.join(tombs.select("doc_id"), "doc_id", "left_anti")
-        doc_len = int(meta_row[0]["doc_len"])
-        scored = tf.join(
+        lens = self.spark.createDataFrame(
+            [(d, meta[d]) for d in doc_ids], "doc_id long, doc_len long"
+        )
+        scored = tf.join(F.broadcast(lens), "doc_id").join(
             F.broadcast(self.dictionary.select("term", "df")), "term"
         ).withColumn(
             "tfidf",
             round_half_up(
-                (F.col("tf").cast("double") / F.lit(float(doc_len)))
+                (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
                 * F.log10(F.lit(float(self.n_docs)) / F.col("df").cast("double")),
                 4,
             ),
         )
-        terms = [
-            r["term"]
-            for r in scored.orderBy(F.desc("tfidf"), F.asc("term")).limit(m).collect()
-        ]
-        if not terms:
-            return self._empty_result().drop("query_id")
-        exclude = f"doc_id != {doc_id}"
-        pred = exclude if predicate is None else f"({predicate}) AND {exclude}"
-        return self.topk_batch(
-            [Query(0, terms, "OR", k)], strategy=strategy, predicate=pred
-        ).drop("query_id")
+        w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+        top_terms: dict[int, list[str]] = {}
+        for r in (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= m).select("doc_id", "term", "r")
+            .orderBy("doc_id", "r").collect()
+        ):
+            top_terms.setdefault(r["doc_id"], []).append(r["term"])
+        queries, src_of = [], {}
+        for i, d in enumerate(doc_ids):
+            terms = top_terms.get(d)
+            if terms:  # a stopword-only doc yields no query
+                src_of[i] = d
+                queries.append(Query(i, terms, "OR", k + 1))
+        if not queries:
+            return (
+                self._empty_result()
+                .withColumn("src_doc_id", F.lit(None).cast("long"))
+                .select("query_id", "src_doc_id", "doc_id", "score_q", "score", "rank")
+            )
+        src_df = self.spark.createDataFrame(
+            [(qid, d) for qid, d in src_of.items()], "query_id int, src_doc_id long"
+        )
+        res = (
+            self.topk_batch(queries, strategy=strategy, predicate=predicate)
+            .join(F.broadcast(src_df), "query_id")
+            .filter(F.col("doc_id") != F.col("src_doc_id"))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+        return (
+            res.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "src_doc_id", "doc_id", "score_q", "score", "rank")
+        )
 
     # ---------- dictionary services ----------
 
@@ -973,12 +1067,38 @@ class InvertedIndex:
         partial-agg count per facet.  Nothing here is O(corpus) except
         the docmeta side of the join, which prunes to (doc_id, facet)
         columns."""
-        docs = self.decoded(terms).select("doc_id").distinct()
+        return (
+            self.facet_counts_batch([(0, list(terms))], facet=facet)
+            .drop("query_id")
+        )
+
+    def facet_counts_batch(
+        self, queries: Sequence[tuple[int, Sequence[str]]], facet: str = "topic"
+    ) -> DataFrame:
+        """Facet counts for a batch of (query_id, terms) panels in ONE
+        job → (query_id, facet, n_docs).  Plan: one term-pruned posting
+        scan decoded once for the union of terms, a broadcast
+        term→query map fan-out (a term shared by two panels fans to
+        both), per-(query, doc) distinct, one docmeta join, one
+        partial-agg count — the per-panel fixed cost (scan + decode +
+        join) is paid once for the whole batch."""
+        queries = [(int(qid), list(terms)) for qid, terms in queries]
+        all_terms = sorted({t for _, terms in queries for t in terms})
+        tq = self.spark.createDataFrame(
+            [(qid, t) for qid, terms in queries for t in set(terms)],
+            "query_id int, term string",
+        )
+        docs = (
+            self.decoded(all_terms).select("term", "doc_id")
+            .join(F.broadcast(tq), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
         return (
             docs.join(self.docmeta.select("doc_id", facet), "doc_id")
-            .groupBy(facet)
+            .groupBy("query_id", facet)
             .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy(F.desc("n_docs"), F.asc(facet))
+            .orderBy(F.asc("query_id"), F.desc("n_docs"), F.asc(facet))
         )
 
     def synonym_topk(
