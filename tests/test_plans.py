@@ -184,3 +184,31 @@ def test_fresh_encode_plan_keeps_docmeta_out(spark):
     assert "xxhash64" in e                      # placement is an expression
     for docmeta_col in ("content_sha256", "topic", "repo#", "path#", "commit#"):
         assert docmeta_col not in e, docmeta_col
+
+
+def test_batch_serving_plans(spark, tmp_path_factory):
+    """r5 batch APIs keep the scale shapes: facet_counts_batch
+    broadcasts the tiny term->panel map and never goes nested-loop;
+    more_like_this_batch's term extraction pushes the source-doc isin
+    filter into the tf scan and broadcasts the dictionary."""
+    from wikitfidf_spark.index.query import PhraseQuery
+
+    d = str(tmp_path_factory.mktemp("idx_batchplan"))
+    docs_df = make_code_files(spark, n_docs=300, seed=42)
+    build_index(spark, docs_df, d, IndexConfig(n_shards=2, n_salts=2), resume=False)
+    idx = InvertedIndex(spark, d)
+    hot = [r["term"] for r in
+           idx.dictionary.orderBy(F.desc("df"), F.asc("term")).limit(4).collect()]
+
+    fb = idx.facet_counts_batch([(i, [t]) for i, t in enumerate(hot)], facet="topic")
+    e = explain_str(fb)
+    assert "BroadcastNestedLoopJoin" not in e and "CartesianProduct" not in e
+    assert e.count("BroadcastHashJoin") >= 1  # the term->panel map
+    assert fb.count() > 0
+
+    ids = [r["doc_id"] for r in
+           idx.docmeta.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    mb = idx.more_like_this_batch(ids, m=4, k=5)
+    e2 = explain_str(mb)
+    assert "BroadcastNestedLoopJoin" not in e2 and "CartesianProduct" not in e2
+    assert mb.count() > 0
