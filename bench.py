@@ -123,7 +123,9 @@ def main() -> None:
     # separate refresh step amortized over K deltas in production.
     # index_add_1pct (= delta + refresh) stays the round-comparable
     # total: the end state is identical to an exact-mode add.
-    from wikitfidf_spark.index.build import add_documents, load_manifest, refresh_scores
+    from wikitfidf_spark.index.build import (
+        add_documents, compact, load_manifest, refresh_scores,
+    )
 
     # a different seed yields disjoint natural keys (commit embeds the
     # seed) -> clean delta with no doc_id collisions
@@ -149,6 +151,21 @@ def main() -> None:
         ),
         "delta_encode_sec": round(ph.get("delta_encode_wall_sec", 0.0), 3),
         "delta_scores_sec": round(ph.get("delta_scores_wall_sec", 0.0), 3),
+    }
+
+    # ---- compaction (round-5): fold the add's generation back into one
+    # live tf + re-encoded shards — the maintenance op ingest loops pay
+    # once per K deltas (maybe_compact).  End state is byte-identical to
+    # a fresh build over corpus+delta (test-asserted), so everything
+    # downstream (top-k, mixed families) serves the compacted index.
+    cres = timed("index_compact", lambda: compact(spark, idx_dir))
+    extras["compact"] = {
+        "sec_vs_build_sec": round(
+            timings["index_compact"] / timings["index_build"], 3
+        ),
+        "postings_per_sec": round(
+            float(cres.metrics.get("postings_per_sec", 0.0)), 1
+        ),
     }
 
     # ---- batched top-k throughput, noise-robust (round-3 methodology
