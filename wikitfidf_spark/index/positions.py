@@ -87,19 +87,27 @@ def positions_df(
             lens = toks.str.len().to_numpy()
             if not len(flat):
                 continue
-            exploded = pd.DataFrame({
-                "_row": np.repeat(pdf.index.to_numpy(), lens),
-                "term": flat,
-                # positions restart at 0 for each doc
-                "pos": np.concatenate([np.arange(n, dtype=np.int32) for n in lens if n]),
-            })
-            grouped = (
-                exploded.groupby(["_row", "term"], sort=False)["pos"]
-                .agg(list).rename("poss").reset_index()
+            # Group (row, term) -> position list with numpy segmentation
+            # instead of pandas groupby().agg(list) (per-group Python
+            # list building + a merge — measured ~3x slower at the 200k
+            # tier).  A STABLE sort on the packed (row, term) key keeps
+            # each group's positions in ascending order for free
+            # (positions are generated increasing within a row).
+            row_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            pos = np.concatenate(
+                [np.arange(n, dtype=np.int32) for n in lens if n]
             )
-            out = grouped.merge(
-                pdf[["doc_id"]].rename_axis("_row").reset_index(), on="_row", how="left"
-            )[["doc_id", "term", "poss"]]
+            term_codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            key = (row_idx << 32) | term_codes.astype(np.int64)
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            bounds = np.flatnonzero(skey[1:] != skey[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[skey[starts] >> 32],
+                "term": uniques[(skey[starts] & 0xFFFFFFFF).astype(np.int64)],
+                "poss": np.split(pos[order], bounds),
+            })
             yield out
 
     return docs.select("doc_id", text_col).mapInPandas(fn, POSITIONS_SCHEMA)
