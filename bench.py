@@ -254,7 +254,15 @@ def main() -> None:
 
     sample_txt = corpus.orderBy("repo", "path", "commit").limit(1).collect()[0]["content"]
     toks = tokenize_py(sample_txt)
-    phrases = [toks[j:j + 2] for j in range(0, 50, 5)]  # 10 real bigrams
+    # 10 real bigrams; wrap the stride if the sample doc is short so a
+    # small SPARK_GRAFT_BENCH_DOCS corpus can't produce <2-term slices
+    # (phrase_topk_batch raises on those)
+    if len(toks) < 2:
+        raise RuntimeError("bench sample doc tokenized to <2 tokens")
+    phrases = [
+        [toks[j % (len(toks) - 1)], toks[j % (len(toks) - 1) + 1]]
+        for j in range(0, 50, 5)
+    ]
     from wikitfidf_spark.corpus import _vocab
     hot = _vocab(2000, 43)[:10]
     mlt_ids = [r["doc_id"] for r in

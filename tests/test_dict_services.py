@@ -477,3 +477,20 @@ def test_more_like_this_batch_equals_per_call(spark, idx, corpus):
     assert all(r["doc_id"] != r["src_doc_id"] for r in batch)
     with pytest.raises(ValueError, match="not live"):
         idx.more_like_this_batch([ids[0], 123456789], m=6, k=5)
+
+
+def test_more_like_this_batch_duplicate_sources(spark, idx, corpus):
+    """A repeated source doc_id must not poison term extraction: the
+    lens join is built over DEDUPED ids (a duplicate would double every
+    tf row, so the per-doc top-m window would rank each term twice and
+    the queries would carry ~m/2 distinct terms).  Both occurrences get
+    their own query_id with results identical to the singleton call."""
+    d = idx.docmeta.select("doc_id").orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    batch = idx.more_like_this_batch([d, d], m=6, k=5).collect()
+    want = {(r["doc_id"], r["score_q"], r["rank"])
+            for r in idx.more_like_this(d, m=6, k=5).collect()}
+    assert want
+    for qid in (0, 1):
+        got = {(r["doc_id"], r["score_q"], r["rank"])
+               for r in batch if r["query_id"] == qid}
+        assert got == want, qid

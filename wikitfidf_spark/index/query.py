@@ -353,6 +353,17 @@ def _taat_kernel(
     each (term, sub_shard) list exactly once, mask to ``allowed_u`` if
     given, then per query np.unique + add.at + lexsort top-k with exact
     (score desc, doc asc) tie-break."""
+    return _taat_eval(_decode_shard(pdf, allowed_u), qspec)
+
+
+def _decode_shard(
+    pdf: pd.DataFrame, allowed_u: "np.ndarray | None" = None
+) -> dict[str, list[tuple[np.ndarray, np.ndarray]]]:
+    """Decode one shard's posting rows once — term → [(docs, scores)]
+    per sub-shard list — optionally masked to ``allowed_u``.  Callers
+    with PER-QUERY doc masks (the phrase batch) decode unmasked once
+    and pass each query's mask to :func:`_taat_eval` instead, so a
+    term shared by many queries is decoded exactly once per shard."""
     decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
     for r in _merged_lists(pdf):
         docs, scores = codec.decode_docs_scores(r)
@@ -363,6 +374,19 @@ def _taat_kernel(
             if not len(docs):
                 continue
         decoded.setdefault(r["term"], []).append((docs, scores))
+    return decoded
+
+
+def _taat_eval(
+    decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]],
+    qspec: list,
+    allowed_u: "np.ndarray | None" = None,
+) -> pd.DataFrame:
+    """Evaluate a query batch against an already-decoded shard.  An
+    ``allowed_u`` mask here filters the concatenated (docs, scores)
+    per query — equivalent to masking each decoded list (membership
+    filtering commutes with concatenation; the AND count check runs
+    after either way), without re-decoding per mask."""
     out_q, out_d, out_s = [], [], []
     for qid, terms, mode, k, exclude, boosts in qspec:
         uniq_terms = sorted(set(terms))
@@ -380,6 +404,12 @@ def _taat_kernel(
             s_parts = [s for t in present for _, s in decoded[t]]
         docs = np.concatenate(d_parts)
         scores = np.concatenate(s_parts)
+        if allowed_u is not None:
+            keep = np.isin(docs, allowed_u)
+            if not keep.all():
+                docs, scores = docs[keep], scores[keep]
+            if not len(docs):
+                continue
         if exclude:
             # docs containing ANY excluded term drop out; the excluded
             # terms never contribute to scoring (they are decoded only
@@ -815,18 +845,27 @@ class InvertedIndex:
         qspec = [(q.query_id, list(q.terms), q.k, q.slop) for q in phrases]
 
         def per_shard_phrase(key, pdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+            # shard-level work is paid ONCE for the batch: postings are
+            # decoded once for the union of phrase terms (a term shared
+            # by many phrases is not re-decoded per phrase) and the
+            # positions rows are grouped by term once; each phrase then
+            # verifies adjacency over its terms' groups and scores
+            # against the shared decode with its own allowed mask.
+            decoded = _decode_shard(pdf)
+            pos_by_term = dict(tuple(ppdf.groupby("term", sort=False)))
+            empty_pos = ppdf.iloc[0:0]
             out = []
             for qid, terms, k, slop in qspec:
-                tset = set(terms)
+                groups = [
+                    pos_by_term[t] for t in dict.fromkeys(terms) if t in pos_by_term
+                ]
                 allowed = verify_phrase_docs(
-                    ppdf[ppdf["term"].isin(tset)], terms, slop
+                    pd.concat(groups) if groups else empty_pos, terms, slop
                 )
                 if not len(allowed):
                     continue
-                out.append(_taat_kernel(
-                    pdf[pdf["term"].isin(tset)],
-                    [(qid, terms, "AND", k, (), None)],
-                    allowed,
+                out.append(_taat_eval(
+                    decoded, [(qid, terms, "AND", k, (), None)], allowed,
                 ))
             if not out:
                 return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
@@ -950,23 +989,29 @@ class InvertedIndex:
         if m < 1:
             raise ValueError(f"m must be >= 1, got {m}")
         doc_ids = [int(d) for d in doc_ids]
+        # dedupe for the extraction phase: a repeated source doc must
+        # not duplicate its tf rows through the lens join below (the
+        # per-doc window would rank each term twice and the top-m would
+        # hold ~m/2 distinct terms); the query list further down stays
+        # per-input-position, so duplicates still get their own query
+        uniq_ids = list(dict.fromkeys(doc_ids))
         meta = {
             r["doc_id"]: int(r["doc_len"])
-            for r in self.docmeta.filter(F.col("doc_id").isin(doc_ids))
+            for r in self.docmeta.filter(F.col("doc_id").isin(uniq_ids))
             .select("doc_id", "doc_len").collect()
         }
-        missing = [d for d in doc_ids if d not in meta]
+        missing = [d for d in uniq_ids if d not in meta]
         if missing:
             raise ValueError(f"doc_ids not live in the index: {missing}")
         p = index_paths(self.manifest)
         tf = self.spark.read.parquet(
             *[os.path.join(self.index_dir, t) for t in p["tf"]]
-        ).filter(F.col("doc_id").isin(doc_ids))
+        ).filter(F.col("doc_id").isin(uniq_ids))
         tombs = _tombstones(self.spark, self.index_dir, self.manifest)
         if tombs is not None:  # docmeta said live, so this is belt+braces
             tf = tf.join(tombs.select("doc_id"), "doc_id", "left_anti")
         lens = self.spark.createDataFrame(
-            [(d, meta[d]) for d in doc_ids], "doc_id long, doc_len long"
+            [(d, meta[d]) for d in uniq_ids], "doc_id long, doc_len long"
         )
         scored = tf.join(F.broadcast(lens), "doc_id").join(
             F.broadcast(self.dictionary.select("term", "df")), "term"

@@ -75,11 +75,17 @@ _S2 = ("ون", "ات", "ان", "ين",
 _S1 = ("ة", "ه", "ي", "ك", "ت",
        "ا", "ن")
 
-#: function words the paper leaves unstemmed (closed-class Arabic
+#: function words the algorithm leaves unstemmed (closed-class Arabic
 #: particles/auxiliaries; stripping ال/suffixes off these produces
 #: garbage two-letter "roots").  In-pipeline these are usually removed
 #: by the stopword hook before the stemmer runs; the guard protects
-#: standalone analyze()/destem calls.
+#: standalone analyze()/destem calls.  CURATED guard list: the affix
+#: and pattern tables above are the paper's, but the paper does not
+#: publish its stop list, so this set is curated (relative pronouns,
+#: kāna/ẓalla-family auxiliaries, common connective-fused particles)
+#: and may differ at the margins from other ISRI implementations'
+#: lists; ``tests/test_stemmer.py`` carries an import-gated diff
+#: against nltk's ISRIStemmer for environments that have it.
 _FUNCTION_WORDS = frozenset((
     "يكون",          # يكون
     "وليس",          # وليس
@@ -88,6 +94,7 @@ _FUNCTION_WORDS = frozenset((
     "التي",          # التي
     "الذي",          # الذي
     "الذين",    # الذين
+    "اللذين",  # اللذين
     "وبين",          # وبين
     "عليها",    # عليها
     "عليه",          # عليه
@@ -102,8 +109,24 @@ _FUNCTION_WORDS = frozenset((
     "منها",          # منها
     "اليها",    # اليها
     "اليه",          # اليه
-    "يمكن",          # يمكن
-    "الا",                # الا
+    "مساء",          # مساء
+    "أمام",          # أمام
+    "مازال",    # مازال
+    "لازال",    # لازال
+    "لايزال",  # لايزال
+    "مايزال",  # مايزال
+    "ولايزال",      # ولايزال
+    "مابرح",    # مابرح
+    "مافتئ",    # مافتئ
+    "ماانفك",  # ماانفك
+    "اصبح",          # اصبح
+    "أصبح",          # أصبح
+    "امسى",          # امسى
+    "أمسى",          # أمسى
+    "اضحى",          # اضحى
+    "أضحى",          # أضحى
+    "لاسيما",  # لاسيما
+    "الحالي",  # الحالي
 ))
 
 
@@ -187,8 +210,8 @@ def _pro_w53(w: str) -> str:
         return w[1:4]
     if w[0] in (_MEEM, _YEH, _TEH) and w[2] == _TEH:   # مفتعل يفتعل تفتعل
         return w[1] + w[3:]
-    if w[0] in (_MEEM, _TEH) and w[3] == _ALIF:        # مفعال تفعال
-        return w[1:3] + w[4]
+    if w[0] in (_MEEM, _TEH) and w[2] == _ALIF:        # مفاعل تفاعل
+        return w[1] + w[3:]
     if w[2] in (_ALIF, _WAW) and w[4] == _TEH_MARBUTA:  # فعولة فعالة
         return w[:2] + w[3]
     if w[0] in (_ALIF, _MEEM) and w[1] == _NOON:       # انفعل منفعل

@@ -131,12 +131,17 @@ _LATIN_EXT = {
 #: without them every accented word would split at its accent
 _SCRIPT_LETTERS = {
     "ru": "a-zа-яё", "uk": "a-zа-щьюяєіїґ", "bg": "a-zа-я", "kk": "a-zа-яёәғқңөұүһі",
-    # Arabic-script classes include the harakat/tanwin combining marks
-    # (U+064B-0652) so vocalized words tokenize whole \u2014 the ISRI
-    # stemmer strips them inside the token (isri_ar.stem step 1),
-    # mirroring nltk's tokenize-keeps / stemmer-strips split
-    "ar": "a-z\u0621-\u0652", "fa": "a-z\u0621-\u0652\u067e\u0686\u0698\u06a9\u06af\u06cc",
-    "ur": "a-z\u0621-\u0652\u0679\u067e\u0686\u0688\u0691\u0698\u06a9\u06af\u06ba\u06be\u06c1\u06cc\u06d2",
+    # ar includes the harakat/tanwin combining marks (U+064B-0652) so
+    # vocalized words tokenize whole \u2014 the ISRI stemmer strips them
+    # inside the token (isri_ar.stem step 1), mirroring nltk's
+    # tokenize-keeps / stemmer-strips split.  fa/ur have NO stemmer
+    # route, so their classes stop at the letters (U+0621-064A): with
+    # nothing downstream to fold a vocalized form onto its bare form,
+    # keeping harakat would index e.g. Urdu \u06a9\u0650\u062a\u0627\u0628 as a term containing
+    # U+0650 that the unvocalized query \u06a9\u062a\u0627\u0628 can never match \u2014
+    # splitting at the (rare) diacritic is consistent on both sides
+    "ar": "a-z\u0621-\u0652", "fa": "a-z\u0621-\u064a\u067e\u0686\u0698\u06a9\u06af\u06cc",
+    "ur": "a-z\u0621-\u064a\u0679\u067e\u0686\u0688\u0691\u0698\u06a9\u06af\u06ba\u06be\u06c1\u06cc\u06d2",
     "he": "a-z\u05d0-\u05ea",
     "hy": "a-z\u0561-\u0587", "el": "a-z\u0390\u03ac-\u03ce",
     "hi": "a-z\u0900-\u0963\u0971-\u097f", "mr": "a-z\u0900-\u0963\u0971-\u097f", "ne": "a-z\u0900-\u0963\u0971-\u097f",

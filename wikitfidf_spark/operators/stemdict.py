@@ -71,9 +71,14 @@ from .snowball_sv import snowball_sv
 #: ``snowball_sv`` (full Snowball Swedish, :mod:`.snowball_sv`),
 #: ``snowball_de`` (full Snowball German, :mod:`.snowball_de`) and
 #: ``isri_ar`` (ISRI Arabic, :mod:`.isri_ar`) are dependency-free spec
-#: implementations matching what the reference's nltk
-#: SnowballStemmer("english"/"swedish"/"german") / ISRIStemmer()
-#: compute; ``snowball_lite`` remains the cheap table-driven stand-in.
+#: implementations: the Snowball three match what the reference's nltk
+#: SnowballStemmer("english"/"swedish"/"german") computes (published
+#: spec = published implementation), and ``isri_ar`` implements the
+#: Taghva et al. 2005 affix/pattern algorithm — its curated
+#: function-word guard list may differ at the margins from nltk
+#: ISRIStemmer's unpublished-in-the-paper stop list (see
+#: :data:`.isri_ar._FUNCTION_WORDS`); ``snowball_lite`` remains the
+#: cheap table-driven stand-in.
 #: Pre-registered spec implementations keep their keys even when nltk
 #: is installed (register_nltk_stemmers only fills missing keys —
 #: deterministic behavior regardless of environment).
