@@ -1422,7 +1422,7 @@ def _all_oracle_sql() -> dict[str, str]:
             cosed AS (
               SELECT cand.doc_id, cand.bm25_q, cand.rank_bm25,
                      floor(stats.dot_q::double
-                           / (sqrt(stats.norm2_q::double) * sqrt(qn.qn2::double))
+                           / (sqrt(NULLIF(stats.norm2_q, 0)::double) * sqrt(qn.qn2::double))
                            * 1000000 + 0.5) / 1000000 AS cos
               FROM cand LEFT JOIN stats USING (doc_id) CROSS JOIN qn
             ),

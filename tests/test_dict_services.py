@@ -494,3 +494,51 @@ def test_more_like_this_batch_duplicate_sources(spark, idx, corpus):
         got = {(r["doc_id"], r["score_q"], r["rank"])
                for r in batch if r["query_id"] == qid}
         assert got == want, qid
+
+
+def test_hybrid_zero_norm_embedding_cos_null(idx, py_stats, vecs):
+    """A document embedding that quantizes to zero norm has no dense
+    signal: cos must be null (ranked last, lexical RRF term only) —
+    NOT a divide-by-zero (ANSI mode fails the job) or +Infinity
+    (non-ANSI steals rank_cos 1)."""
+    vdf, emb_map = vecs
+    terms = ["arg_ctx77", "arg_cfg"]
+    qvec = emb_map[sorted(emb_map)[0]]
+    full = idx.hybrid_topk(terms, vdf, [float(x) for x in qvec], k=10, m=25).collect()
+    some_doc = full[0]["doc_id"]
+    dim = len(qvec)
+    zeroed = vdf.filter(F.col("vec_id") != some_doc).unionByName(
+        vdf.sparkSession.createDataFrame(
+            [(some_doc, [0.0] * dim)], "vec_id long, embedding array<float>"
+        )
+    )
+    got = idx.hybrid_topk(terms, zeroed, [float(x) for x in qvec], k=25, m=25).collect()
+    row = next(r for r in got if r["doc_id"] == some_doc)
+    assert row["cos"] is None and row["rrf_q"] > 0
+    # the zero-norm doc must not have stolen the best dense rank: some
+    # other doc still carries a non-null cosine
+    assert any(r["cos"] is not None for r in got)
+
+
+def test_batch_duplicate_query_ids_rejected(idx):
+    """Duplicate query_ids would silently merge two queries' results
+    under the shared rank window — all batch APIs reject them."""
+    from wikitfidf_spark.index.query import PhraseQuery, Query
+
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        idx.topk_batch([Query(1, ["arg_cfg"], "OR", 5), Query(1, ["arg_ctx77"], "OR", 3)])
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        idx.phrase_topk_batch([
+            PhraseQuery(2, ["arg_cfg", "arg_ctx77"], 5),
+            PhraseQuery(2, ["arg_ctx77", "arg_cfg"], 5),
+        ])
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        idx.facet_counts_batch([(3, ["arg_cfg"]), (3, ["arg_ctx77"])])
+
+
+def test_snippets_empty_terms_raises(idx, corpus):
+    """analyze() of a stopword-only query returns [] — snippets must
+    fail with a clean ValueError, not a WRONG_NUM_COLUMNS pyspark
+    error from F.least over zero columns."""
+    with pytest.raises(ValueError, match="at least one term"):
+        idx.snippets(corpus, [], k=5)

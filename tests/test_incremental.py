@@ -379,3 +379,46 @@ def test_delete_split_factor_transition_stays_byte_identical(spark, tmp_path):
     owners = index_paths(load_manifest(del_dir))["structure"]
     assert set(owners.values()) == {"structure_del_v1.parquet"}
     assert _postings_rows(spark, full_dir) == _postings_rows(spark, del_dir)
+
+
+def test_more_like_this_during_stale_window(spark, tmp_path):
+    """During a deferred-refresh window, more_like_this on a delta doc
+    whose vocabulary is brand-new must still rank its terms (the epoch
+    dictionary lacks them — an inner join would silently drop every
+    term and return NO results).  The structure-derived live-df
+    fallback keeps the stale-mode contract: doc sets exact, scores
+    epoch-stale."""
+    from wikitfidf_spark.index.build import refresh_scores
+    from wikitfidf_spark.index.query import InvertedIndex
+
+    docs = make_code_files(spark, n_docs=60, seed=42)
+    d = str(tmp_path / "idx_mlt_stale")
+    build_index(spark, docs, d, CFG, resume=False)
+
+    novel = "zzqa zzqb zzqc zzqa zzqb zzqa"  # tokens unseen in the corpus
+    delta = spark.createDataFrame(
+        [("r_new", "p_new.py", "c1", "py", novel),
+         ("r_new", "p_new2.py", "c1", "py", novel + " zzqd")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    add_documents(spark, delta, d, refresh_scores=False)
+    m = load_manifest(d)
+    assert m["stale_deltas"] == 1
+
+    idx = InvertedIndex(spark, d)
+    new_id = [
+        r["doc_id"] for r in idx.docmeta.filter(F.col("path") == "p_new.py")
+        .select("doc_id").collect()
+    ][0]
+    res = idx.more_like_this(new_id, m=4, k=5).collect()
+    # the sibling delta doc shares all its terms — it MUST be found
+    sibling = [
+        r["doc_id"] for r in idx.docmeta.filter(F.col("path") == "p_new2.py")
+        .select("doc_id").collect()
+    ][0]
+    assert sibling in {r["doc_id"] for r in res}
+    # after refresh the same call still works (fallback inert)
+    refresh_scores(spark, d)
+    idx2 = InvertedIndex(spark, d)
+    res2 = idx2.more_like_this(new_id, m=4, k=5).collect()
+    assert sibling in {r["doc_id"] for r in res2}

@@ -11,20 +11,27 @@ from wikitfidf_spark.index.query import wand_top_k
 
 
 def _make_row(docs, scores, block_size=4):
-    docs = np.asarray(docs, dtype=np.int64)
-    scores = np.asarray(scores, dtype=np.int64)
-    enc = codec.encode_postings(docs, np.ones(len(docs), np.int64), scores, block_size)
+    # fused row via the production encoder pair (structure, then
+    # scores in structure doc order) — same composition as build.py
+    order = np.argsort(np.asarray(docs, dtype=np.int64), kind="stable")
+    d = np.asarray(docs, dtype=np.int64)[order]
+    s = np.asarray(scores, dtype=np.int64)[order]
+    st = codec.encode_structure(
+        d, np.ones(len(d), np.uint64), np.ones(len(d), np.uint64),
+        block_size, presorted=True,
+    )
+    scores_payload, maxes, score_offs = codec.encode_scores(s, st.block_counts)
     return {
-        "n_docs": enc.n,
-        "block_counts": enc.block_counts,
-        "block_firsts": enc.block_firsts,
-        "block_lasts": enc.block_lasts,
-        "block_max_score": enc.block_max_score,
-        "block_doc_offs": enc.block_doc_offs,
-        "block_score_offs": enc.block_score_offs,
-        "docs_payload": enc.docs_payload,
-        "tfs_payload": enc.tfs_payload,
-        "scores_payload": enc.scores_payload,
+        "n_docs": st.n,
+        "block_counts": st.block_counts,
+        "block_firsts": st.block_firsts,
+        "block_lasts": st.block_lasts,
+        "block_max_score": maxes,
+        "block_doc_offs": st.block_doc_offs,
+        "block_score_offs": score_offs,
+        "docs_payload": st.docs_payload,
+        "tfs_payload": st.tfs_payload,
+        "scores_payload": scores_payload,
     }
 
 

@@ -107,74 +107,6 @@ def varint_decode(buf: bytes | memoryview, n: int) -> np.ndarray:
 
 
 @dataclass
-class EncodedList:
-    """One encoded posting list + its block sidecars."""
-    n: int
-    docs_payload: bytes
-    tfs_payload: bytes
-    scores_payload: bytes
-    block_firsts: np.ndarray   # int64 absolute doc ids
-    block_lasts: np.ndarray    # int64
-    block_counts: np.ndarray   # int32
-    block_max_score: np.ndarray  # int64 quantized
-    block_doc_offs: np.ndarray   # int64 byte offset of each block in docs_payload
-    block_tf_offs: np.ndarray
-    block_score_offs: np.ndarray
-
-
-def encode_postings(
-    doc_ids: np.ndarray,
-    tfs: np.ndarray,
-    scores_q: np.ndarray,
-    block_size: int = BLOCK_SIZE_DEFAULT,
-    presorted: bool = False,
-) -> EncodedList:
-    """Single-pass vectorized encode: each stream is one varint_encode
-    call over the whole list; per-block byte offsets come from the
-    varint-length prefix sums (no per-block Python loop)."""
-    if presorted:
-        d = np.ascontiguousarray(doc_ids, dtype=np.int64)
-        t = np.ascontiguousarray(tfs, dtype=np.uint64)
-        s = np.ascontiguousarray(scores_q, dtype=np.uint64)
-    else:
-        order = np.argsort(doc_ids, kind="stable")
-        d = np.asarray(doc_ids, dtype=np.int64)[order]
-        t = np.asarray(tfs, dtype=np.uint64)[order]
-        s = np.asarray(scores_q, dtype=np.uint64)[order]
-    n = len(d)
-    u = to_unsigned(d)
-    n_blocks = (n + block_size - 1) // block_size
-    starts = np.arange(n_blocks) * block_size
-    ends = np.minimum(starts + block_size, n)
-
-    deltas = np.empty(n, dtype=np.uint64)
-    deltas[1:] = u[1:] - u[:-1]
-    deltas[starts] = 0  # block-independent: absolute base lives in block_firsts
-
-    d_lens = varint_lengths(deltas)
-    t_lens = varint_lengths(t)
-    s_lens = varint_lengths(s)
-    d_cum = np.concatenate(([0], np.cumsum(d_lens)))
-    t_cum = np.concatenate(([0], np.cumsum(t_lens)))
-    s_cum = np.concatenate(([0], np.cumsum(s_lens)))
-
-    maxes = np.maximum.reduceat(s.view(np.int64), starts) if n else np.zeros(0, np.int64)
-    return EncodedList(
-        n=n,
-        docs_payload=varint_encode(deltas, d_lens),
-        tfs_payload=varint_encode(t, t_lens),
-        scores_payload=varint_encode(s, s_lens),
-        block_firsts=d[starts],
-        block_lasts=d[ends - 1],
-        block_counts=(ends - starts).astype(np.int32),
-        block_max_score=maxes.astype(np.int64),
-        block_doc_offs=d_cum[starts],
-        block_tf_offs=t_cum[starts],
-        block_score_offs=s_cum[starts],
-    )
-
-
-@dataclass
 class EncodedStructure:
     """The score-free two-thirds of a posting list: doc ids, tfs and doc
     lengths.  Everything here depends ONLY on the documents of its own
@@ -322,6 +254,13 @@ def decode_all(enc_row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = varint_decode(enc_row["tfs_payload"], n).astype(np.int64)
     scores = varint_decode(enc_row["scores_payload"], n).astype(np.int64)
     return docs, tfs, scores
+
+
+def decode_doc_ids(enc_row) -> np.ndarray:
+    """Membership-only decode: doc ids alone — for consumers that never
+    score (must_not masks, doc-set diffs), skipping both the tf and the
+    score varint streams."""
+    return _decode_doc_ids(enc_row)
 
 
 def decode_docs_scores(enc_row) -> tuple[np.ndarray, np.ndarray]:

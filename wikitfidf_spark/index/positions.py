@@ -284,10 +284,24 @@ def verify_phrase_docs(pos_pdf: pd.DataFrame, terms: list[str], slop: int = 0):
 
     if pos_pdf.empty:
         return np.empty(0, dtype=np.int64)
-    by_term: dict[str, list] = {t: [] for t in terms}
+    rows_by_term: dict[str, list] = {}
     for r in pos_pdf.itertuples(index=False):
-        if r.term in by_term:
-            by_term[r.term].append((r.doc_id, r.poss))
+        if r.term in terms:
+            rows_by_term.setdefault(r.term, []).append((r.doc_id, r.poss))
+    return verify_phrase_grouped(rows_by_term, terms, slop)
+
+
+def verify_phrase_grouped(
+    rows_by_term: "dict[str, list]", terms: list[str], slop: int = 0
+):
+    """Same adjacency chain over rows ALREADY grouped by term —
+    ``{term: [(doc_id, poss), ...]}`` — for batch callers that group a
+    shard's position rows once and verify many phrases against the
+    shared grouping (one itertuples pass per shard instead of a
+    concat + regroup per phrase)."""
+    import numpy as np
+
+    by_term: dict[str, list] = {t: rows_by_term.get(t, []) for t in terms}
     if any(not by_term[t] for t in terms):
         return np.empty(0, dtype=np.int64)
 

@@ -346,6 +346,19 @@ def _merged_lists(pdf: pd.DataFrame) -> list[dict]:
     return pdf.loc[fused].to_dict("records") + merged.to_dict("records")
 
 
+def _check_unique_qids(qids: "Iterable[int]") -> None:
+    """Batch APIs key per-query limits and the final rank window on
+    query_id — duplicate ids would silently merge two queries' results
+    into one interleaved list, so they are rejected up front like every
+    other malformed input."""
+    seen: set[int] = set()
+    dups: set[int] = set()
+    for qid in qids:
+        (dups if qid in seen else seen).add(qid)
+    if dups:
+        raise ValueError(f"duplicate query_id(s) in batch: {sorted(dups)}")
+
+
 def _taat_kernel(
     pdf: pd.DataFrame, qspec: list, allowed_u: "np.ndarray | None"
 ) -> pd.DataFrame:
@@ -575,6 +588,7 @@ class InvertedIndex:
         """
         if strategy not in ("taat", "wand"):
             raise ValueError(f"unknown strategy {strategy!r}: use 'taat' or 'wand'")
+        _check_unique_qids(q.query_id for q in queries)
         for q in queries:
             if q.mode not in ("OR", "AND"):
                 raise ValueError(f"query {q.query_id}: unknown mode {q.mode!r}: use 'OR' or 'AND'")
@@ -634,7 +648,7 @@ class InvertedIndex:
             def excl_docs(exclude: tuple) -> "np.ndarray | None":
                 if exclude not in excl_cache:
                     parts = [
-                        codec.decode_docs_scores(r)[0]
+                        codec.decode_doc_ids(r)  # membership only — no score decode
                         for t in exclude if t in by_term for r in by_term[t]
                     ]
                     excl_cache[exclude] = (
@@ -811,9 +825,10 @@ class InvertedIndex:
         whole batch instead of once per phrase (the difference between
         ~1 q/s and serving-rate phrase search)."""
         from .build import index_paths
-        from .positions import verify_phrase_docs
+        from .positions import verify_phrase_grouped
 
         phrases = list(phrases)
+        _check_unique_qids(q.query_id for q in phrases)
         for q in phrases:
             if len(q.terms) < 2:
                 raise ValueError(f"query {q.query_id}: phrase needs at least 2 terms")
@@ -849,19 +864,15 @@ class InvertedIndex:
             # decoded once for the union of phrase terms (a term shared
             # by many phrases is not re-decoded per phrase) and the
             # positions rows are grouped by term once; each phrase then
-            # verifies adjacency over its terms' groups and scores
+            # verifies adjacency over the shared grouping and scores
             # against the shared decode with its own allowed mask.
             decoded = _decode_shard(pdf)
-            pos_by_term = dict(tuple(ppdf.groupby("term", sort=False)))
-            empty_pos = ppdf.iloc[0:0]
+            pos_by_term: dict[str, list] = {}
+            for r in ppdf.itertuples(index=False):
+                pos_by_term.setdefault(r.term, []).append((r.doc_id, r.poss))
             out = []
             for qid, terms, k, slop in qspec:
-                groups = [
-                    pos_by_term[t] for t in dict.fromkeys(terms) if t in pos_by_term
-                ]
-                allowed = verify_phrase_docs(
-                    pd.concat(groups) if groups else empty_pos, terms, slop
-                )
+                allowed = verify_phrase_grouped(pos_by_term, terms, slop)
                 if not len(allowed):
                     continue
                 out.append(_taat_eval(
@@ -910,6 +921,10 @@ class InvertedIndex:
 
         if window < 1 or before < 0:
             raise ValueError(f"window must be >= 1 and before >= 0, got {window}/{before}")
+        if not terms:
+            # e.g. analyze() of a stopword-only query — fail clean
+            # instead of letting F.least(*[]) raise WRONG_NUM_COLUMNS
+            raise ValueError("snippets needs at least one term")
         if id_col not in docs.columns:
             # derive the id exactly as the build did (config natural keys)
             from .build import _load_cfg
@@ -952,8 +967,10 @@ class InvertedIndex:
 
         Term extraction never touches the term-major postings: the tf
         artifact is doc-major, so the source doc's rows are a
-        predicate-pushdown point lookup; df comes from the (live)
-        dictionary broadcast, doc_len from the doc's docmeta row.  The
+        predicate-pushdown point lookup; df comes from the dictionary
+        broadcast (epoch dictionary during a deferred-refresh window,
+        with a structure-derived live-df fallback for delta-only
+        terms), doc_len from the doc's docmeta row.  The
         m query terms come to the driver (m is tiny — queries are
         driver-side objects by definition), then the standard batched
         engine serves the top-k."""
@@ -1013,9 +1030,27 @@ class InvertedIndex:
         lens = self.spark.createDataFrame(
             [(d, meta[d]) for d in uniq_ids], "doc_id long, doc_len long"
         )
-        scored = tf.join(F.broadcast(lens), "doc_id").join(
-            F.broadcast(self.dictionary.select("term", "df")), "term"
-        ).withColumn(
+        # During a bounded-staleness window the epoch dictionary lacks
+        # terms that exist only in un-refreshed deltas; an inner join
+        # would silently drop them from the ranking (a delta doc with
+        # only new terms would return NO results).  Same guard as
+        # tfidf_scores: left join + structure-derived live df — gated
+        # on the manifest so the common refreshed path stays one inner
+        # broadcast join with no extra scan.
+        if int(self.manifest.get("stale_deltas", 0)) > 0:
+            fallback_df = self.structure.groupBy("term").agg(
+                F.sum("n_docs").alias("df_live")
+            )
+            dicted = (
+                tf.join(F.broadcast(self.dictionary.select("term", "df")), "term", "left")
+                .join(F.broadcast(fallback_df), "term")
+                .withColumn("df", F.coalesce("df", "df_live"))
+            )
+        else:
+            dicted = tf.join(
+                F.broadcast(self.dictionary.select("term", "df")), "term"
+            )
+        scored = dicted.join(F.broadcast(lens), "doc_id").withColumn(
             "tfidf",
             round_half_up(
                 (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
@@ -1128,6 +1163,7 @@ class InvertedIndex:
         partial-agg count — the per-panel fixed cost (scan + decode +
         join) is paid once for the whole batch."""
         queries = [(int(qid), list(terms)) for qid, terms in queries]
+        _check_unique_qids(qid for qid, _ in queries)
         all_terms = sorted({t for _, terms in queries for t in terms})
         tq = self.spark.createDataFrame(
             [(qid, t) for qid, terms in queries for t in set(terms)],
@@ -1270,11 +1306,17 @@ class InvertedIndex:
                 lambda acc, v: acc + v,
             ).alias("norm2_q"),
         )
+        # nullif: a document embedding that quantizes to zero norm has
+        # no dense signal — treat it like a missing embedding row (cos
+        # null, ranked last) instead of dividing by zero (ANSI mode
+        # would fail the whole job; non-ANSI would emit Infinity and
+        # steal rank_cos 1)
         scored = cand.join(joined, "doc_id", "left").withColumn(
             "cos",
             F.floor(
                 F.col("dot_q").cast("double")
-                / (F.sqrt(F.col("norm2_q").cast("double")) * F.lit(math.sqrt(float(qn2))))
+                / (F.sqrt(F.nullif(F.col("norm2_q"), F.lit(0)).cast("double"))
+                   * F.lit(math.sqrt(float(qn2))))
                 * F.lit(1e6) + F.lit(0.5)
             ) / F.lit(1e6),
         )
