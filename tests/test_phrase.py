@@ -90,6 +90,18 @@ def test_verify_missing_term_or_empty():
     assert len(verify_phrase_docs(_pdf([]), ["a", "b"])) == 0
 
 
+def test_verify_disjoint_doc_sets_and_pruning():
+    # Terms co-occur in NO document: the doc-set pre-intersection must
+    # return empty without touching position lists.  And a doc present
+    # in only one term's rows must not leak into the result even when
+    # its positions would line up arithmetically.
+    rows = [("a", 1, [0]), ("a", 2, [5]), ("b", 3, [1]), ("b", 4, [6])]
+    assert len(verify_phrase_docs(_pdf(rows), ["a", "b"])) == 0
+    rows2 = [("a", 1, [0]), ("a", 2, [5]), ("b", 2, [6]), ("b", 9, [1])]
+    got = verify_phrase_docs(_pdf(rows2), ["a", "b"])
+    assert got.tolist() == [2]
+
+
 def test_verify_negative_doc_ids():
     # xxhash64 doc ids span the full signed range; the packed int64 key
     # must not corrupt them

@@ -305,22 +305,39 @@ def verify_phrase_grouped(
     if any(not by_term[t] for t in terms):
         return np.empty(0, dtype=np.int64)
 
+    # Doc-set pre-intersection: a doc can only match if EVERY phrase
+    # term occurs in it, so intersect the (cheap, position-free) doc-id
+    # sets first — smallest first, early-exit on empty — and decode
+    # position lists ONLY for surviving docs.  For a skewed phrase
+    # (one rare + one common term) this turns the dominating
+    # position-concatenate from O(sum of all terms' positions) into
+    # O(positions of the rare term's docs).
+    doc_arrs = {
+        t: np.fromiter((d for d, _ in rows), dtype=np.int64, count=len(rows))
+        for t, rows in by_term.items()
+    }
+    uniq_sets = sorted((np.unique(a) for a in doc_arrs.values()), key=len)
+    common = uniq_sets[0]
+    for u in uniq_sets[1:]:
+        common = np.intersect1d(common, u, assume_unique=True)
+        if not len(common):
+            return np.empty(0, dtype=np.int64)
+
     # compact doc index so (doc << 32 | pos) packs into int64 without
     # overflow (doc_id itself is a full-range xxhash64)
-    all_docs = np.unique(
-        np.concatenate([
-            np.fromiter((d for d, _ in rows), dtype=np.int64, count=len(rows))
-            for rows in by_term.values()
-        ])
-    )
-
     def encoded(term: str) -> np.ndarray:
         rows = by_term[term]
-        docs = np.fromiter((d for d, _ in rows), dtype=np.int64, count=len(rows))
-        idx = np.searchsorted(all_docs, docs)
-        lens = np.fromiter((len(p) for _, p in rows), dtype=np.int64, count=len(rows))
-        poss = np.concatenate([np.asarray(p, dtype=np.int64) for _, p in rows])
-        return (np.repeat(idx, lens) << 32) | poss
+        docs = doc_arrs[term]
+        idx = np.searchsorted(common, docs)
+        np.clip(idx, 0, len(common) - 1, out=idx)
+        sel = np.flatnonzero(common[idx] == docs)
+        lens = np.fromiter(
+            (len(rows[i][1]) for i in sel), dtype=np.int64, count=len(sel)
+        )
+        poss = np.concatenate(
+            [np.asarray(rows[i][1], dtype=np.int64) for i in sel]
+        )
+        return (np.repeat(idx[sel], lens) << 32) | poss
 
     # positions within one doc are < 2^32, so the +d shifts below never
     # carry into the doc-index bits
@@ -332,4 +349,4 @@ def verify_phrase_grouped(
         ]))
         if not len(cur):
             return np.empty(0, dtype=np.int64)
-    return all_docs[np.unique(cur >> 32)]
+    return common[np.unique(cur >> 32)]
