@@ -542,3 +542,31 @@ def test_snippets_empty_terms_raises(idx, corpus):
     error from F.least over zero columns."""
     with pytest.raises(ValueError, match="at least one term"):
         idx.snippets(corpus, [], k=5)
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+def test_exclude_docs_per_query(idx, strategy):
+    """Query.exclude_docs drops exactly those doc ids from ONE query's
+    result with ranks re-closed (the in-kernel mechanism more_like_this
+    uses to exclude its source doc), while a sibling query in the same
+    batch is untouched."""
+    from wikitfidf_spark.index.query import Query
+
+    top = [r["term"] for r in idx.dictionary.orderBy(F.desc("df")).limit(1).collect()]
+    base = sorted(
+        idx.topk_batch([Query(0, top, "OR", 6)], strategy=strategy).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(base) >= 3
+    drop = (base[0]["doc_id"], base[2]["doc_id"])
+    got = idx.topk_batch(
+        [Query(0, top, "OR", 4, exclude_docs=drop), Query(1, top, "OR", 3)],
+        strategy=strategy,
+    ).collect()
+    q0 = sorted((r for r in got if r["query_id"] == 0), key=lambda r: r["rank"])
+    q1 = sorted((r for r in got if r["query_id"] == 1), key=lambda r: r["rank"])
+    want = [r["doc_id"] for r in base if r["doc_id"] not in drop][:4]
+    assert [r["doc_id"] for r in q0] == want
+    assert [r["rank"] for r in q0] == list(range(1, len(want) + 1))
+    # sibling query unaffected
+    assert [r["doc_id"] for r in q1] == [r["doc_id"] for r in base[:3]]

@@ -401,7 +401,7 @@ def _taat_eval(
     filtering commutes with concatenation; the AND count check runs
     after either way), without re-decoding per mask."""
     out_q, out_d, out_s = [], [], []
-    for qid, terms, mode, k, exclude, boosts in qspec:
+    for qid, terms, mode, k, exclude, boosts, excl_docs in qspec:
         uniq_terms = sorted(set(terms))
         present = [t for t in uniq_terms if t in decoded]
         if not present:
@@ -430,6 +430,12 @@ def _taat_eval(
             excl_parts = [d for t in exclude if t in decoded for d, _ in decoded[t]]
             if excl_parts:
                 keep = np.isin(docs, np.concatenate(excl_parts), invert=True)
+                docs, scores = docs[keep], scores[keep]
+                if not len(docs):
+                    continue
+        if excl_docs is not None:
+            keep = np.isin(docs, excl_docs, invert=True)
+            if not keep.all():
                 docs, scores = docs[keep], scores[keep]
                 if not len(docs):
                     continue
@@ -489,6 +495,11 @@ class Query:
     # ``rank`` stays the ABSOLUTE rank, so page boundaries agree
     # across requests.
     offset: int = 0
+    # specific doc ids excluded from THIS query's result (more-like-this
+    # drops its own source doc this way).  Applied inside the per-shard
+    # kernel BEFORE the local cut, so ranks come out final — no
+    # ask-k+1-then-re-rank second window.
+    exclude_docs: tuple[int, ...] = ()
 
 
 @dataclass
@@ -626,6 +637,8 @@ class InvertedIndex:
             (
                 q.query_id, list(q.terms), q.mode, q.k + q.offset, tuple(q.exclude),
                 dict(zip(q.terms, (int(b) for b in q.boosts))) if q.boosts else None,
+                np.asarray(sorted(set(map(int, q.exclude_docs))), dtype=np.int64)
+                if q.exclude_docs else None,
             )
             for q in queries
         ]
@@ -657,13 +670,18 @@ class InvertedIndex:
                 return excl_cache[exclude]
 
             out = []
-            for qid, terms, mode, k, exclude, boosts in qspec:
+            for qid, terms, mode, k, exclude, boosts, excl_doc_ids in qspec:
                 rows_q = {t: by_term[t] for t in terms if t in by_term}
                 if not rows_q:
                     continue
                 if mode == "AND" and len(rows_q) < len(set(terms)):
                     continue
                 excluded = excl_docs(exclude) if exclude else None
+                if excl_doc_ids is not None:
+                    excluded = (
+                        excl_doc_ids if excluded is None
+                        else np.union1d(excluded, excl_doc_ids)
+                    )
                 for doc, score in wand_top_k(rows_q, k, mode, allowed_u, excluded, boosts):
                     out.append((qid, doc, score))
             return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
@@ -782,16 +800,34 @@ class InvertedIndex:
             (qid, *(v if isinstance(v, tuple) else (v, 0)))
             for qid, v in kmap.items()
         ]
-        kdf = self.spark.createDataFrame(rows, "query_id int, k int, off int")
-        return (
-            local.withColumn("rank", F.row_number().over(w))
-            .join(F.broadcast(kdf), "query_id")
-            .filter((F.col("rank") > F.col("off")) & (F.col("rank") <= F.col("off") + F.col("k")))
-            .select(
-                "query_id", "doc_id", "score_q",
-                (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
-                "rank",
+        ranked = local.withColumn("rank", F.row_number().over(w))
+        if len(rows) <= 2000:
+            # literal query_id->k/offset maps: a pure projection the
+            # window stage absorbs — saves the per-call createDataFrame
+            # round-trip and broadcast exchange the join path pays.
+            # (A qid missing from the map compares null -> filtered,
+            # same as the inner join; local only ever holds batch qids.)
+            k_expr = F.create_map(
+                *[F.lit(x) for qid, k, _ in rows for x in (qid, k)]
+            )[F.col("query_id")]
+            if any(off for _, _, off in rows):
+                off_expr = F.create_map(
+                    *[F.lit(x) for qid, _, off in rows for x in (qid, off)]
+                )[F.col("query_id")]
+            else:
+                off_expr = F.lit(0)
+            out = ranked.filter(
+                (F.col("rank") > off_expr) & (F.col("rank") <= off_expr + k_expr)
             )
+        else:
+            kdf = self.spark.createDataFrame(rows, "query_id int, k int, off int")
+            out = ranked.join(F.broadcast(kdf), "query_id").filter(
+                (F.col("rank") > F.col("off")) & (F.col("rank") <= F.col("off") + F.col("k"))
+            )
+        return out.select(
+            "query_id", "doc_id", "score_q",
+            (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
+            "rank",
         )
 
     def phrase_topk(
@@ -876,7 +912,7 @@ class InvertedIndex:
                 if not len(allowed):
                     continue
                 out.append(_taat_eval(
-                    decoded, [(qid, terms, "AND", k, (), None)], allowed,
+                    decoded, [(qid, terms, "AND", k, (), None, None)], allowed,
                 ))
             if not out:
                 return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
@@ -1071,26 +1107,32 @@ class InvertedIndex:
             terms = top_terms.get(d)
             if terms:  # a stopword-only doc yields no query
                 src_of[i] = d
-                queries.append(Query(i, terms, "OR", k + 1))
+                # source exclusion rides the kernel (Query.exclude_docs):
+                # the shard cut never sees the source doc, so
+                # topk_batch's ranks are already final — no k+1 ask, no
+                # second rank window over the served rows
+                queries.append(Query(i, terms, "OR", k, exclude_docs=(d,)))
         if not queries:
             return (
                 self._empty_result()
                 .withColumn("src_doc_id", F.lit(None).cast("long"))
                 .select("query_id", "src_doc_id", "doc_id", "score_q", "score", "rank")
             )
-        src_df = self.spark.createDataFrame(
-            [(qid, d) for qid, d in src_of.items()], "query_id int, src_doc_id long"
-        )
-        res = (
-            self.topk_batch(queries, strategy=strategy, predicate=predicate)
-            .join(F.broadcast(src_df), "query_id")
-            .filter(F.col("doc_id") != F.col("src_doc_id"))
-        )
-        w2 = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
-        return (
-            res.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "src_doc_id", "doc_id", "score_q", "score", "rank")
+        res = self.topk_batch(queries, strategy=strategy, predicate=predicate)
+        if len(src_of) <= 2000:
+            # literal qid->source map: labeling is a projection, not a
+            # broadcast-join stage
+            src_expr = F.create_map(
+                *[F.lit(x) for qid, d in src_of.items() for x in (qid, d)]
+            )[F.col("query_id")].cast("long")
+            res = res.withColumn("src_doc_id", src_expr)
+        else:
+            src_df = self.spark.createDataFrame(
+                [(qid, d) for qid, d in src_of.items()], "query_id int, src_doc_id long"
+            )
+            res = res.join(F.broadcast(src_df), "query_id")
+        return res.select(
+            "query_id", "src_doc_id", "doc_id", "score_q", "score", "rank"
         )
 
     # ---------- dictionary services ----------
