@@ -885,8 +885,8 @@ def _split_case_sql() -> str:
 #: the unit-hash SQL shared by both sampling oracles — same md5-hex ->
 #: 60-bit int -> exact /2^60 contract the Spark operator computes
 _UNIT_SQL = (
-    "(('0x' || substr(md5('{seed}|' || doc_id::varchar), 1, 15))::bigint)::double"
-    " / 1152921504606846976.0"
+    "(('0x' || substr(md5('{seed}|' || coalesce(md5(doc_id::varchar), '-')),"
+    " 1, 15))::bigint)::double / 1152921504606846976.0"
 ).format(seed=SPLIT_SEED)
 
 #: per-stratum fraction branches (exact IEEE literals via repr)
@@ -1574,7 +1574,7 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    floor(dot_q::double / (sqrt(norm2_q::double) * sqrt(qnorm2_q::double)) * 1e6 + 0.5) / 1e6 AS cos
             FROM stats CROSS JOIN qn
-            WHERE vec_id != 0
+            WHERE vec_id != 0 AND norm2_q > 0 AND qnorm2_q > 0
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "ann_lsh_topk": f"""
@@ -1603,7 +1603,7 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    floor(dot_q::double / (sqrt(norm2_q::double) * sqrt(qnorm2_q::double)) * 1e6 + 0.5) / 1e6 AS cos
             FROM stats CROSS JOIN qn
-            WHERE vec_id != 0
+            WHERE vec_id != 0 AND norm2_q > 0 AND qnorm2_q > 0
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "ann_ivf_topk": f"""
@@ -1648,7 +1648,7 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    floor(dot_q::double / (sqrt(norm2_q::double) * sqrt(qnorm2_q::double)) * 1e6 + 0.5) / 1e6 AS cos
             FROM stats CROSS JOIN qn
-            WHERE vec_id != 0
+            WHERE vec_id != 0 AND norm2_q > 0 AND qnorm2_q > 0
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "embedding_near_dup": f"""
@@ -1757,7 +1757,8 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "token_counts": f"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS n_ws_tokens,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::bigint AS n_ws_tokens,
                    len(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))::bigint AS n_tokens,
                    len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_REGEX}')))::bigint AS n_distinct_terms
             FROM documents

@@ -149,7 +149,10 @@ def test_export_artifacts_with_lang_profile(spark, tmp_path):
         "doc_id long, lang string, text string",
     )
     out = str(tmp_path / "artifacts_de")
-    ex.export_artifacts(spark, docs, out, ["abhang"], lang="de")
+    # flagged lists are SURFACE words (the reference matches them
+    # against the destemmed representative, post-destem — so the list
+    # rides through the stem dictionary, not straight onto stems)
+    ex.export_artifacts(spark, docs, out, ["abhängen"], lang="de")
     exp = ex.Exporter.from_dir(spark, out)
 
     gw = {r["term"]: r["cf"] for r in exp.global_words().collect()}
@@ -157,7 +160,8 @@ def test_export_artifacts_with_lang_profile(spark, tmp_path):
     # stem 'abhang' (cf 3) destems to the only surface form
     assert gw["abhängen"] == 3
     assert "abhang" not in gw
-    # flagged stem matches every doc containing any surface form
+    # flagged surface word -> its stem -> every doc containing any
+    # surface form of that stem
     flagged = {r["doc_id"] for r in exp.page_badwords().collect()}
     assert flagged == {1, 2}
 

@@ -126,7 +126,7 @@ def test_exporter_chain_with_stemming_destems_words(spark, tmp_path):
     )
     out = str(tmp_path / "artifacts")
     export_artifacts(
-        spark, docs, out, ["walk"], stem_py=stemdict.snowball_lite
+        spark, docs, out, ["walks"], stem_py=stemdict.snowball_lite
     )
     exp = Exporter.from_dir(spark, out)
 
@@ -140,8 +140,9 @@ def test_exporter_chain_with_stemming_destems_words(spark, tmp_path):
     page_terms = {r["term"] for r in exp.pages().collect()}
     assert "walks" in page_terms and "walk" not in page_terms
 
-    # badwords matched against the stemmed tf: flagged 'walk' hits every
-    # doc containing ANY surface form (walking/walked/walks)
+    # flagged lists are SURFACE words mapped through the stem dict
+    # (reference matches them post-destem): flagged 'walks' -> stem
+    # 'walk' -> every doc containing ANY surface form
     flagged_docs = {r["doc_id"] for r in exp.page_badwords().collect()}
     assert flagged_docs == {1, 2, 3}
 

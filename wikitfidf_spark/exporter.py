@@ -191,9 +191,27 @@ def _artifact_frames(
     topic_counts = termstats.topic_term_doc_counts(tf, doc_id=doc_id, topic=topic)
     topics_top = topk.top_n_terms_per_topic(topic_counts, lim.topic_words, topic=topic)
 
-    # BadWordsReport (S16): distinct flagged terms per doc
+    # BadWordsReport (S16): distinct flagged terms per doc.  The
+    # reference runs BadWords AFTER destemming (wikitfidf.go:181-207):
+    # it matches the flagged SURFACE list against each stem's destemmed
+    # representative in the page word map.  With a stemmer active the
+    # tf here is stem-keyed, so map the flagged list into stem space
+    # through the same dictionary first (a stem is flagged iff its
+    # shortest-original representative is flagged) — joining surface
+    # words against stems would silently miss every inflected entry.
+    if dictionary is not None:
+        flagged_join = (
+            dictionary.join(
+                spark.createDataFrame(
+                    [(w,) for w in flagged_terms], "original string"
+                ),
+                "original",
+            ).select(F.col("stem").alias("term"))
+        )
+    else:
+        flagged_join = flagged_terms
     report = bw.badwords_report(
-        tf.select(doc_id, topic, "term", "tf"), doclens, flagged_terms,
+        tf.select(doc_id, topic, "term", "tf"), doclens, flagged_join,
         doc_id=doc_id, topic=topic,
     )
     return {
@@ -202,7 +220,14 @@ def _artifact_frames(
         "topics": topics_top,
         "badwords": report,
         "doclens": doclens,
-        "totals": {"total_tokens": total_tokens, "total_docs": total_docs},
+        # doc_id/topic recorded so the read API (Exporter) resolves the
+        # caller's column names instead of assuming the defaults
+        "totals": {
+            "total_tokens": total_tokens,
+            "total_docs": total_docs,
+            "doc_id": doc_id,
+            "topic": topic,
+        },
         "_tf": tf,
         "_tf_raw": tf_raw,
         "_dictionary": dictionary,
@@ -325,11 +350,30 @@ def write_compat_artifacts(
     # BadW per-word map (badwords.go:148): rows arrive doc-clustered
     # after the sort; every value is 1 — see the docstring quirk note
     def badwords_entries():
-        flagged_df = spark.createDataFrame([(w,) for w in flagged_terms], "term string")
+        # with a stemmer, _tf is stem-keyed: match flagged surface words
+        # via their stems and emit the destemmed representative as the
+        # BadW key — the word the reference's post-destem flow prints
+        if frames["_dictionary"] is not None:
+            flagged_df = (
+                frames["_dictionary"].join(
+                    spark.createDataFrame(
+                        [(w,) for w in flagged_terms], "original string"
+                    ),
+                    "original",
+                ).select(F.col("stem").alias("term"), F.col("original").alias("bad_word"))
+            )
+        else:
+            flagged_df = spark.createDataFrame(
+                [(w, w) for w in flagged_terms], "term string, bad_word string"
+            )
         rows = (
             frames["badwords"]
-            .join(frames["_tf"].select(doc_id, "term").join(F.broadcast(flagged_df), "term"), doc_id)
-            .orderBy(doc_id, "term")
+            .join(
+                frames["_tf"].select(doc_id, "term")
+                .join(F.broadcast(flagged_df), "term"),
+                doc_id,
+            )
+            .orderBy(doc_id, "bad_word")
         )
         cur_id, cur = None, None
         for r in rows.toLocalIterator():
@@ -338,7 +382,7 @@ def write_compat_artifacts(
                     yield cur_id, cur
                 cur_id = r[doc_id]
                 cur = {"TopicID": r[topic], "Abs": int(r["abs"]), "Rel": r["rel"], "BadW": {}}
-            cur["BadW"][r["term"]] = 1
+            cur["BadW"][r["bad_word"]] = 1
         if cur_id is not None:
             yield cur_id, cur
 
@@ -355,6 +399,11 @@ class Exporter:
     def __init__(self, spark: SparkSession, out_dir: str) -> None:
         self.spark = spark
         self.out_dir = out_dir
+
+    @property
+    def _doc_id(self) -> str:
+        # column name recorded at export time (older sidecars lack it)
+        return self.totals().get("doc_id", "doc_id")
 
     # ---- From (exporter.go:32-53): validate artifacts exist
     @classmethod
@@ -375,6 +424,17 @@ class Exporter:
     def _read(self, name: str) -> DataFrame:
         return self.spark.read.json(os.path.join(self.out_dir, name))
 
+    def _read_ordered(self, name: str, *order: tuple[str, bool]) -> DataFrame:
+        """Read + sort by ``(column, descending)`` pairs, tolerating an
+        EMPTY artifact: a JSON write with zero rows has no inferable
+        schema, so its sort columns don't resolve — return the (empty,
+        schema-less) frame unsorted."""
+        df = self._read(name)
+        cols = set(df.columns)
+        if any(c not in cols for c, _ in order):
+            return df
+        return df.orderBy(*[F.desc(c) if d else F.asc(c) for c, d in order])
+
     def totals(self) -> dict:
         import json as _json
 
@@ -388,7 +448,9 @@ class Exporter:
 
     # ---- Q2: pages stream, ascending doc order (exporter.go:119-171)
     def pages(self) -> DataFrame:
-        return self._read(GLOBAL_PAGES_TFIDF).orderBy("doc_id", "rank")
+        return self._read_ordered(
+            GLOBAL_PAGES_TFIDF, (self._doc_id, False), ("rank", False)
+        )
 
     # ---- Q3: topics
     def topics(self) -> DataFrame:
@@ -396,7 +458,9 @@ class Exporter:
 
     # ---- Q4: badwords pages, descending (exporter.go:250)
     def page_badwords(self) -> DataFrame:
-        return self._read(BADWORDS_REPORT).orderBy(F.desc("abs"), F.asc("doc_id"))
+        return self._read_ordered(
+            BADWORDS_REPORT, ("abs", True), (self._doc_id, False)
+        )
 
     # ---- Q5: delete (exporter.go:56-71)
     def delete(self) -> None:

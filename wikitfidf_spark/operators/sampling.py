@@ -36,12 +36,18 @@ _UNIT_DENOM = float(16**15)
 
 
 def unit_hash(key_cols: Sequence[str], seed: int = 0) -> Column:
-    """Uniform deterministic ``double`` in [0, 1) from (seed, keys)."""
-    h = F.md5(
-        F.concat_ws(
-            "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
-        )
-    )
+    """Uniform deterministic ``double`` in [0, 1) from (seed, keys).
+
+    Each key column is md5-hashed BEFORE the join: every part is then
+    fixed-width hex (so the ``|`` delimiter is unambiguous — no
+    ``('a|b', c)`` vs ``('a', 'b|c')`` collisions) and NULL keys map to
+    an explicit sentinel instead of being silently dropped by
+    ``concat_ws`` (which would make (NULL, 'x') and ('x', NULL) — and
+    any key-count mismatch — collide on the same unit)."""
+    parts = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-")) for c in key_cols
+    ]
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), *parts))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") / F.lit(_UNIT_DENOM)
 
 

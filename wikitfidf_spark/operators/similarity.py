@@ -50,7 +50,12 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine to the vector with ``query_id``; excludes
-    the query row; (cos desc, id asc) tie-break, cos rounded to 6."""
+    the query row; (cos desc, id asc) tie-break, cos rounded to 6.
+
+    Vectors that quantize to zero norm carry no cosine signal and are
+    EXCLUDED from the ranking (0/0 would otherwise emit NaN, which
+    Spark's descending sort ranks above every real match).  A zero-norm
+    QUERY vector likewise yields an empty result."""
     qvec = vecs.filter(F.col(id_col) == query_id)
     stats = _quantized_pos_products(vecs, qvec, id_col, vec_col)
     qn = stats.filter(F.col(id_col) == query_id).select(
@@ -59,6 +64,7 @@ def cosine_topk_bruteforce(
     cos = (
         stats.crossJoin(F.broadcast(qn))
         .filter(F.col(id_col) != query_id)
+        .filter((F.col("norm2_q") > 0) & (F.col("qnorm2_q") > 0))
         .select(
             id_col,
             (
@@ -87,9 +93,9 @@ def cosine_topk_arrow(
     matrix product) then a global TakeOrderedAndProject — the shape that
     survives 10^9 vectors (no explode, no shuffle before the cut)."""
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = np.sqrt((q * q).sum())
-
     qn2 = np.floor(q * q * DOT_QUANT + 0.5).astype(np.int64).sum()
+    if qn2 == 0:
+        raise ValueError("query vector quantizes to zero norm — cosine undefined")
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,6 +105,13 @@ def cosine_topk_arrow(
             # int64 sums: the module-wide exact-arithmetic contract
             dots = np.floor(m * q * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
             norms = np.floor(m * m * DOT_QUANT + 0.5).astype(np.int64).sum(axis=1)
+            # zero-norm corpus vectors have no cosine signal: drop them
+            # (0/0 -> NaN, which desc sort would rank ABOVE real matches)
+            live = norms > 0
+            if not live.all():
+                pdf, dots, norms = pdf[live], dots[live], norms[live]
+                if not len(pdf):
+                    continue
             cos = dots / (np.sqrt(norms.astype(np.float64)) * np.sqrt(float(qn2)))
             cos = np.floor(cos * 1e6 + 0.5) / 1e6
             out = pd.DataFrame({id_col: pdf[id_col], "cos": cos})

@@ -22,9 +22,15 @@ def token_counts(docs: DataFrame, *, doc_id: str = "doc_id", text: str = "text")
     """(doc_id, n_ws_tokens, n_tokens, n_distinct_terms): whitespace
     split count vs grammar-token count vs vocabulary size."""
     toks = tokens_col(F.col(text))
+    # split('') returns [''] (one empty element) — empty/whitespace-only
+    # docs must report 0 whitespace tokens, not a phantom 1
+    trimmed = F.trim(F.col(text))
+    ws = F.when(
+        trimmed.isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
     return docs.select(
         F.col(doc_id),
-        F.size(F.split(F.trim(F.col(text)), r"\s+")).alias("n_ws_tokens"),
+        ws.alias("n_ws_tokens"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_terms"),
     )

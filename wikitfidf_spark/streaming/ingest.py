@@ -49,8 +49,18 @@ def ingest_batch(
 
     manifest = load_manifest(index_dir)
     if not manifest.get("paths"):
-        # first batch bootstraps the index (fused-encode fresh build)
-        res = build_index(spark, batch, index_dir, cfg)
+        # first batch bootstraps the index (fused-encode fresh build).
+        # Intra-batch dedup applies HERE too: one trigger can pick up
+        # overlapping source files, and build_index's duplicate guard
+        # would otherwise fail the batch — which the checkpoint then
+        # replays identically forever (a wedged query).
+        boot = batch if not cfg.id_cols else batch.withColumn(
+            "doc_id", F.xxhash64(*cfg.id_cols)
+        )
+        boot = boot.dropDuplicates(["doc_id"])
+        if cfg.id_cols:
+            boot = boot.drop("doc_id")  # build_index re-derives
+        res = build_index(spark, boot, index_dir, cfg)
         return {"action": "bootstrap", "docs": int(res.metrics["total_docs"])}
 
     # effectively-once: drop docs already live OR tombstoned (replays,
