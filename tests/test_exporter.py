@@ -173,3 +173,20 @@ def test_export_artifacts_with_lang_profile(spark, tmp_path):
     exp2 = ex.Exporter.from_dir(spark, out2)
     gw2 = {r["term"]: r["cf"] for r in exp2.global_words().collect()}
     assert gw2["abhängen"] == 3 and "the" not in gw2
+
+
+def test_exporter_custom_doc_id_and_empty_badwords(spark, tmp_path):
+    """The read API resolves the doc_id column recorded at export time
+    (a non-default name previously crashed pages()/page_badwords()),
+    and tolerates an EMPTY badwords artifact (zero rows -> schema-less
+    JSON relation with unresolvable sort columns)."""
+    docs = spark.createDataFrame(
+        [(10, "en", "alpha beta beta"), (11, "en", "gamma alpha")],
+        "page_id long, lang string, text string",
+    )
+    out = str(tmp_path / "artifacts_pageid")
+    ex.export_artifacts(spark, docs, out, [], doc_id="page_id")
+    exp = ex.Exporter.from_dir(spark, out)
+    pages = exp.pages().collect()
+    assert {r["page_id"] for r in pages} == {10, 11}
+    assert exp.page_badwords().count() == 0  # empty artifact, no crash

@@ -456,3 +456,42 @@ def test_term_cooccurrence_min_pair_filter(spark):
     tf = term_frequencies(docs, text="text")
     got = {r["term"] for r in textstats.term_cooccurrence(tf, "target", min_pair_docs=2).collect()}
     assert got == {"alpha"}  # 'solo' co-occurs once, filtered
+
+
+def test_cosine_zero_norm_vectors_excluded(spark, vectors):
+    """Vectors whose elements all quantize to zero (|x| < ~2.24e-5 at
+    DOT_QUANT=1e9) carry no cosine signal: both kernels exclude them
+    instead of emitting NaN (which Spark's desc sort ranks above every
+    real match) — and they stay rank-identical to each other."""
+    import pandas as pd
+
+    zeros = spark.createDataFrame(
+        [(98, [0.0] * 16), (99, [1e-6] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    withz = vectors.unionByName(zeros)
+    brute = [(r["vec_id"], r["cos"]) for r in similarity.cosine_topk_bruteforce(withz, 0, 50).collect()]
+    ids = {i for i, _ in brute}
+    assert 98 not in ids and 99 not in ids and len(brute) == 39
+
+    q = np.array(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    arrow = [(r["vec_id"], r["cos"]) for r in similarity.cosine_topk_arrow(withz.filter("vec_id != 0"), q, 50).collect()]
+    assert arrow == brute
+
+    # a zero-norm QUERY yields an empty exact result / raises in arrow
+    assert similarity.cosine_topk_bruteforce(withz, 99, 5).count() == 0
+    with pytest.raises(ValueError, match="zero norm"):
+        similarity.cosine_topk_arrow(withz, np.zeros(16), 5)
+
+
+def test_token_counts_empty_docs_report_zero_ws_tokens(spark):
+    """split('') returns [''] — empty/whitespace-only/NULL docs must
+    report 0 whitespace tokens, not a phantom 1."""
+    from wikitfidf_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "a b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_ws_tokens"] for r in textstats.token_counts(docs).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 2}

@@ -77,3 +77,21 @@ def test_sampling_plan_is_scan_level(spark, ids):
         ids.withColumn("lang", F.lit("en")), {"en": 0.5}
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_unit_hash_null_keys_and_delimiters_do_not_collide(spark):
+    """Keys are md5-hashed per column before joining: NULLs become an
+    explicit sentinel (concat_ws would silently drop them, colliding
+    (NULL,'x') with ('x',NULL)) and embedded delimiters can't shift
+    between columns (('a|b',c) vs ('a','b|c'))."""
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, "x", None), (3, "a|b", "c"), (4, "a", "b|c")],
+        "rid long, k1 string, k2 string",
+    )
+    vals = [
+        r["u"]
+        for r in df.select(
+            sampling.unit_hash(["k1", "k2"], seed=3).alias("u")
+        ).collect()
+    ]
+    assert len(set(vals)) == 4

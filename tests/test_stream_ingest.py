@@ -114,3 +114,14 @@ def test_partial_replay_adds_only_missing_docs(spark, streamed):
     status = ingest_batch(spark, mixed, idx_dir, CFG)
     assert status["action"] == "add"
     assert status["docs"] == before_docs + n_extra
+
+
+def test_bootstrap_batch_with_duplicate_ids(spark, tmp_path):
+    """The FIRST micro-batch dedups before build_index just like the
+    add path: one trigger picking up overlapping source files must not
+    trip the duplicate-id guard (a failed first batch replays
+    identically from the checkpoint forever — a wedged query)."""
+    docs = make_code_files(spark, n_docs=50, seed=7)
+    dup = docs.unionByName(docs.limit(10))
+    status = ingest_batch(spark, dup, str(tmp_path / "idx_boot_dup"), CFG)
+    assert status == {"action": "bootstrap", "docs": 50}
