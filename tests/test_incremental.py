@@ -422,3 +422,68 @@ def test_more_like_this_during_stale_window(spark, tmp_path):
     idx2 = InvertedIndex(spark, d)
     res2 = idx2.more_like_this(new_id, m=4, k=5).collect()
     assert sibling in {r["doc_id"] for r in res2}
+
+
+def test_stale_add_split_factor_transition_stays_byte_identical(spark, tmp_path):
+    """A deferred add whose delta pushes a hot term's merged-corpus df
+    across a sub-shard split boundary must split the delta's encode the
+    way an exact-mode add would: the split decision uses exact merged
+    df (epoch + un-refreshed generations + delta) even though scores
+    stay epoch-stale.  Otherwise refresh_scores — which rewrites score
+    streams only, never structure bytes — could never converge the
+    deferred index to the exact-mode one."""
+    from wikitfidf_spark.index.build import refresh_scores
+    from wikitfidf_spark.tokenize import tokens_col
+
+    docs = make_code_files(spark, n_docs=400, seed=42).cache()
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4)) == 0
+    base_docs = docs.filter(~split).cache()
+    delta_docs = docs.filter(split).cache()
+
+    df_of = lambda d: {
+        r["term"]: r["df"]
+        for r in d.select(F.explode(F.array_distinct(tokens_col("content"))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    df_all, df_base = df_of(docs), df_of(base_docs)
+    term = max(df_all, key=df_all.get)
+    # threshold placed so the delta crosses the boundary:
+    # df_base <= 2*hot < df_merged
+    hot = (df_base[term] + 1) // 2
+    assert df_base[term] <= 2 * hot < df_all[term], "fixture must cross the boundary"
+    cfg = IndexConfig(n_shards=2, n_salts=2, block_size=32, hot_df_threshold=hot)
+
+    exact_dir = str(tmp_path / "idx_exact_split")
+    stale_dir = str(tmp_path / "idx_stale_split")
+    build_index(spark, base_docs, exact_dir, cfg, resume=False)
+    build_index(spark, base_docs, stale_dir, cfg, resume=False)
+    add_documents(spark, delta_docs, exact_dir)
+    add_documents(spark, delta_docs, stale_dir, refresh_scores=False)
+
+    # precondition: the delta generation really split the hot term —
+    # in BOTH modes (before the df_split fix the stale encode saw only
+    # epoch df and never split)
+    sub = lambda d: postings_view(spark, d).filter(F.col("term") == term) \
+        .agg(F.max("sub_shard").alias("m")).collect()[0]["m"]
+    assert sub(exact_dir) > 0
+    assert sub(stale_dir) > 0
+
+    refresh_scores(spark, stale_dir)
+    assert _postings_rows(spark, exact_dir) == _postings_rows(spark, stale_dir)
+
+
+def test_delete_empty_sequence_is_noop(spark, tmp_path):
+    """delete_documents with nothing to delete must not pay the
+    O(corpus) derived rebuild (dictionary agg + index-wide score map)
+    or bump the version — same guard for the sequence and DataFrame
+    forms."""
+    from wikitfidf_spark.index.build import delete_documents
+
+    d = str(tmp_path / "idx_del_noop")
+    build_index(spark, make_code_files(spark, n_docs=40, seed=3), d, CFG, resume=False)
+    before = load_manifest(d)
+    delete_documents(spark, [], d)
+    delete_documents(spark, spark.createDataFrame([], "doc_id long"), d)
+    after = load_manifest(d)
+    assert after.get("version", 0) == before.get("version", 0)
+    assert after["paths"] == before["paths"]

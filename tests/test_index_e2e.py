@@ -274,6 +274,13 @@ def test_invalid_query_args_raise(spark, built):
         idx.topk_batch([Query(0, ["x"], "OR", 0)]).collect()
     with _pytest.raises(ValueError, match="strategy"):
         idx.topk_batch([Query(0, ["x"], "OR", 5)], strategy="vectorized")
+    # an empty term list in a mixed batch would silently yield no rows
+    # for that qid — indistinguishable from "no matches"
+    with _pytest.raises(ValueError, match="at least one term"):
+        idx.topk_batch([Query(0, ["x"], "OR", 5), Query(1, [], "OR", 5)])
+    # free text that ANALYZES to nothing is an empty result, not an
+    # error (the caller didn't choose the term list)
+    assert idx.search("of at").count() == 0
 
 
 def test_snippets(spark, built, corpus, oracle):

@@ -299,17 +299,25 @@ def encode_structure_df(
         )
     else:
         placed = tf.join(meta.select("doc_id", "doc_len", "shard"), "doc_id")
+    # optional stats column ``df_split``: the sub-shard SPLIT decision
+    # may need a different df than the scoring df — a deferred add
+    # scores against the epoch stats but must split hot terms exactly
+    # like an exact-mode add (merged-corpus df) would, or deferred +
+    # refresh_scores stops being bit-identical to exact mode (refresh
+    # rewrites scores only, never structure bytes)
+    has_split = "df_split" in stats.columns
+    dsplit = F.coalesce(F.col("df_split"), F.col("df")) if has_split else F.col("df")
     enriched = (
         placed
-        .join(stats.select("term", "df"), "term")
+        .join(stats.select("term", "df", *(["df_split"] if has_split else [])), "term")
         .withColumn(
             "sub_shard",
             F.when(
-                F.col("df") > F.lit(hot * n_shards),
+                dsplit > F.lit(hot * n_shards),
                 # ceil: a truncating divide gives factor 1 (= no split)
                 # for df up to 2x the threshold, doubling the intended
                 # per-group memory bound
-                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.ceil(F.col("df") / F.lit(hot * n_shards)).cast("int")),
+                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.ceil(dsplit / F.lit(hot * n_shards)).cast("int")),
             ).otherwise(F.lit(0)).cast("int"),
         )
     )
@@ -1439,9 +1447,10 @@ def _add_stale(
     # known, the delta's own df for brand-new terms (any choice is
     # stale; this one keeps idf finite and monotone — and tracks the
     # merged-corpus df an exact-mode add would use far more closely
-    # than delta-local df), epoch n_docs/avgdl.  Both the sub-shard
-    # split decision and the scores use this one stats frame.  Cost:
-    # O(delta) salted agg + one columnar scan of the epoch dictionary.
+    # than delta-local df), epoch n_docs/avgdl.  The sub-shard split
+    # decision rides the same frame as a separate df_split column with
+    # EXACT merged df (see below).  Cost: O(delta) salted agg + one
+    # columnar scan of the epoch dictionary.
     epoch = manifest.get("score_epoch") or {
         "n_docs": manifest["metrics"]["total_docs"],
         "avgdl": manifest["metrics"]["avgdl"],
@@ -1450,10 +1459,40 @@ def _add_stale(
     stale_dict = spark.read.parquet(
         os.path.join(index_dir, paths["dictionary"])
     ).select("term", F.col("df").alias("df_epoch"))
+    # the sub-shard SPLIT decision must see the df an exact-mode add
+    # would (merged corpus), or deferred+refresh stops being
+    # bit-identical to exact mode: refresh_scores rewrites score
+    # streams only, never structure bytes, so a split-factor divergence
+    # would persist until compaction.  Generations are doc-disjoint, so
+    # merged df = epoch df + df over every un-refreshed generation +
+    # this delta — O(staleness window, bounded by maybe_compact's
+    # max_stale_deltas), never an O(corpus) rescan.
+    n_stale = int(manifest.get("stale_deltas", 0))
+    delta_df = stats_delta.select("term", F.col("df").alias("df_delta"))
+    if n_stale:
+        stale_tf = (
+            spark.read.parquet(
+                *[os.path.join(index_dir, p) for p in paths["tf"][-n_stale:]]
+            )
+            .join(F.broadcast(delta_df.select("term")), "term", "left_semi")
+            .select("term", "doc_id")
+        )
+        df_recent = (
+            tf_new.select("term", "doc_id").unionByName(stale_tf)
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df_recent"))
+        )
+    else:
+        df_recent = delta_df.select("term", F.col("df_delta").alias("df_recent"))
     stats_sc = (
-        stats_delta.select("term", "df")
+        delta_df
         .join(stale_dict, "term", "left")
-        .select("term", F.coalesce("df_epoch", "df").alias("df"))
+        .join(df_recent, "term", "left")
+        .select(
+            "term",
+            F.coalesce("df_epoch", "df_delta").alias("df"),
+            (F.coalesce("df_epoch", F.lit(0)) + F.col("df_recent")).alias("df_split"),
+        )
     )
 
     # ONE fused pass: structure + epoch-stale scores together (the same
@@ -1840,9 +1879,17 @@ def delete_documents(
     version = int(manifest.get("version", 0)) + 1
     t_start = time.time()
 
+    # deleting nothing is a no-op: skip the O(corpus) derived rebuild
+    # (dictionary agg + index-wide score map) and the version bump an
+    # empty tombstone write would otherwise trigger
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.toDF("doc_id").distinct()
+        if ids.isEmpty():
+            return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
     else:
+        doc_ids = list(doc_ids)
+        if not doc_ids:
+            return BuildResult(index_dir=index_dir, metrics=manifest["metrics"])
         ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long").distinct()
 
     meta_old = spark.read.parquet(*[os.path.join(index_dir, p) for p in paths["docmeta"]])

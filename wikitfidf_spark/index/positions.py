@@ -150,11 +150,15 @@ def build_positions(spark: SparkSession, docs: DataFrame, index_dir: str) -> dic
         *[os.path.join(index_dir, p) for p in paths["docmeta"]]
     ).select("doc_id", "shard")
     rel = f"positions_v{int(manifest.get('version', 0))}.parquet"
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
         pos.join(placement, "doc_id")
         .repartition(cfg.n_shards, "shard")
         .sortWithinPartitions("shard", "term", "doc_id")
         .select("shard", "term", "doc_id", "poss")
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
         .write.mode("overwrite").parquet(os.path.join(index_dir, rel))
     )
     # owner map, like structure: incremental adds append a generation
@@ -162,7 +166,7 @@ def build_positions(spark: SparkSession, docs: DataFrame, index_dir: str) -> dic
     manifest["paths"]["positions"] = {str(s): rel for s in paths["structure"]}
     manifest["positions_version"] = int(manifest.get("version", 0))
     manifest["phases"][f"positions_v{manifest['positions_version']}"] = {
-        "rows": 0, "wall_sec": time.time() - t0,
+        "rows": int(obs.get["rows"] or 0), "wall_sec": time.time() - t0,
     }
     _save_manifest(index_dir, manifest)
     return {"path": rel, "wall_sec": time.time() - t0}
@@ -183,22 +187,13 @@ def read_positions(spark: SparkSession, index_dir: str, owned) -> DataFrame:
     never leak, and term-predicate pushdown still reaches every scan
     (the filter lands before the union)."""
     if isinstance(owned, str):
+        # one file owns every shard — whole-file read, no filter needed
         return spark.read.parquet(os.path.join(index_dir, owned)).select(
             "shard", "term", "doc_id", "poss"
         )
-    by_path: dict[str, list[int]] = {}
-    for s, rel in owned.items():
-        by_path.setdefault(rel, []).append(int(s))
-    parts = [
-        spark.read.parquet(os.path.join(index_dir, rel))
-        .filter(F.col("shard").isin(shards))
-        .select("shard", "term", "doc_id", "poss")
-        for rel, shards in sorted(by_path.items())
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from .build import _read_owned
+
+    return _read_owned(spark, index_dir, owned, ["shard", "term", "doc_id", "poss"])
 
 
 def extend_positions_for_delta(
@@ -324,8 +319,15 @@ def verify_phrase_grouped(
             return np.empty(0, dtype=np.int64)
 
     # compact doc index so (doc << 32 | pos) packs into int64 without
-    # overflow (doc_id itself is a full-range xxhash64)
+    # overflow (doc_id itself is a full-range xxhash64).  Memoized per
+    # unique term: a phrase with repeats ("to be or not to be") would
+    # otherwise redo the dominating position-concatenate per occurrence
+    _enc_cache: dict[str, np.ndarray] = {}
+
     def encoded(term: str) -> np.ndarray:
+        hit = _enc_cache.get(term)
+        if hit is not None:
+            return hit
         rows = by_term[term]
         docs = doc_arrs[term]
         idx = np.searchsorted(common, docs)
@@ -337,7 +339,9 @@ def verify_phrase_grouped(
         poss = np.concatenate(
             [np.asarray(rows[i][1], dtype=np.int64) for i in sel]
         )
-        return (np.repeat(idx[sel], lens) << 32) | poss
+        out = (np.repeat(idx[sel], lens) << 32) | poss
+        _enc_cache[term] = out
+        return out
 
     # positions within one doc are < 2^32, so the +d shifts below never
     # carry into the doc-index bits

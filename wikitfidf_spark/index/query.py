@@ -366,24 +366,38 @@ def _taat_kernel(
     each (term, sub_shard) list exactly once, mask to ``allowed_u`` if
     given, then per query np.unique + add.at + lexsort top-k with exact
     (score desc, doc asc) tie-break."""
-    return _taat_eval(_decode_shard(pdf, allowed_u), qspec)
+    scored = {t for _, terms, *_ in qspec for t in terms}
+    excl_only = {
+        t for _, _, _, _, exclude, _, _ in qspec for t in exclude
+    } - scored
+    return _taat_eval(_decode_shard(pdf, allowed_u, excl_only or None), qspec)
 
 
 def _decode_shard(
-    pdf: pd.DataFrame, allowed_u: "np.ndarray | None" = None
+    pdf: pd.DataFrame,
+    allowed_u: "np.ndarray | None" = None,
+    membership_only: "set[str] | None" = None,
 ) -> dict[str, list[tuple[np.ndarray, np.ndarray]]]:
     """Decode one shard's posting rows once — term → [(docs, scores)]
     per sub-shard list — optionally masked to ``allowed_u``.  Callers
     with PER-QUERY doc masks (the phrase batch) decode unmasked once
     and pass each query's mask to :func:`_taat_eval` instead, so a
-    term shared by many queries is decoded exactly once per shard."""
+    term shared by many queries is decoded exactly once per shard.
+    ``membership_only`` terms (exclude-only: never scored by any query
+    in the batch) skip the score varint stream entirely — same reason
+    the WAND path uses the membership-only decode for its must_not
+    masks; their entries carry ``scores=None``."""
     decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
     for r in _merged_lists(pdf):
-        docs, scores = codec.decode_docs_scores(r)
+        if membership_only and r["term"] in membership_only:
+            docs, scores = codec.decode_doc_ids(r), None
+        else:
+            docs, scores = codec.decode_docs_scores(r)
         if allowed_u is not None:
             keep = np.isin(docs, allowed_u)
             if not keep.all():
-                docs, scores = docs[keep], scores[keep]
+                docs = docs[keep]
+                scores = scores[keep] if scores is not None else None
             if not len(docs):
                 continue
         decoded.setdefault(r["term"], []).append((docs, scores))
@@ -601,6 +615,11 @@ class InvertedIndex:
             raise ValueError(f"unknown strategy {strategy!r}: use 'taat' or 'wand'")
         _check_unique_qids(q.query_id for q in queries)
         for q in queries:
+            if not q.terms:
+                # an empty term list would silently yield zero rows for
+                # this qid — indistinguishable from "no matches"; the
+                # sibling entry points (snippets, phrase_topk) raise too
+                raise ValueError(f"query {q.query_id}: needs at least one term")
             if q.mode not in ("OR", "AND"):
                 raise ValueError(f"query {q.query_id}: unknown mode {q.mode!r}: use 'OR' or 'AND'")
             if q.k < 1:
@@ -738,9 +757,15 @@ class InvertedIndex:
         self, text: str, k: int = 10, mode: str = "OR", strategy: str = "taat"
     ) -> DataFrame:
         """Free-text top-k: ``analyze`` the query through the index's
-        own normalization, then serve it like any term query."""
+        own normalization, then serve it like any term query.  Text
+        that normalizes to NOTHING (stopwords/short tokens only) is an
+        empty result, not an error — unlike the term APIs, the caller
+        didn't choose the term list."""
+        terms = self.analyze(text)
+        if not terms:
+            return self._empty_result().drop("query_id")
         return self.topk_batch(
-            [Query(0, self.analyze(text), mode, k)], strategy=strategy
+            [Query(0, terms, mode, k)], strategy=strategy
         ).drop("query_id")
 
     def analyze_ordered(self, text: str) -> list[str]:
