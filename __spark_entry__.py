@@ -399,9 +399,10 @@ def q_index_filtered_wand_topk(spark, sf_dir):
     """Metadata-filtered BM25 top-k through the ENGINE's block-max WAND
     path: the allowed docmeta ids cogroup with the posting shards and
     WAND snaps its pivot targets to the next allowed doc — selective
-    filters ADD skip distance instead of costing a post-filter.  AND
-    mode over the flagship terms restricted to topic 'zh'; the oracle
-    checks rank AND score against the relational SQL formulation."""
+    filters ADD skip distance instead of costing a post-filter.  OR
+    mode over the flagship terms restricted to topic 'zh' (matching
+    the registered oracle); the oracle checks rank AND score against
+    the relational SQL formulation."""
     from wikitfidf_spark.index.query import Query
 
     idx = _cached_index(spark, sf_dir)

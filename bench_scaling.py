@@ -124,7 +124,11 @@ def measure_bandwidth(n_procs: int, reps: int = 3) -> float:
     samples = []
     for _ in range(reps):
         with mp.Pool(n_procs) as p:
-            p.map(_stream_triad, [1_000])  # warm the pool (fork + import)
+            # warm EVERY worker (fork + numpy import + allocator), not
+            # just one — a single-item map leaves n_procs-1 workers
+            # paying those costs inside the timed window, deflating the
+            # 4N level more than N
+            p.map(_stream_triad, [1_000] * n_procs)
             t0 = _t.time()
             p.map(_stream_triad, [TRIAD_N] * n_procs)
             samples.append(n_procs * TRIAD_BYTES / (_t.time() - t0) / 1e9)

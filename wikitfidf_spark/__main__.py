@@ -52,7 +52,7 @@ def _parse_args(argv):
     p.add_argument("--input", required=True,
                    help="source: path (parquet/json/...) or table identifier")
     p.add_argument("--format", default=None,
-                   help="source format (default: parquet, or $WIKITFIDF_SOURCE_FORMAT)")
+                   help="source format (default: parquet, or $SPARK_GRAFT_SOURCE_FORMAT)")
     p.add_argument("--page-col", default="doc_id", help="page/document id column")
     p.add_argument("--topic-col", default="lang", help="topic column")
     p.add_argument("--text-col", default="text", help="text column")

@@ -30,7 +30,10 @@ def get_spark(
       BASELINE.json:input_hint).
     - UTC session timezone: required for DuckDB-oracle comparisons.
     """
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    # empty SPARK_GRAFT_CPUS (unset shell interpolation) must fall back
+    # like unset — "local[]" is not a parseable master URL
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % cpus)
     if shuffle_partitions is None:
         # match parallelism: local[N] -> N, local[N,F] -> N (the second
         # field is maxFailures), local[*] -> cpu count
