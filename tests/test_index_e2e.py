@@ -341,3 +341,64 @@ def test_more_like_this(spark, built, oracle):
     assert all(d != src for d, _ in got)
     with pytest.raises(ValueError, match="not live"):
         idx.more_like_this(123456789, m=m, k=k)
+
+
+def test_randomized_feature_differential(spark, built, oracle):
+    """End-to-end randomized differential over the FULL query feature
+    surface (mode x exclude x boosts x offset): TAAT and WAND must be
+    row-identical to each other AND to a transparent pure-Python BM25
+    oracle, per seeded batch.  Complements test_wand_randomized (kernel
+    level) by driving the whole serve path — shard cogroup, sub-shard
+    merge, membership-only exclude decode, pagination windows."""
+    import random
+
+    tfs, dls, dfc, n, avgdl = oracle
+    vocab = sorted(dfc)
+    idx = InvertedIndex(spark, IDX_DIR)
+
+    def py_oracle(q: Query):
+        uniq = sorted(set(q.terms))
+        boost = dict(zip(q.terms, q.boosts)) if q.boosts else {}
+        out = {}
+        for d, c in tfs.items():
+            present = [t for t in uniq if t in c]
+            if not present or (q.mode == "AND" and len(present) < len(uniq)):
+                continue
+            if any(t in c for t in q.exclude):
+                continue
+            out[d] = sum(
+                bm25_quantized_py(c[t], dls[d], dfc[t], n, avgdl)
+                * boost.get(t, 1)
+                for t in present
+            )
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [
+            (q.query_id, d, s, r + 1)
+            for r, (d, s) in enumerate(ranked)
+        ][q.offset : q.offset + q.k]
+
+    rng = random.Random(1234)
+    for batch_no in range(3):
+        queries = []
+        for qid in range(12):
+            n_terms = rng.randint(1, 4)
+            terms = rng.sample(vocab, n_terms)
+            mode = rng.choice(["OR", "AND"])
+            k = rng.choice([1, 5, 20])
+            exclude = tuple(
+                t for t in rng.sample(vocab, rng.randint(0, 2)) if t not in terms
+            )
+            boosts = (
+                tuple(rng.randint(1, 5) for _ in terms)
+                if rng.random() < 0.5 else ()
+            )
+            offset = rng.choice([0, 0, 0, 3])
+            queries.append(Query(qid, terms, mode, k,
+                                 exclude=exclude, boosts=boosts, offset=offset))
+        expected = sorted(r for q in queries for r in py_oracle(q))
+        for strategy in ("taat", "wand"):
+            got = sorted(
+                (r["query_id"], r["doc_id"], r["score_q"], r["rank"])
+                for r in idx.topk_batch(queries, strategy=strategy).collect()
+            )
+            assert got == expected, (batch_no, strategy)
