@@ -445,3 +445,53 @@ def test_phrase_topk_batch_equals_per_call(spark, built):
         for r in idx.phrase_topk(q.terms, q.k, slop=q.slop).collect():
             want.add((q.query_id, r["doc_id"], r["score_q"], r["rank"]))
     assert got == want and got  # identical and non-empty
+
+
+def test_phrase_batch_randomized_vs_python_oracle(spark, built):
+    """Randomized multi-phrase batches (real in-corpus n-grams mixed
+    with shuffled non-phrases, 2-4 terms, slop 0-2, repeats included)
+    against a pure-Python chained-window proximity oracle — drives the
+    batch cogroup kernel, the shared per-term decode memo, and the
+    doc-set pre-intersection across heterogeneous phrases at once."""
+    import random
+
+    from wikitfidf_spark.index.query import InvertedIndex, PhraseQuery
+
+    docs, d = built
+    rows = docs.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).select(
+        "doc_id", "content"
+    ).collect()
+    toks_by_doc = {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+
+    def match(toks, terms, slop):
+        # the kernel's semantics: each adjacent gap in [1, slop+1]
+        cur = {i for i, t in enumerate(toks) if t == terms[0]}
+        for t in terms[1:]:
+            nxt = {i for i, t2 in enumerate(toks) if t2 == t}
+            cur = {i + g for i in cur for g in range(1, slop + 2) if i + g in nxt}
+            if not cur:
+                return False
+        return True
+
+    rng = random.Random(77)
+    ids = sorted(toks_by_doc)
+    phrases = []
+    for qid in range(10):
+        toks = toks_by_doc[rng.choice(ids)]
+        start = rng.randrange(max(1, len(toks) - 5))
+        terms = toks[start:start + rng.randint(2, 4)]
+        if len(terms) < 2:
+            terms = toks[:2]
+        if qid % 3 == 2:
+            rng.shuffle(terms)  # likely a non-phrase — empty results OK
+        phrases.append(PhraseQuery(qid, terms, k=10_000, slop=rng.choice([0, 1, 2])))
+
+    got: dict[int, set] = {q.query_id: set() for q in phrases}
+    idx = InvertedIndex(spark, d)
+    for r in idx.phrase_topk_batch(phrases).collect():
+        got[r["query_id"]].add(r["doc_id"])
+    for q in phrases:
+        want = {
+            did for did, toks in toks_by_doc.items() if match(toks, q.terms, q.slop)
+        }
+        assert got[q.query_id] == want, (q.query_id, q.terms, q.slop)
