@@ -487,3 +487,65 @@ def test_delete_empty_sequence_is_noop(spark, tmp_path):
     after = load_manifest(d)
     assert after.get("version", 0) == before.get("version", 0)
     assert after["paths"] == before["paths"]
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_randomized_update_lifecycle_converges(spark, tmp_path, seed):
+    """Fuzz the whole update state machine: a seeded random sequence of
+    exact adds, deferred adds, deletes, refreshes and mid-sequence
+    compactions over disjoint doc slices must end — after a final
+    refresh + compact — byte-identical to a fresh build over exactly
+    the surviving documents.  Complements the targeted invariants
+    (split-factor transitions, staleness convergence, tombstone
+    re-encode) by composing them in random orders."""
+    import random
+
+    from wikitfidf_spark.index.build import (
+        compact, delete_documents, refresh_scores,
+    )
+
+    rng = random.Random(seed)
+    docs = make_code_files(spark, n_docs=360, seed=42).cache()
+    did = F.xxhash64("repo", "path", "commit")
+    slice_of = F.pmod(did, F.lit(6))
+    slices = [docs.filter(slice_of == i).cache() for i in range(6)]
+    ids_of = lambda df: {int(r["i"]) for r in df.select(did.alias("i")).collect()}
+
+    d = str(tmp_path / f"idx_fuzz_{seed}")
+    build_index(spark, slices[0], d, CFG, resume=False)
+    live = set(ids_of(slices[0]))
+    deleted: set[int] = set()
+    pool = list(range(1, 6))  # unadded slices
+    rng.shuffle(pool)
+
+    ops = 0
+    while pool or ops < 6:
+        choice = rng.choice(["add", "add_deferred", "delete", "refresh", "compact"])
+        ops += 1
+        if ops > 12:
+            break
+        if choice in ("add", "add_deferred") and pool:
+            s = slices[pool.pop()]
+            add_documents(spark, s, d, refresh_scores=(choice == "add"))
+            live |= ids_of(s)
+        elif choice == "delete":
+            # never re-deletes and never deletes below 20 docs
+            candidates = sorted(live - deleted)
+            if len(candidates) > 30:
+                kill = rng.sample(candidates, rng.randint(1, 10))
+                delete_documents(spark, kill, d)
+                live -= set(kill)
+                deleted |= set(kill)
+        elif choice == "refresh":
+            refresh_scores(spark, d)
+        elif choice == "compact":
+            compact(spark, d)
+
+    refresh_scores(spark, d)
+    compact(spark, d)
+
+    fresh_dir = str(tmp_path / f"idx_fuzz_fresh_{seed}")
+    survivors = docs.filter(did.isin([int(x) for x in sorted(live)]))
+    build_index(spark, survivors, fresh_dir, CFG, resume=False)
+    assert load_manifest(d)["metrics"]["total_docs"] == len(live)
+    assert _postings_rows(spark, fresh_dir) == _postings_rows(spark, d)
