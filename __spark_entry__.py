@@ -52,7 +52,9 @@ EMB_DIM = 64                                   # embeddings.parquet vector dim (
 HYBRID_M = 50                                  # BM25 candidate pool for hybrid rerank
 RRF_K = 60                                     # reciprocal-rank-fusion constant (standard)
 PREFIX_Q = "s"                                 # dictionary prefix-search probe
+PREFIX_Q2 = "c"                                # second panel of the batch probe
 SUGGEST_Q = "par"                              # fuzzy-suggest probe (near 'part', 'spark', ...)
+SUGGEST_Q2 = "cod"                             # second panel of the batch probe
 SUGGEST_DIST = 2                               # max Levenshtein distance for suggest
 
 
@@ -625,6 +627,26 @@ def q_index_suggest_indexed(spark, sf_dir):
     return suggest_indexed(spark, idx.index_dir, SUGGEST_Q, SUGGEST_DIST, 10)
 
 
+def q_index_prefix_batch(spark, sf_dir):
+    """Two autocomplete panels served in ONE job
+    (InvertedIndex.prefix_terms_batch): the prefix panel broadcasts
+    against the O(vocab) dictionary with a StartsWith theta-join and
+    one rank window per panel replaces the per-call TakeOrdered —
+    row-identical per panel to index_prefix_terms."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.prefix_terms_batch([(0, PREFIX_Q), (1, PREFIX_Q2)], n=10)
+
+
+def q_index_suggest_batch(spark, sf_dir):
+    """Two fuzzy-suggest panels in ONE job
+    (InvertedIndex.suggest_batch): the Levenshtein length band rides
+    the broadcast theta-join condition so the O(len²) edit distance
+    only runs on banded (term, query) pairs — row-identical per panel
+    to index_fuzzy_suggest."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.suggest_batch([(0, SUGGEST_Q), (1, SUGGEST_Q2)], SUGGEST_DIST, 10)
+
+
 def q_index_facet_counts(spark, sf_dir):
     """Facet counts over the OR-match set of the flagship terms: live
     matching docs per topic (the aggregation panel next to search
@@ -991,6 +1013,8 @@ FOLDED_QUERIES = frozenset({
     "frame_samples",           # multimodal_features keeps the family's row
     "resize_payload",          # multimodal_features keeps the family's row
     "events_dedup",            # DISTINCT anchor; streaming family keeps 2 rows
+    "index_prefix_batch",      # batch formulation of index_prefix_terms
+    "index_suggest_batch",     # batch formulation of index_fuzzy_suggest
 })
 
 
@@ -1024,7 +1048,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_delete_topk": q_index_delete_topk,
         "index_merged_topk": q_index_merged_topk,
         "index_prefix_terms": q_index_prefix_terms,
+        "index_prefix_batch": q_index_prefix_batch,
         "index_fuzzy_suggest": q_index_fuzzy_suggest,
+        "index_suggest_batch": q_index_suggest_batch,
         "index_suggest_indexed": q_index_suggest_indexed,
         "index_facet_counts": q_index_facet_counts,
         "index_not_topk": q_index_not_topk,
@@ -1337,7 +1363,35 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE term LIKE '{PREFIX_Q}%'
             ORDER BY df DESC, term ASC LIMIT 10
         """,
+        "index_prefix_batch": f"""
+            WITH {_TOK_CTE},
+            st AS (SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf FROM tf GROUP BY 1)
+            SELECT * FROM (
+              SELECT 0::int AS query_id, term, df, cf FROM st
+              WHERE term LIKE '{PREFIX_Q}%' ORDER BY df DESC, term ASC LIMIT 10
+            ) UNION ALL SELECT * FROM (
+              SELECT 1::int AS query_id, term, df, cf FROM st
+              WHERE term LIKE '{PREFIX_Q2}%' ORDER BY df DESC, term ASC LIMIT 10
+            )
+        """,
         "index_fuzzy_suggest": _SUGGEST_ORACLE,
+        "index_suggest_batch": f"""
+            WITH {_TOK_CTE},
+            st AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1)
+            SELECT * FROM (
+              SELECT 0::int AS query_id, term,
+                     levenshtein(term, '{SUGGEST_Q}')::int AS dist, df FROM st
+              WHERE abs(length(term) - {len(SUGGEST_Q)}) <= {SUGGEST_DIST}
+                AND levenshtein(term, '{SUGGEST_Q}') <= {SUGGEST_DIST}
+              ORDER BY dist ASC, df DESC, term ASC LIMIT 10
+            ) UNION ALL SELECT * FROM (
+              SELECT 1::int AS query_id, term,
+                     levenshtein(term, '{SUGGEST_Q2}')::int AS dist, df FROM st
+              WHERE abs(length(term) - {len(SUGGEST_Q2)}) <= {SUGGEST_DIST}
+                AND levenshtein(term, '{SUGGEST_Q2}') <= {SUGGEST_DIST}
+              ORDER BY dist ASC, df DESC, term ASC LIMIT 10
+            )
+        """,
         # the indexed (SymSpell) path must equal the scan semantics
         "index_suggest_indexed": _SUGGEST_ORACLE,
         "index_facet_counts": f"""

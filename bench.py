@@ -237,11 +237,11 @@ def main() -> None:
     # families — batched top-k, phrase, facets, dictionary suggest,
     # more-like-this — so serving regressions in the non-WAND paths
     # are visible, with the same warm-up/median/stability protocol.
-    # Counts: 60 batched top-k + 10 each of the other four.  Phrase,
-    # facets and MLT run through their batch APIs (phrase_topk_batch /
-    # facet_counts_batch / more_like_this_batch): one Spark job per
-    # family per pass — the serving shape; suggest stays per-call (a
-    # single TakeOrdered over the dictionary each, no batch to win).
+    # Counts: 60 batched top-k + 10 each of the other four.  Every
+    # family runs through its batch API (phrase_topk_batch /
+    # facet_counts_batch / more_like_this_batch / prefix_terms_batch /
+    # suggest_batch): one or two Spark jobs per family per pass — the
+    # serving shape.
     from wikitfidf_spark.index.positions import build_positions
     from wikitfidf_spark.index.query import PhraseQuery
     from wikitfidf_spark.tokenize import tokenize_py
@@ -283,10 +283,12 @@ def main() -> None:
         ).count()
         fam["facet10"] = time.time() - t0
         t0 = time.time()
-        for t in hot[:5]:
-            idx.prefix_terms(t[:3], 10).count()
-        for t in hot[5:]:
-            idx.suggest(t, max_dist=1, n=10).count()
+        idx.prefix_terms_batch(
+            [(i, t[:3]) for i, t in enumerate(hot[:5])], n=10
+        ).count()
+        idx.suggest_batch(
+            [(i, t) for i, t in enumerate(hot[5:])], max_dist=1, n=10
+        ).count()
         fam["suggest10"] = time.time() - t0
         t0 = time.time()
         idx.more_like_this_batch(mlt_ids, m=8, k=10).count()

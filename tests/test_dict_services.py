@@ -87,6 +87,48 @@ def test_suggest_exact_hit_ranks_first(idx, py_stats):
     assert got[0]["term"] == term and got[0]["dist"] == 0
 
 
+def test_prefix_terms_batch_equals_per_call(idx):
+    # one keystroke tick's panels: hits, a no-match prefix, a 1-char one
+    prefixes = [(0, "re"), (1, "arg_"), (2, "zzzznope"), (3, "m")]
+    got = idx.prefix_terms_batch(prefixes, n=7).collect()
+    by_qid: dict[int, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append((r["term"], r["df"], r["cf"]))
+    for qid, p in prefixes:
+        want = [(r["term"], r["df"], r["cf"]) for r in idx.prefix_terms(p, 7).collect()] \
+            if p else []
+        assert by_qid.get(qid, []) == want, f"prefix panel {qid} ({p!r}) diverged"
+    assert 2 not in by_qid  # no-match prefix yields no rows, not an error
+
+
+def test_prefix_terms_batch_guards(idx):
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.prefix_terms_batch([(0, "re"), (0, "ma")])
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.prefix_terms_batch([(0, "re"), (1, "")])
+
+
+def test_suggest_batch_equals_per_call(idx, py_stats):
+    _, _, dfc, _ = py_stats
+    hot = max(dfc, key=lambda t: (dfc[t], t))
+    queries = [(0, "arg_ctx"), (1, hot), (2, "qqqqqqqqqqqq")]
+    got = idx.suggest_batch(queries, max_dist=2, n=8).collect()
+    by_qid: dict[int, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append((r["term"], r["dist"], r["df"]))
+    for qid, q in queries:
+        want = [(r["term"], r["dist"], r["df"]) for r in idx.suggest(q, 2, 8).collect()]
+        assert by_qid.get(qid, []) == want, f"suggest panel {qid} ({q!r}) diverged"
+    assert by_qid[1][0] == (hot, 0, dfc[hot])  # exact hit still ranks first
+
+
+def test_suggest_batch_guards(idx):
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.suggest_batch([(1, "a"), (1, "b")])
+    with pytest.raises(ValueError, match="max_dist"):
+        idx.suggest_batch([(0, "a")], max_dist=-1)
+
+
 def test_facet_counts_matches_oracle(idx, py_stats):
     tfs, langs, _, _ = py_stats
     terms = ["map_lock5", "code_get93", "set_repo74"]
@@ -203,6 +245,31 @@ def test_suggest_indexed_equals_scan(spark, idx, py_stats):
             for r in suggest_indexed(spark, IDX_DIR, q, d, 10).collect()
         ]
         assert fast == scan, (q, d)
+
+
+def test_suggest_indexed_batch_equals_per_call(spark, idx):
+    from wikitfidf_spark.index.suggest import (
+        build_suggest_index,
+        suggest_indexed,
+        suggest_indexed_batch,
+    )
+
+    build_suggest_index(spark, IDX_DIR, max_dist=2)
+    queries = [(0, "arg_ctx"), (1, "core_get_ctx"), (2, "zzzz")]
+    got = suggest_indexed_batch(spark, IDX_DIR, queries, max_dist=2, n=10).collect()
+    by_qid: dict[int, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append((r["term"], r["dist"], r["df"]))
+    for qid, q in queries:
+        want = [
+            (r["term"], r["dist"], r["df"])
+            for r in suggest_indexed(spark, IDX_DIR, q, 2, 10).collect()
+        ]
+        assert by_qid.get(qid, []) == want, (qid, q)
+    with pytest.raises(ValueError, match="duplicate"):
+        suggest_indexed_batch(spark, IDX_DIR, [(0, "a"), (0, "b")])
+    with pytest.raises(ValueError, match="max_dist"):
+        suggest_indexed_batch(spark, IDX_DIR, [(0, "arg_ctx")], max_dist=3)
 
 
 def test_suggest_indexed_guards(spark, idx):

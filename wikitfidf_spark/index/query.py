@@ -1179,6 +1179,33 @@ class InvertedIndex:
             .limit(n)
         )
 
+    def prefix_terms_batch(
+        self, prefixes: Sequence[tuple[int, str]], n: int = 10
+    ) -> DataFrame:
+        """Prefix search for a batch of (query_id, prefix) panels in ONE
+        job → (query_id, term, df, cf) — the autocomplete serving shape
+        (one keystroke tick fans out many live prefix panels).  Plan:
+        the prefix panel broadcasts against the O(vocab) dictionary
+        with a ``StartsWith`` theta-join (vocab × |batch| predicate
+        evaluations, whole-stage codegen — no Python, no shuffle of the
+        vocabulary), then one rank window per query replaces the
+        per-call TakeOrdered.  Row-identical to :meth:`prefix_terms`
+        per query (same (df desc, term asc) cut)."""
+        prefixes = [(int(qid), p) for qid, p in prefixes]
+        _check_unique_qids(qid for qid, _ in prefixes)
+        if any(not p for _, p in prefixes):
+            raise ValueError("prefix must be non-empty (the full dictionary is .dictionary)")
+        pdf = self.spark.createDataFrame(prefixes, "query_id int, prefix string")
+        w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+        return (
+            self.dictionary.select("term", "df", "cf")
+            .join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.lit(n))
+            .select("query_id", "term", "df", "cf")
+            .orderBy("query_id", F.desc("df"), F.asc("term"))
+        )
+
     def suggest(self, query_term: str, max_dist: int = 1, n: int = 10) -> DataFrame:
         """Spell-suggest over the term dictionary: terms within
         ``max_dist`` Levenshtein edits of ``query_term``, ranked
@@ -1200,6 +1227,39 @@ class InvertedIndex:
             .select("term", "dist", "df")
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
             .limit(n)
+        )
+
+    def suggest_batch(
+        self, queries: Sequence[tuple[int, str]], max_dist: int = 1, n: int = 10
+    ) -> DataFrame:
+        """Spell-suggest for a batch of (query_id, term) lookups in ONE
+        job → (query_id, term, dist, df).  The length band
+        ``|len(term) − len(q)| ≤ max_dist`` rides the broadcast
+        theta-join condition, so the O(len²) ``levenshtein`` only runs
+        on banded (term, query) pairs — all JVM codegen, one dictionary
+        scan for the whole batch instead of one per call.  Row-identical
+        to :meth:`suggest` per query (same (dist asc, df desc, term
+        asc) cut)."""
+        if max_dist < 0:
+            raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+        queries = [(int(qid), q) for qid, q in queries]
+        _check_unique_qids(qid for qid, _ in queries)
+        qdf = self.spark.createDataFrame(queries, "query_id int, q string")
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
+        )
+        return (
+            self.dictionary.select("term", "df")
+            .join(
+                F.broadcast(qdf),
+                F.abs(F.length("term") - F.length("q")) <= F.lit(max_dist),
+            )
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("q")))
+            .filter(F.col("dist") <= F.lit(max_dist))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.lit(n))
+            .select("query_id", "term", "dist", "df")
+            .orderBy("query_id", F.asc("dist"), F.desc("df"), F.asc("term"))
         )
 
     def facet_counts(self, terms: Sequence[str], facet: str = "topic") -> DataFrame:

@@ -109,16 +109,11 @@ def build_suggest_index(
     return {"path": rel, "wall_sec": time.time() - t0}
 
 
-def suggest_indexed(
-    spark: SparkSession,
-    index_dir: str,
-    query_term: str,
-    max_dist: int = 1,
-    n: int = 10,
+def _open_suggest_table(
+    spark: SparkSession, index_dir: str, max_dist: int
 ) -> DataFrame:
-    """Fuzzy suggest through the deletion-neighborhood index —
-    identical results to the scan path (tests + the driver oracle
-    assert it), O(candidates) instead of O(vocab) per query."""
+    """Validate the manifest's suggest artifact against the live
+    dictionary version and the asked distance, and open it."""
     manifest = load_manifest(index_dir)
     paths = index_paths(manifest)
     rel = paths.get("suggest")
@@ -134,8 +129,21 @@ def suggest_indexed(
         raise ValueError(
             f"suggest index was built for max_dist <= {built_d}, asked {max_dist}"
         )
+    return spark.read.parquet(os.path.join(index_dir, rel))
+
+
+def suggest_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_term: str,
+    max_dist: int = 1,
+    n: int = 10,
+) -> DataFrame:
+    """Fuzzy suggest through the deletion-neighborhood index —
+    identical results to the scan path (tests + the driver oracle
+    assert it), O(candidates) instead of O(vocab) per query."""
     qkeys = sorted(_deletes_py(query_term, max_dist))
-    tbl = spark.read.parquet(os.path.join(index_dir, rel))
+    tbl = _open_suggest_table(spark, index_dir, max_dist)
     return (
         tbl.filter(F.col("key").isin(qkeys))
         .select("term", "df").distinct()
@@ -144,4 +152,53 @@ def suggest_indexed(
         .select("term", "dist", "df")
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(n)
+    )
+
+
+def suggest_indexed_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: "list[tuple[int, str]]",
+    max_dist: int = 1,
+    n: int = 10,
+) -> DataFrame:
+    """Indexed fuzzy suggest for a batch of (query_id, term) lookups in
+    ONE job → (query_id, term, dist, df) — row-identical per query to
+    :func:`suggest_indexed` (same candidate set, same (dist asc, df
+    desc, term asc) cut).
+
+    Plan: every query's deletion neighborhood is generated driver-side
+    (tiny, O(len^d) strings each) into one broadcast (key, query_id)
+    panel; ONE equi-join against the key-sorted table replaces the
+    per-call ``isin`` point lookups, candidates dedupe per (query_id,
+    term), the exact ``levenshtein`` verifies against the query string
+    carried on the panel, and one rank window per query replaces the
+    per-call TakeOrdered.  The table side stays O(candidates of the
+    whole batch); shared keys between queries are scanned once."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    queries = [(int(qid), q) for qid, q in queries]
+    seen: set[int] = set()
+    dups = {qid for qid, _ in queries if qid in seen or seen.add(qid)}
+    if dups:
+        raise ValueError(f"duplicate query_id(s) in batch: {sorted(dups)}")
+    tbl = _open_suggest_table(spark, index_dir, max_dist)
+    panel = spark.createDataFrame(
+        [(qid, key, q) for qid, q in queries for key in sorted(_deletes_py(q, max_dist))],
+        "query_id int, key string, q string",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        tbl.join(F.broadcast(panel), "key")
+        .select("query_id", "q", "term", "df").distinct()
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("q")))
+        .filter(F.col("dist") <= F.lit(max_dist))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(n))
+        .select("query_id", "term", "dist", "df")
+        .orderBy("query_id", F.asc("dist"), F.desc("df"), F.asc("term"))
     )
