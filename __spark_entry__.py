@@ -736,6 +736,26 @@ def q_index_hybrid_rerank(spark, sf_dir):
     )
 
 
+def q_index_hybrid_batch(spark, sf_dir):
+    """Two hybrid RRF queries (different terms AND different query
+    vectors: vec_id 0 and vec_id 1) in ONE pipeline
+    (InvertedIndex.hybrid_topk_batch): one topk_batch serves both BM25
+    pools, each pool picks up its vector from a broadcast panel, and
+    the labeled m-bounded candidate set broadcasts once against the
+    embedding table — row-identical per panel to index_hybrid_rerank's
+    plan."""
+    idx = _cached_index(spark, sf_dir)
+    vecs = _t(spark, sf_dir, "embeddings")
+    qv = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in vecs.filter(F.col("vec_id").isin([0, 1])).collect()
+    }
+    return idx.hybrid_topk_batch(
+        [(0, BM25_OR_TERMS, qv[0]), (1, BM25_AND_TERMS, qv[1])],
+        vecs, k=TOPK, m=HYBRID_M, rrf_k=RRF_K,
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups: md5(text) -> representative + group size."""
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
@@ -1015,6 +1035,7 @@ FOLDED_QUERIES = frozenset({
     "events_dedup",            # DISTINCT anchor; streaming family keeps 2 rows
     "index_prefix_batch",      # batch formulation of index_prefix_terms
     "index_suggest_batch",     # batch formulation of index_fuzzy_suggest
+    "index_hybrid_batch",      # batch formulation of index_hybrid_rerank
 })
 
 
@@ -1058,6 +1079,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_boosted_topk": q_index_boosted_topk,
         "index_synonym_topk": q_index_synonym_topk,
         "index_hybrid_rerank": q_index_hybrid_rerank,
+        "index_hybrid_batch": q_index_hybrid_batch,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
@@ -1491,6 +1513,71 @@ def _all_oracle_sql() -> dict[str, str]:
                                  ELSE 1.0 / ({RRF_K} + rank_cos) END)
                          * 1000000000 + 0.5)::bigint AS rrf_q
             FROM ranked ORDER BY rrf_q DESC, doc_id ASC LIMIT {TOPK}
+        """,
+        # the batch formulation: same scoring CTEs, but the per-query
+        # term sets and query vectors ride (query_id, ...) panels and
+        # every rank window partitions by query_id
+        "index_hybrid_batch": _BM25_CTE % {
+            "terms": ", ".join(f"'{t}'" for t in dict.fromkeys(BM25_OR_TERMS + BM25_AND_TERMS))
+        } + f""",
+            qpanel(query_id, term) AS (VALUES
+              {", ".join(f"(0, '{t}')" for t in BM25_OR_TERMS)},
+              {", ".join(f"(1, '{t}')" for t in BM25_AND_TERMS)}),
+            qvid(query_id, vid) AS (VALUES (0, 0), (1, 1)),
+            bm AS (
+              SELECT qpanel.query_id, sc.doc_id, sum(sc.score_q)::bigint AS bm25_q
+              FROM sc JOIN qpanel USING (term) GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY bm25_q DESC, doc_id ASC) AS rank_bm25
+              FROM bm QUALIFY rank_bm25 <= {HYBRID_M}
+            ),
+            q AS (
+              SELECT qvid.query_id, unnest(e.embedding)::double AS qx,
+                     generate_subscripts(e.embedding, 1) AS pos
+              FROM embeddings e JOIN qvid ON e.vec_id = qvid.vid
+            ),
+            v AS (
+              SELECT vec_id AS doc_id, unnest(embedding)::double AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cand)
+            ),
+            stats AS (
+              SELECT q.query_id, v.doc_id,
+                     sum(floor(v.x * q.qx * 1000000000 + 0.5)::bigint)::bigint AS dot_q,
+                     sum(floor(v.x * v.x * 1000000000 + 0.5)::bigint)::bigint AS norm2_q
+              FROM v JOIN q USING (pos) GROUP BY 1, 2
+            ),
+            qn AS (
+              SELECT query_id,
+                     sum(floor(qx * qx * 1000000000 + 0.5)::bigint)::bigint AS qn2
+              FROM q GROUP BY 1
+            ),
+            cosed AS (
+              SELECT cand.query_id, cand.doc_id, cand.bm25_q, cand.rank_bm25,
+                     floor(stats.dot_q::double
+                           / (sqrt(NULLIF(stats.norm2_q, 0)::double) * sqrt(qn.qn2::double))
+                           * 1000000 + 0.5) / 1000000 AS cos
+              FROM cand
+              LEFT JOIN stats ON stats.query_id = cand.query_id
+                             AND stats.doc_id = cand.doc_id
+              JOIN qn ON qn.query_id = cand.query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC NULLS LAST, doc_id ASC) AS rank_cos
+              FROM cosed
+            )
+            SELECT query_id::int AS query_id, doc_id, bm25_q, cos,
+                   floor((1.0 / ({RRF_K} + rank_bm25)
+                          + CASE WHEN cos IS NULL THEN 0.0
+                                 ELSE 1.0 / ({RRF_K} + rank_cos) END)
+                         * 1000000000 + 0.5)::bigint AS rrf_q
+            FROM ranked
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY rrf_q DESC, doc_id ASC) <= {TOPK}
+            ORDER BY query_id, rrf_q DESC, doc_id ASC
         """,
         "index_filtered_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
             SELECT sc.doc_id, sum(sc.score_q)::bigint AS score_q

@@ -221,6 +221,40 @@ def test_hybrid_zero_query_vec_raises(idx, vecs):
         idx.hybrid_topk(["arg_cfg"], vdf, [0.0] * 16)
 
 
+def test_hybrid_topk_batch_equals_per_call(idx, vecs):
+    """Two hybrid queries (different terms AND different query vectors)
+    served in one pipeline must be row-identical per query to
+    hybrid_topk — same candidate pool, same quantized cosine, same
+    (rrf desc, doc_id asc) cut."""
+    vdf, emb_map = vecs
+    ids = sorted(emb_map)
+    panels = [
+        (0, ["arg_ctx77", "arg_cfg"], [float(x) for x in emb_map[ids[0]]]),
+        (1, ["map_lock5"], [float(x) for x in emb_map[ids[1]]]),
+    ]
+    got = idx.hybrid_topk_batch(panels, vdf, k=10, m=25).collect()
+    by_qid: dict[int, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["bm25_q"], r["cos"], r["rrf_q"])
+        )
+    for qid, terms, qvec in panels:
+        want = [
+            (r["doc_id"], r["bm25_q"], r["cos"], r["rrf_q"])
+            for r in idx.hybrid_topk(terms, vdf, qvec, k=10, m=25).collect()
+        ]
+        assert by_qid.get(qid, []) == want, f"hybrid panel {qid} diverged"
+
+
+def test_hybrid_topk_batch_guards(idx, vecs):
+    vdf, emb_map = vecs
+    qvec = [float(x) for x in emb_map[sorted(emb_map)[0]]]
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.hybrid_topk_batch([(0, ["arg_cfg"], qvec), (0, ["map_lock5"], qvec)], vdf)
+    with pytest.raises(ValueError, match="non-zero"):
+        idx.hybrid_topk_batch([(0, ["arg_cfg"], [0.0] * len(qvec))], vdf)
+
+
 # ---------------- SymSpell-style indexed suggest ----------------
 
 

@@ -1465,6 +1465,122 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def hybrid_topk_batch(
+        self,
+        queries: Sequence[tuple[int, Sequence[str], Sequence[float]]],
+        vecs: DataFrame,
+        k: int = 10,
+        m: int = 50,
+        rrf_k: int = 60,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        strategy: str = "taat",
+    ) -> DataFrame:
+        """Hybrid RRF retrieval for a batch of (query_id, terms,
+        query_vec) queries in ONE pipeline → (query_id, doc_id, bm25_q,
+        cos, rrf_q) — row-identical per query to :meth:`hybrid_topk`
+        (same candidate pool, same quantized-cosine arithmetic, same
+        (rrf desc, doc_id asc) cut).
+
+        Plan: ONE :meth:`topk_batch` serves every query's BM25
+        top-``m`` pool (the posting artifact is scanned once for the
+        union of terms), the pools pick up their query's vector from a
+        broadcast (query_id, qvec, qnorm) panel, and the m·|batch|
+        labeled candidate set — still driver-known tiny — broadcasts
+        against the arbitrarily large embedding table exactly like the
+        single-query plan (the dense side is never shuffled; a doc
+        candidate for two queries re-scores once per query, as it
+        must).  Both rank windows partition by query_id, so per-batch
+        fixed costs (two scans, the broadcast, the windows) are paid
+        once for the whole batch instead of once per query."""
+        from ..operators.similarity import DOT_QUANT
+
+        queries = [
+            (int(qid), list(terms), np.asarray(list(qv), dtype=np.float64))
+            for qid, terms, qv in queries
+        ]
+        _check_unique_qids(qid for qid, _, _ in queries)
+        qnorm: dict[int, float] = {}
+        for qid, _, q in queries:
+            qn2 = int(np.floor(q * q * DOT_QUANT + 0.5).astype(np.int64).sum())
+            if qn2 <= 0:
+                raise ValueError(f"query_vec must be non-zero (query {qid})")
+            qnorm[qid] = math.sqrt(float(qn2))
+        cand = self.topk_batch(
+            [Query(qid, terms, "OR", m) for qid, terms, _ in queries],
+            strategy=strategy,
+        ).select(
+            "query_id",
+            "doc_id",
+            F.col("score_q").alias("bm25_q"),
+            F.col("rank").alias("rank_bm25"),
+        )
+        panel = self.spark.createDataFrame(
+            [(qid, [float(x) for x in q], qnorm[qid]) for qid, _, q in queries],
+            "query_id int, qvec array<double>, qnorm double",
+        )
+        cand_q = cand.join(F.broadcast(panel), "query_id")
+        emb = vecs.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_emb"))
+        joined = emb.join(
+            F.broadcast(cand_q.select("query_id", "doc_id", "qvec")), "doc_id"
+        ).select(
+            "query_id",
+            "doc_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_emb"), F.col("qvec"),
+                    lambda x, y: F.floor(
+                        x.cast("double") * y * F.lit(float(DOT_QUANT)) + F.lit(0.5)
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot_q"),
+            F.aggregate(
+                F.transform(
+                    F.col("_emb"),
+                    lambda x: F.floor(
+                        x.cast("double") * x.cast("double") * F.lit(float(DOT_QUANT)) + F.lit(0.5)
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("norm2_q"),
+        )
+        # same zero-norm guard as the single-query plan: cos null, not
+        # a division failure / an Infinity stealing rank_cos 1
+        scored = cand_q.join(joined, ["query_id", "doc_id"], "left").withColumn(
+            "cos",
+            F.floor(
+                F.col("dot_q").cast("double")
+                / (F.sqrt(F.nullif(F.col("norm2_q"), F.lit(0)).cast("double"))
+                   * F.col("qnorm"))
+                * F.lit(1e6) + F.lit(0.5)
+            ) / F.lit(1e6),
+        )
+        w_cos = Window.partitionBy("query_id").orderBy(
+            F.desc_nulls_last("cos"), F.asc("doc_id")
+        )
+        fused = scored.withColumn("rank_cos", F.row_number().over(w_cos)).withColumn(
+            "rrf_q",
+            F.floor(
+                (
+                    F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_bm25"))
+                    + F.when(F.col("cos").isNull(), F.lit(0.0)).otherwise(
+                        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_cos"))
+                    )
+                ) * F.lit(1e9) + F.lit(0.5)
+            ).cast("long"),
+        )
+        w_k = Window.partitionBy("query_id").orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+        return (
+            fused.withColumn("rank_k", F.row_number().over(w_k))
+            .filter(F.col("rank_k") <= F.lit(k))
+            .select("query_id", "doc_id", "bm25_q", "cos", "rrf_q")
+            .orderBy("query_id", F.desc("rrf_q"), F.asc("doc_id"))
+        )
+
     # ---------- relational (oracle-checkable) path ----------
 
     def decoded(self, terms: Sequence[str] | None = None) -> DataFrame:
