@@ -98,6 +98,15 @@ TRIAD_ITERS = 10
 TRIAD_BYTES = TRIAD_ITERS * 5 * 8 * TRIAD_N
 
 
+def _warm_worker() -> None:
+    """Pool initializer: runs exactly ONCE in EVERY worker at fork time
+    (unlike a map over n_procs tiny tasks, which a fast already-forked
+    worker can steal from the shared queue, leaving slower workers to
+    pay fork+numpy-import inside the timed window). Pays the numpy
+    import and first-touch allocation before any timed work."""
+    _stream_triad(1_000)
+
+
 def _stream_triad(n: int) -> None:
     import numpy as np
 
@@ -123,11 +132,11 @@ def measure_bandwidth(n_procs: int, reps: int = 3) -> float:
 
     samples = []
     for _ in range(reps):
-        with mp.Pool(n_procs) as p:
-            # warm EVERY worker (fork + numpy import + allocator), not
-            # just one — a single-item map leaves n_procs-1 workers
-            # paying those costs inside the timed window, deflating the
-            # 4N level more than N
+        # initializer guarantees per-worker warm-up (fork + numpy
+        # import + allocator) — a map over n_procs tiny tasks does NOT:
+        # a fast worker can steal queue items before slow workers fork,
+        # leaving them cold inside the timed window
+        with mp.Pool(n_procs, initializer=_warm_worker) as p:
             p.map(_stream_triad, [1_000] * n_procs)
             t0 = _t.time()
             p.map(_stream_triad, [TRIAD_N] * n_procs)

@@ -1,5 +1,5 @@
-import sys, time, json, statistics as st
-sys.path.insert(0, "/root/repo")
+import os, sys, time, json, statistics as st
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from wikitfidf_spark.session import get_spark
 from wikitfidf_spark.corpus import make_code_files
 from wikitfidf_spark.index.build import build_index, IndexConfig

@@ -177,11 +177,10 @@ def suggest_indexed_batch(
     whole batch); shared keys between queries are scanned once."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    from .query import _check_unique_qids  # lazy: query.py imports nothing from here
+
     queries = [(int(qid), q) for qid, q in queries]
-    seen: set[int] = set()
-    dups = {qid for qid, _ in queries if qid in seen or seen.add(qid)}
-    if dups:
-        raise ValueError(f"duplicate query_id(s) in batch: {sorted(dups)}")
+    _check_unique_qids(qid for qid, _ in queries)
     tbl = _open_suggest_table(spark, index_dir, max_dist)
     panel = spark.createDataFrame(
         [(qid, key, q) for qid, q in queries for key in sorted(_deletes_py(q, max_dist))],

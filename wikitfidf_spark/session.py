@@ -33,7 +33,7 @@ def get_spark(
     # empty SPARK_GRAFT_CPUS (unset shell interpolation) must fall back
     # like unset — "local[]" is not a parseable master URL
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % cpus)
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % cpus
     if shuffle_partitions is None:
         # match parallelism: local[N] -> N, local[N,F] -> N (the second
         # field is maxFailures), local[*] -> cpu count
