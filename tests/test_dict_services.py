@@ -635,6 +635,12 @@ def test_batch_duplicate_query_ids_rejected(idx):
         ])
     with pytest.raises(ValueError, match="duplicate query_id"):
         idx.facet_counts_batch([(3, ["arg_cfg"]), (3, ["arg_ctx77"])])
+    # suggest_indexed_batch validates before touching the table, so the
+    # shared check must fire here too (it delegates to the same helper)
+    from wikitfidf_spark.index.suggest import suggest_indexed_batch
+
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        suggest_indexed_batch(idx.spark, idx.index_dir, [(4, "argcfg"), (4, "argctx")])
 
 
 def test_snippets_empty_terms_raises(idx, corpus):

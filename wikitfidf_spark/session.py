@@ -14,6 +14,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _resolve_master(master: str | None = None) -> str:
+    """Pick the master URL: explicit arg > $SPARK_GRAFT_MASTER >
+    local[$SPARK_GRAFT_CPUS] > local[*].  Empty env values (unset shell
+    interpolation, e.g. ``SPARK_GRAFT_MASTER= python bench.py``) fall
+    back like unset — "" and "local[]" are not parseable master URLs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    return master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % cpus
+
+
 def get_spark(
     app_name: str = "wikitfidf_spark",
     master: str | None = None,
@@ -30,10 +39,7 @@ def get_spark(
       BASELINE.json:input_hint).
     - UTC session timezone: required for DuckDB-oracle comparisons.
     """
-    # empty SPARK_GRAFT_CPUS (unset shell interpolation) must fall back
-    # like unset — "local[]" is not a parseable master URL
-    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % cpus
+    master = _resolve_master(master)
     if shuffle_partitions is None:
         # match parallelism: local[N] -> N, local[N,F] -> N (the second
         # field is maxFailures), local[*] -> cpu count
