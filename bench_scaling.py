@@ -42,7 +42,9 @@ def build_zip() -> None:
     )
 
 
-def run_level(cores: int, docs: int, queries: int) -> dict:
+def run_level(
+    cores: int, docs: int, queries: int, extra_args: tuple[str, ...] = ()
+) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
@@ -53,6 +55,7 @@ def run_level(cores: int, docs: int, queries: int) -> dict:
         "--py-files", ZIP,
         os.path.join(REPO, "tools", "submit_job.py"),
         "--docs", str(docs), "--queries", str(queries),
+        *extra_args,
     ]
     log(f"-> local[{cores}]: {' '.join(cmd[-6:])}")
     t0 = time.time()
@@ -144,7 +147,13 @@ def measure_bandwidth(n_procs: int, reps: int = 3) -> float:
     return round(statistics.median(samples), 1)
 
 
-def interleaved(reps: int, n: int, docs: int, queries: int) -> dict:
+def interleaved(
+    reps: int,
+    n: int,
+    docs: int,
+    queries: int,
+    extra_args: tuple[str, ...] = (),
+) -> dict:
     """Round-4 noise protocol applied to the scaling table (r4 ask #1):
     ``reps`` adjacent (N, 4N) fresh-JVM pairs run INTERLEAVED in one
     window — N,4N,N,4N,... — so each pair's two runs see the same host
@@ -159,8 +168,8 @@ def interleaved(reps: int, n: int, docs: int, queries: int) -> dict:
     pairs = []
     lo_runs, hi_runs = [], []
     for i in range(reps):
-        lo = run_level(n, docs, queries)
-        hi = run_level(4 * n, docs, queries)
+        lo = run_level(n, docs, queries, extra_args)
+        hi = run_level(4 * n, docs, queries, extra_args)
         lo["cores"], hi["cores"] = n, 4 * n
         lo["pair"], hi["pair"] = i, i
         lo_runs.append(lo)
@@ -168,23 +177,28 @@ def interleaved(reps: int, n: int, docs: int, queries: int) -> dict:
         with open(raw_path, "a") as f:
             f.write(json.dumps(lo) + "\n")
             f.write(json.dumps(hi) + "\n")
+        # serve-only pairs (--reuse-index) have no build: postings_per_sec
+        # is None and build efficiency is undefined for the pair
+        served_only = lo["postings_per_sec"] is None or hi["postings_per_sec"] is None
         pairs.append({
             "pair": i,
-            "build_eff": round((hi["postings_per_sec"] / lo["postings_per_sec"]) / 4, 3),
+            "build_eff": None if served_only else round(
+                (hi["postings_per_sec"] / lo["postings_per_sec"]) / 4, 3),
             "query_eff": round((hi["qps"] / lo["qps"]) / 4, 3),
             "lo_build_sec": lo["build_sec"], "hi_build_sec": hi["build_sec"],
             "lo_qps": lo["qps"], "hi_qps": hi["qps"],
+            "lo_query_sec": lo["query_sec"], "hi_query_sec": hi["query_sec"],
         })
         log(f"pair {i}: build_eff {pairs[-1]['build_eff']}, query_eff {pairs[-1]['query_eff']}")
-    b_effs = [p["build_eff"] for p in pairs]
+    b_effs = [p["build_eff"] for p in pairs if p["build_eff"] is not None]
     q_effs = [p["query_eff"] for p in pairs]
     return {
         "metric": "scaling_efficiency_interleaved",
         "n_cores": n, "n4_cores": 4 * n, "n_docs": docs, "n_queries": queries,
         "n_pairs": reps,
         "pairs": pairs,
-        "build_efficiency_median": round(statistics.median(b_effs), 3),
-        "build_efficiency_spread": [min(b_effs), max(b_effs)],
+        "build_efficiency_median": round(statistics.median(b_effs), 3) if b_effs else None,
+        "build_efficiency_spread": [min(b_effs), max(b_effs)] if b_effs else None,
         "query_efficiency_median": round(statistics.median(q_effs), 3),
         "query_efficiency_spread": [min(q_effs), max(q_effs)],
         "target": 0.8,
@@ -201,7 +215,21 @@ def main() -> None:
     build_zip()
 
     if os.environ.get("SCALE_MODE", "") == "interleaved":
-        summary = interleaved(reps, n, docs, queries)
+        extra: tuple[str, ...] = ()
+        serve_idx = os.environ.get("SCALE_SERVE_IDX", "")
+        if serve_idx:
+            # serve-only window: every pair serves the SAME prebuilt
+            # index from a fresh JVM, so the whole per-run wall is one
+            # long query window — minutes of exposure per level instead
+            # of ~12s, which is what made the build+serve interleaved
+            # query estimate noisier than the per-level protocol
+            if not os.path.exists(os.path.join(serve_idx, "manifest.json")):
+                log(f"prebuilding shared serve index at {serve_idx} "
+                    f"(local[{4 * n}], {docs} docs; outside the measured window)")
+                run_level(4 * n, docs, 4, ("--index-dir", serve_idx))
+            extra = ("--index-dir", serve_idx, "--reuse-index")
+        summary = interleaved(reps, n, docs, queries, extra)
+        summary["serve_only_index"] = serve_idx or None
         summary["dram_bw_gbps"] = {
             "n_procs": measure_bandwidth(n), "n4_procs": measure_bandwidth(4 * n)
         }
