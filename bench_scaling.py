@@ -147,6 +147,24 @@ def measure_bandwidth(n_procs: int, reps: int = 3) -> float:
     return round(statistics.median(samples), 1)
 
 
+def pair_stats(i: int, lo: dict, hi: dict) -> dict:
+    """Per-pair N->4N efficiencies from two run_level results.
+
+    Serve-only pairs (``--reuse-index``) have no build: their
+    ``postings_per_sec`` is None and build efficiency is undefined for
+    the pair (``build_eff: None``, dropped from the window median)."""
+    served_only = lo["postings_per_sec"] is None or hi["postings_per_sec"] is None
+    return {
+        "pair": i,
+        "build_eff": None if served_only else round(
+            (hi["postings_per_sec"] / lo["postings_per_sec"]) / 4, 3),
+        "query_eff": round((hi["qps"] / lo["qps"]) / 4, 3),
+        "lo_build_sec": lo["build_sec"], "hi_build_sec": hi["build_sec"],
+        "lo_qps": lo["qps"], "hi_qps": hi["qps"],
+        "lo_query_sec": lo["query_sec"], "hi_query_sec": hi["query_sec"],
+    }
+
+
 def interleaved(
     reps: int,
     n: int,
@@ -177,18 +195,7 @@ def interleaved(
         with open(raw_path, "a") as f:
             f.write(json.dumps(lo) + "\n")
             f.write(json.dumps(hi) + "\n")
-        # serve-only pairs (--reuse-index) have no build: postings_per_sec
-        # is None and build efficiency is undefined for the pair
-        served_only = lo["postings_per_sec"] is None or hi["postings_per_sec"] is None
-        pairs.append({
-            "pair": i,
-            "build_eff": None if served_only else round(
-                (hi["postings_per_sec"] / lo["postings_per_sec"]) / 4, 3),
-            "query_eff": round((hi["qps"] / lo["qps"]) / 4, 3),
-            "lo_build_sec": lo["build_sec"], "hi_build_sec": hi["build_sec"],
-            "lo_qps": lo["qps"], "hi_qps": hi["qps"],
-            "lo_query_sec": lo["query_sec"], "hi_query_sec": hi["query_sec"],
-        })
+        pairs.append(pair_stats(i, lo, hi))
         log(f"pair {i}: build_eff {pairs[-1]['build_eff']}, query_eff {pairs[-1]['query_eff']}")
     b_effs = [p["build_eff"] for p in pairs if p["build_eff"] is not None]
     q_effs = [p["query_eff"] for p in pairs]
