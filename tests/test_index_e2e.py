@@ -377,8 +377,10 @@ def test_randomized_feature_differential(spark, built, oracle):
             for r, (d, s) in enumerate(ranked)
         ][q.offset : q.offset + q.k]
 
-    rng = random.Random(1234)
-    for batch_no in range(3):
+    # soak knobs: WTF_FUZZ_BATCHES=50 WTF_FUZZ_SEED=7 pytest ... -k differential
+    n_batches = int(os.environ.get("WTF_FUZZ_BATCHES", "3"))
+    rng = random.Random(int(os.environ.get("WTF_FUZZ_SEED", "1234")))
+    for batch_no in range(n_batches):
         queries = []
         for qid in range(12):
             n_terms = rng.randint(1, 4)
