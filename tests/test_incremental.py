@@ -489,7 +489,11 @@ def test_delete_empty_sequence_is_noop(spark, tmp_path):
     assert after["paths"] == before["paths"]
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize(
+    "seed",
+    # soak knob: WTF_FUZZ_SEEDS=101,102,103 pytest ... -k lifecycle_converges
+    [int(s) for s in os.environ.get("WTF_FUZZ_SEEDS", "11,23").split(",")],
+)
 def test_randomized_update_lifecycle_converges(spark, tmp_path, seed):
     """Fuzz the whole update state machine: a seeded random sequence of
     exact adds, deferred adds, deletes, refreshes and mid-sequence

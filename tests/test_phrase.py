@@ -4,6 +4,7 @@ tests and engine end-to-end against a Python brute-force oracle."""
 from __future__ import annotations
 
 import collections
+import os
 
 import numpy as np
 import pandas as pd
@@ -473,7 +474,8 @@ def test_phrase_batch_randomized_vs_python_oracle(spark, built):
                 return False
         return True
 
-    rng = random.Random(77)
+    # soak knob: WTF_FUZZ_SEED=n pytest ... -k phrase_batch_randomized
+    rng = random.Random(int(os.environ.get("WTF_FUZZ_SEED", "77")))
     ids = sorted(toks_by_doc)
     phrases = []
     for qid in range(10):
