@@ -975,6 +975,25 @@ def q_sessionize(spark, sf_dir):
     return stream_jobs.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_trending_terms(spark, sf_dir):
+    """Trending terms: watermarked windowed term counts + per-window
+    top-k — the streaming analogue of global_top_terms (S18), here in
+    its batch anchor form over documents with a deterministic derived
+    ts (streaming/jobs.py trending_term_counts/topk_terms_per_window;
+    streaming parity in tests/test_pipeline_ops.py)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("doc_id") % 8) * 1800
+        ).alias("ts"),
+        "text",
+    )
+    counts = stream_jobs.trending_term_counts(docs, window="1 hour")
+    return stream_jobs.topk_terms_per_window(counts, k=5).select(
+        "window_start", "term", "n", "rank"
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H-Q1-shaped agg (partial+final hash agg; quantized int sums
     keep double aggregation deterministic across engines)."""
@@ -1033,6 +1052,7 @@ FOLDED_QUERIES = frozenset({
     "frame_samples",           # multimodal_features keeps the family's row
     "resize_payload",          # multimodal_features keeps the family's row
     "events_dedup",            # DISTINCT anchor; streaming family keeps 2 rows
+    "trending_terms",          # streaming top-k family; batch anchor oracled here
     "index_prefix_batch",      # batch formulation of index_prefix_terms
     "index_suggest_batch",     # batch formulation of index_fuzzy_suggest
     "index_hybrid_batch",      # batch formulation of index_hybrid_rerank
@@ -1102,6 +1122,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "events_windowed": q_events_windowed,
         "events_dedup": q_events_dedup,
+        "trending_terms": q_trending_terms,
         "sessionize": q_sessionize,
         "lineitem_pricing": q_lineitem_pricing,
         "broadcast_join_agg": q_broadcast_join_agg,
@@ -1952,6 +1973,27 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_dedup": "SELECT DISTINCT user_id, event_type, ts FROM events",
+        "trending_terms": f"""
+            WITH docs AS (
+              SELECT make_timestamp((1700000000 + (doc_id % 8) * 1800) * 1000000) AS ts, text
+              FROM documents
+            ),
+            tok AS (
+              SELECT ts, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS term
+              FROM docs
+            ),
+            cnt AS (
+              SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, term,
+                     count(*)::bigint AS n
+              FROM tok GROUP BY 1, 2
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY window_start ORDER BY n DESC, term ASC
+              )::int AS rank FROM cnt
+            )
+            SELECT window_start, term, n, rank FROM rk WHERE rank <= 5
+        """,
         "sessionize": """
             WITH marked AS (
               SELECT user_id, ts, event_id,

@@ -296,6 +296,41 @@ def test_streaming_parity_with_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_trending_terms_parity(spark, tmp_path):
+    """Streaming watermarked windowed term counts + batch top-k
+    finisher == the same plan run fully batch, over a deterministic
+    timestamped document stream (ts derived from doc_id)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            "doc_id",
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("doc_id") % 8) * 1800
+            ).alias("ts"),
+            "text",
+        )
+    )
+    batch_counts = stream_jobs.trending_term_counts(docs, window="1 hour")
+    expected = sorted(
+        (r["window_start"], r["rank"], r["term"], r["n"])
+        for r in stream_jobs.topk_terms_per_window(batch_counts, k=5).collect()
+    )
+
+    src_dir = tmp_path / "docs_stream"
+    src_dir.mkdir()
+    docs.write.parquet(str(src_dir), mode="overwrite")
+    sdf = stream_jobs.stream_trending_terms(spark, str(src_dir), window="1 hour")
+    sink = stream_jobs.run_stream_to_memory(spark, sdf, "t_trend")
+    got = sorted(
+        (r["window_start"], r["rank"], r["term"], r["n"])
+        for r in stream_jobs.topk_terms_per_window(sink, k=5).collect()
+    )
+    assert got == expected and len(got) > 0
+    # 4 distinct hour windows (8 half-hour offsets folded pairwise), 5 terms each
+    assert len({w for w, *_ in got}) == 4
+    assert all(1 <= rank <= 5 for _, rank, _, _ in got)
+
+
 def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     """withWatermark + dropDuplicates over a finite source must equal
     the batch distinct on the same keys (single availableNow trigger ->

@@ -76,6 +76,77 @@ def stream_dedup_events(
     return stream.select(*keys).dropDuplicates(list(keys))
 
 
+DOCS_STREAM_SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def trending_term_counts(
+    docs: DataFrame,
+    *,
+    window: str = "1 hour",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    stopwords=None,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Windowed term frequencies over a timestamped document stream —
+    the time-axis analogue of the batch ``global_top_terms`` operator
+    (SURVEY.md §2 S18), shared by batch and streaming inputs.
+
+    Tokenization is the engine's one JVM-side grammar
+    (:func:`wikitfidf_spark.tokenize.tokens_col` — codegen'd regex, no
+    UDF), exploded stateless, then ONE shuffle on (window, term) with
+    additive counts, so streaming partial aggregation (and at 100 TB,
+    map-side combine) applies as-is."""
+    from ..tokenize import MIN_TOKEN_LEN, tokens_col
+
+    toks = docs.select(
+        F.col(ts_col).alias("ts"),
+        F.explode(
+            tokens_col(text_col, stopwords=stopwords,
+                       min_len=MIN_TOKEN_LEN if min_len is None else min_len)
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy(F.window("ts", window).alias("w"), "term")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "term", "n")
+    )
+
+
+def topk_terms_per_window(counts: DataFrame, k: int = 10) -> DataFrame:
+    """Per-window top-k finisher with a deterministic tie-break
+    (n desc, term asc).  Rank window functions are unsupported on a
+    live streaming aggregate, so this runs batch-side — on the
+    materialized sink table (the tests' shape) or inside a
+    ``foreachBatch`` body; state stays bounded because the upstream
+    watermark caps open windows."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def stream_trending_terms(
+    spark: SparkSession,
+    docs_path: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    stopwords=None,
+) -> DataFrame:
+    """Streaming trending-terms aggregate: file-source ``readStream``
+    over (doc_id, ts, text) rows, watermarked windowed term counts.
+    Finish with :func:`topk_terms_per_window` on the sink."""
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(docs_path)
+        .withWatermark("ts", watermark)
+    )
+    return trending_term_counts(stream, window=window, stopwords=stopwords)
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
