@@ -37,6 +37,9 @@ BM25_OR_TERMS = ["join", "hash", "dup"]        # hot+hot+rare: exercises WAND
 BM25_AND_TERMS = ["dup", "join"]               # rare ∧ hot conjunction
 PHRASE_TERMS = ["part", "filter"]              # adjacent pair present at every SF
 TFIDF_TERM = "dup"                             # degenerate single-term mode
+WILD_PATTERN = "s*"                            # expands to scan/sort/stream/...
+WILD_CAP = 4                                   # exercises the (df desc, term asc) tie cut
+MSM_N = 2                                      # minimum-should-match floor over OR terms
 K1, B = 1.2, 0.75
 TOPK = 20
 LSH_PLANES = 4                                 # 16 buckets over the test embeddings
@@ -379,6 +382,32 @@ def q_index_taat_topk(spark, sf_dir):
 
     idx = _cached_index(spark, sf_dir)
     out = idx.topk_batch([Query(0, BM25_OR_TERMS, "OR", TOPK)], strategy="taat")
+    return out.select("doc_id", "score_q")
+
+
+def q_index_wildcard_topk(spark, sf_dir):
+    """Wildcard search: the pattern expands against the index dictionary
+    (JVM StartsWith + RLIKE, deterministic (df desc, term asc) cap —
+    Lucene's multi-term rewrite), then the expansion scores as ONE
+    disjunctive BM25 query.  The oracle re-derives the same capped
+    expansion from the tokenizer CTE, so rank identity covers the
+    expansion order too."""
+    idx = _cached_index(spark, sf_dir)
+    out = idx.wildcard_topk(WILD_PATTERN, k=TOPK, max_expansions=WILD_CAP)
+    return out.select("doc_id", "score_q")
+
+
+def q_index_msm_topk(spark, sf_dir):
+    """Minimum-should-match: OR over the flagship terms but a doc must
+    match >= MSM_N distinct terms to qualify (scores stay full OR
+    sums) — the middle ground between OR recall and AND precision that
+    real search serving runs constantly."""
+    from wikitfidf_spark.index.query import Query
+
+    idx = _cached_index(spark, sf_dir)
+    out = idx.topk_batch(
+        [Query(0, BM25_OR_TERMS, "OR", TOPK, min_should_match=MSM_N)]
+    )
     return out.select("doc_id", "score_q")
 
 
@@ -1054,6 +1083,8 @@ FOLDED_QUERIES = frozenset({
     "events_dedup",            # DISTINCT anchor; streaming family keeps 2 rows
     "trending_terms",          # streaming top-k family; batch anchor oracled here
     "index_prefix_batch",      # batch formulation of index_prefix_terms
+    "index_wildcard_topk",     # dictionary expansion + the OR top-k family's scorer
+    "index_msm_topk",          # count-constrained restriction of index_wand_topk
     "index_suggest_batch",     # batch formulation of index_fuzzy_suggest
     "index_hybrid_batch",      # batch formulation of index_hybrid_rerank
 })
@@ -1080,6 +1111,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": q_bm25_and_topk,
         "index_wand_topk": q_index_wand_topk,
         "index_taat_topk": q_index_taat_topk,
+        "index_wildcard_topk": q_index_wildcard_topk,
+        "index_msm_topk": q_index_msm_topk,
         "index_filtered_topk": q_index_filtered_topk,
         "index_filtered_wand_topk": q_index_filtered_wand_topk,
         "index_snippets": q_index_snippets,
@@ -1227,6 +1260,11 @@ _OR_SQL = ", ".join(f"'{t}'" for t in BM25_OR_TERMS)
 _NOT_SQL = ", ".join(f"'{t}'" for t in NOT_TERMS)
 _BOOST_SQL = ", ".join(f"('{t}', {b})" for t, b in zip(BM25_OR_TERMS, BOOSTS))
 _AND_SQL = ", ".join(f"'{t}'" for t in BM25_AND_TERMS)
+# anchored ^…$ regex over ./.*/literals only — a fragment dialect Java
+# regex (engine RLIKE) and RE2 (DuckDB regexp_matches) agree on
+from wikitfidf_spark.index.query import wildcard_regex as _wildcard_regex  # noqa: E402
+
+_WILD_RX = _wildcard_regex(WILD_PATTERN)[0]
 
 _BM25_OR_BODY = _BM25_CTE % {"terms": _OR_SQL} + f"""
 SELECT doc_id, sum(score_q)::bigint AS score_q
@@ -1393,6 +1431,24 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "index_wand_topk": _BM25_OR_BODY,  # the engine must be rank-identical
         "index_taat_topk": _BM25_OR_BODY,
+        # wildcard: the SAME capped (df desc, term asc) expansion the
+        # engine's dictionary rewrite produces, re-derived in SQL, then
+        # the standard BM25 OR body over it
+        "index_wildcard_topk": _BM25_CTE % {
+            "terms": f"""SELECT term FROM st
+                WHERE regexp_matches(term, '{_WILD_RX}')
+                ORDER BY df DESC, term ASC LIMIT {WILD_CAP}"""
+        } + f"""
+            SELECT doc_id, sum(score_q)::bigint AS score_q
+            FROM sc GROUP BY doc_id
+            ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
+        """,
+        # minimum-should-match: one sc row per (doc, matched term), so
+        # the HAVING count is the distinct-term match width
+        "index_msm_topk": _BM25_OR_BODY.replace(
+            "FROM sc GROUP BY doc_id",
+            f"FROM sc GROUP BY doc_id HAVING count(*) >= {MSM_N}",
+        ),
         # bounded-staleness ingest converges to exact full-corpus scores
         "index_incremental_topk": _BM25_OR_BODY,
         "index_phrase_topk": _BM25_PHRASE_BODY,

@@ -677,3 +677,121 @@ def test_exclude_docs_per_query(idx, strategy):
     assert [r["rank"] for r in q0] == list(range(1, len(want) + 1))
     # sibling query unaffected
     assert [r["doc_id"] for r in q1] == [r["doc_id"] for r in base[:3]]
+
+
+# ---------------------------------------------------------------- wildcard
+
+
+def _py_wildcard_expand(py_stats, pattern, cap=32):
+    import fnmatch
+
+    _, _, dfc, cfc = py_stats
+    hits = [t for t in dfc if fnmatch.fnmatchcase(t, pattern)]
+    hits.sort(key=lambda t: (-dfc[t], t))
+    return [(t, dfc[t], cfc[t]) for t in hits[:cap]]
+
+
+def test_expand_wildcard_matches_oracle(idx, py_stats):
+    """'*'/'?' expansion = fnmatch over the pure-Python dictionary,
+    (df desc, term asc) cap."""
+    for pattern in ("arg_c*", "arg_ctx?7", "*lock*", "ma?_*5"):
+        want = _py_wildcard_expand(py_stats, pattern)
+        got = [
+            (r["term"], r["df"], r["cf"])
+            for r in idx.expand_wildcard(pattern).collect()
+        ]
+        assert got == want, pattern
+        assert want, f"pattern {pattern} matched nothing — fixture drifted"
+
+
+def test_expand_wildcard_cap_is_deterministic(idx, py_stats):
+    want = _py_wildcard_expand(py_stats, "*", cap=5)
+    got = [(r["term"], r["df"], r["cf"]) for r in idx.expand_wildcard("*", 5).collect()]
+    assert got == want
+
+
+def test_wildcard_topk_matches_oracle(idx, py_stats):
+    """wildcard_topk == OR top-k over the capped expansion (pure-Python
+    BM25 oracle)."""
+    pattern = "arg_c*"
+    terms = [t for t, _, _ in _py_wildcard_expand(py_stats, pattern)]
+    want = _py_not_topk(py_stats, terms, (), 10, "OR")
+    got = [
+        (r["doc_id"], r["score_q"])
+        for r in sorted(idx.wildcard_topk(pattern, k=10).collect(), key=lambda r: r["rank"])
+    ]
+    assert got == want
+
+
+def test_wildcard_no_match_is_empty(idx):
+    out = idx.wildcard_topk("zzqx*never", k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "score_q", "score", "rank"}
+
+
+def test_wildcard_empty_pattern_raises(idx):
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.expand_wildcard("")
+
+
+# ------------------------------------------------------- min_should_match
+
+
+def _py_msm_topk(py_stats, terms, k, msm):
+    tfs, _, dfc, _ = py_stats
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    n = len(tfs)
+    avgdl = sum(dls.values()) / n
+    out = {}
+    uniq = set(terms)
+    for d, c in tfs.items():
+        present = [t for t in uniq if t in c]
+        if len(present) < max(msm, 1):
+            continue
+        out[d] = sum(bm25_quantized_py(c[t], dls[d], dfc[t], n, avgdl) for t in present)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+@pytest.mark.parametrize("msm", [2, 3])
+def test_min_should_match_matches_oracle(idx, py_stats, strategy, msm):
+    from wikitfidf_spark.index.query import Query
+
+    # triple chosen so the fixture has docs at every match width
+    # (5 docs match all 3, 38 match >= 2)
+    terms = ["buf_pack64", "ptr_set_util29", "buf_util27"]
+    want = _py_msm_topk(py_stats, terms, 10, msm)
+    assert want, "fixture drifted: msm oracle returned nothing"
+    got = [
+        (r["doc_id"], r["score_q"])
+        for r in sorted(
+            idx.topk_batch(
+                [Query(0, terms, "OR", 10, min_should_match=msm)], strategy=strategy
+            ).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got == want
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+def test_msm_full_width_equals_and(idx, strategy):
+    """msm == n_terms selects the AND doc set with identical scores."""
+    from wikitfidf_spark.index.query import Query
+
+    terms = ["arg_ctx77", "arg_cfg"]
+    via_msm = idx.topk_batch(
+        [Query(0, terms, "OR", 10, min_should_match=2)], strategy=strategy
+    ).collect()
+    via_and = idx.topk_batch([Query(0, terms, "AND", 10)], strategy=strategy).collect()
+    key = lambda rows: [(r["doc_id"], r["score_q"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert key(via_msm) == key(via_and)
+
+
+def test_msm_validation(idx):
+    from wikitfidf_spark.index.query import Query
+
+    with pytest.raises(ValueError, match="min_should_match applies to OR"):
+        idx.topk_batch([Query(0, ["a", "b"], "AND", 5, min_should_match=2)])
+    with pytest.raises(ValueError, match="min_should_match must be in"):
+        idx.topk_batch([Query(0, ["a", "b"], "OR", 5, min_should_match=3)])

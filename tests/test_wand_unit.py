@@ -35,7 +35,7 @@ def _make_row(docs, scores, block_size=4):
     }
 
 
-def _brute(term_lists, k, mode):
+def _brute(term_lists, k, mode, msm=0):
     # term_lists: term -> [(doc, score)]
     scores = {}
     present = {}
@@ -45,7 +45,8 @@ def _brute(term_lists, k, mode):
             present.setdefault(d, set()).add(t)
     n = len(term_lists)
     items = [
-        (d, s) for d, s in scores.items() if mode == "OR" or len(present[d]) == n
+        (d, s) for d, s in scores.items()
+        if (mode == "OR" or len(present[d]) == n) and len(present[d]) >= msm
     ]
     return sorted(items, key=lambda t: (-t[1], t[0]))[:k]
 
@@ -65,6 +66,40 @@ def test_wand_randomized(mode, seed):
         rows[t] = [_make_row(docs, scores, block_size=int(rng.choice([2, 4, 64])))]
     for k in (1, 5, 50):
         assert wand_top_k(rows, k, mode) == _brute(term_lists, k, mode), (mode, seed, k)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("msm", [2, 3, 5])
+def test_wand_min_should_match_randomized(seed, msm):
+    """msm-constrained OR vs brute force: only docs matching >= msm
+    distinct terms qualify; scores stay full OR sums; heap pruning must
+    not drop a qualifying doc."""
+    rng = np.random.RandomState(100 + seed)
+    term_lists = {}
+    rows = {}
+    universe = rng.choice(3_000, size=400, replace=False).astype(np.int64)
+    for t in "abcde":
+        n = rng.randint(5, 300)
+        docs = np.sort(rng.choice(universe, size=n, replace=False))
+        scores = rng.randint(1, 1_000_000, size=n)
+        term_lists[t] = list(zip(docs.tolist(), scores.tolist()))
+        rows[t] = [_make_row(docs, scores, block_size=int(rng.choice([2, 4, 64])))]
+    for k in (1, 5, 50):
+        got = wand_top_k(rows, k, "OR", msm=msm)
+        assert got == _brute(term_lists, k, "OR", msm=msm), (seed, msm, k)
+
+
+def test_wand_msm_equals_and_at_full_width():
+    """msm == n_terms in OR mode selects exactly the AND doc set (and
+    scores agree, since AND docs score over every term anyway)."""
+    rng = np.random.RandomState(7)
+    term_lists, rows = {}, {}
+    for t in "abc":
+        docs = np.sort(rng.choice(500, size=120, replace=False)).astype(np.int64)
+        scores = rng.randint(1, 10**6, size=120)
+        term_lists[t] = list(zip(docs.tolist(), scores.tolist()))
+        rows[t] = [_make_row(docs, scores)]
+    assert wand_top_k(rows, 25, "OR", msm=3) == wand_top_k(rows, 25, "AND")
 
 
 def test_wand_sub_shards_merge():

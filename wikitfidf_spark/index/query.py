@@ -29,6 +29,7 @@ import heapq
 import json
 import math
 import os
+import re
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
@@ -170,6 +171,7 @@ def wand_top_k(
     allowed: "np.ndarray | None" = None,
     excluded: "np.ndarray | None" = None,
     boosts: dict | None = None,
+    msm: int = 0,
 ) -> list[tuple[int, int]]:
     """Block-max WAND (OR) / skipping intersection (AND) over one shard.
 
@@ -182,8 +184,13 @@ def wand_top_k(
     ``excluded``: optional SORTED int64 array of forbidden doc_ids
     (must_not terms, pre-decoded by the caller): a pivot/intersection
     candidate in it is skipped past — scores of surviving docs are
-    untouched.  Returns [(doc_id, score_q)] sorted by
-    (score desc, doc asc), ≤ k.
+    untouched.  ``msm`` (OR mode only): a doc must match at least this
+    many DISTINCT query terms to qualify — score pruning stays
+    admissible (the upper bound still dominates every candidate's true
+    score; non-qualifying docs are simply never offered to the heap),
+    and once fewer than ``msm`` live cursors remain no future doc can
+    qualify, so evaluation stops early.  Returns [(doc_id, score_q)]
+    sorted by (score desc, doc asc), ≤ k.
     """
     if allowed is not None and not len(allowed):
         return []
@@ -249,7 +256,7 @@ def wand_top_k(
     # ---- OR: block-max WAND (Ding & Suel 2011)
     while True:
         live = [c for c in cursors if not c.exhausted]
-        if not live:
+        if not live or (msm and len(live) < msm):
             break
         live.sort(key=lambda c: c.cur_doc)
         theta = heap[0][0] if len(heap) >= k else 0
@@ -304,10 +311,14 @@ def wand_top_k(
                         c.next_geq(d_next)
                     continue
             total = 0
+            matched = 0
             for c in live[: pivot_idx + 1]:
                 s = c.score_and_advance_if_at(pivot_doc)
-                total += s or 0
-            offer(pivot_doc, total)
+                if s is not None:
+                    matched += 1
+                    total += s
+            if not msm or matched >= msm:
+                offer(pivot_doc, total)
         else:
             for c in live[:pivot_idx]:
                 c.next_geq(pivot_doc)
@@ -359,6 +370,33 @@ def _check_unique_qids(qids: "Iterable[int]") -> None:
         raise ValueError(f"duplicate query_id(s) in batch: {sorted(dups)}")
 
 
+def wildcard_regex(pattern: str) -> tuple[str, str]:
+    """Compile a shell-style wildcard term pattern to (anchored regex,
+    literal prefix): ``*`` = any run of characters, ``?`` = exactly
+    one, everything else literal.  The regex uses only ``.`` / ``.*`` /
+    escaped literals, a fragment dialect Java regex (Spark RLIKE) and
+    RE2 (DuckDB oracle) agree on.  The literal prefix (chars before the
+    first wildcard) is returned separately so callers can push a
+    ``StartsWith`` predicate into the dictionary scan."""
+    if not pattern:
+        raise ValueError("wildcard pattern must be non-empty")
+    parts: list[str] = []
+    prefix_len = 0
+    seen_wild = False
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+            seen_wild = True
+        elif ch == "?":
+            parts.append(".")
+            seen_wild = True
+        else:
+            parts.append(re.escape(ch))
+            if not seen_wild:
+                prefix_len += 1
+    return "^" + "".join(parts) + "$", pattern[:prefix_len]
+
+
 def _taat_kernel(
     pdf: pd.DataFrame, qspec: list, allowed_u: "np.ndarray | None"
 ) -> pd.DataFrame:
@@ -368,7 +406,7 @@ def _taat_kernel(
     (score desc, doc asc) tie-break."""
     scored = {t for _, terms, *_ in qspec for t in terms}
     excl_only = {
-        t for _, _, _, _, exclude, _, _ in qspec for t in exclude
+        t for _, _, _, _, exclude, *_ in qspec for t in exclude
     } - scored
     return _taat_eval(_decode_shard(pdf, allowed_u, excl_only or None), qspec)
 
@@ -415,13 +453,15 @@ def _taat_eval(
     filtering commutes with concatenation; the AND count check runs
     after either way), without re-decoding per mask."""
     out_q, out_d, out_s = [], [], []
-    for qid, terms, mode, k, exclude, boosts, excl_docs in qspec:
+    for qid, terms, mode, k, exclude, boosts, excl_docs, msm in qspec:
         uniq_terms = sorted(set(terms))
         present = [t for t in uniq_terms if t in decoded]
         if not present:
             continue
         if mode == "AND" and len(present) < len(uniq_terms):
             continue
+        if msm and len(present) < msm:
+            continue  # a doc here can match at most len(present) terms
         d_parts = [d for t in present for d, _ in decoded[t]]
         if boosts:
             s_parts = [
@@ -460,6 +500,10 @@ def _taat_eval(
             # sub-lists of one term are doc-disjoint, so count ==
             # number of distinct matching terms
             m = cnt == len(present)
+            u, sums = u[m], sums[m]
+        elif msm > 1:
+            # minimum-should-match: same distinct-term count, >= floor
+            m = cnt >= msm
             u, sums = u[m], sums[m]
         if not len(u):
             continue
@@ -514,6 +558,14 @@ class Query:
     # kernel BEFORE the local cut, so ranks come out final — no
     # ask-k+1-then-re-rank second window.
     exclude_docs: tuple[int, ...] = ()
+    # minimum-should-match (OR mode only): a doc qualifies only if it
+    # matches at least this many DISTINCT query terms; its score is
+    # still the sum over ALL matched terms.  0 = no constraint (plain
+    # OR); len(terms) = AND semantics with OR's missing-term tolerance
+    # removed.  Shard-locality makes the per-shard check exact: a doc's
+    # postings are complete within its shard, so a shard holding fewer
+    # than msm of the query's terms can be skipped outright.
+    min_should_match: int = 0
 
 
 @dataclass
@@ -631,6 +683,18 @@ class InvertedIndex:
                 )
             if q.offset < 0:
                 raise ValueError(f"query {q.query_id}: offset must be >= 0, got {q.offset}")
+            if q.min_should_match:
+                if q.mode != "OR":
+                    raise ValueError(
+                        f"query {q.query_id}: min_should_match applies to OR queries"
+                        " (AND already requires every term)"
+                    )
+                n_uniq = len(set(q.terms))
+                if not (0 <= q.min_should_match <= n_uniq):
+                    raise ValueError(
+                        f"query {q.query_id}: min_should_match must be in"
+                        f" [0, {n_uniq}], got {q.min_should_match}"
+                    )
             if q.boosts:
                 if len(q.boosts) != len(q.terms):
                     raise ValueError(
@@ -658,6 +722,7 @@ class InvertedIndex:
                 dict(zip(q.terms, (int(b) for b in q.boosts))) if q.boosts else None,
                 np.asarray(sorted(set(map(int, q.exclude_docs))), dtype=np.int64)
                 if q.exclude_docs else None,
+                int(q.min_should_match),
             )
             for q in queries
         ]
@@ -689,19 +754,23 @@ class InvertedIndex:
                 return excl_cache[exclude]
 
             out = []
-            for qid, terms, mode, k, exclude, boosts, excl_doc_ids in qspec:
+            for qid, terms, mode, k, exclude, boosts, excl_doc_ids, msm in qspec:
                 rows_q = {t: by_term[t] for t in terms if t in by_term}
                 if not rows_q:
                     continue
                 if mode == "AND" and len(rows_q) < len(set(terms)):
                     continue
+                if msm and len(rows_q) < msm:
+                    continue  # a doc here can match at most len(rows_q) terms
                 excluded = excl_docs(exclude) if exclude else None
                 if excl_doc_ids is not None:
                     excluded = (
                         excl_doc_ids if excluded is None
                         else np.union1d(excluded, excl_doc_ids)
                     )
-                for doc, score in wand_top_k(rows_q, k, mode, allowed_u, excluded, boosts):
+                for doc, score in wand_top_k(
+                    rows_q, k, mode, allowed_u, excluded, boosts, msm
+                ):
                     out.append((qid, doc, score))
             return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
 
@@ -937,7 +1006,7 @@ class InvertedIndex:
                 if not len(allowed):
                     continue
                 out.append(_taat_eval(
-                    decoded, [(qid, terms, "AND", k, (), None, None)], allowed,
+                    decoded, [(qid, terms, "AND", k, (), None, None, 0)], allowed,
                 ))
             if not out:
                 return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
@@ -1205,6 +1274,57 @@ class InvertedIndex:
             .select("query_id", "term", "df", "cf")
             .orderBy("query_id", F.desc("df"), F.asc("term"))
         )
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 32) -> DataFrame:
+        """Wildcard term expansion over the dictionary (Lucene's
+        multi-term rewrite primitive): ``*`` matches any run of
+        characters, ``?`` exactly one.  Returns the ``max_expansions``
+        highest-df matching terms (ties term-asc) as (term, df, cf).
+        Plan: the literal prefix before the first wildcard pushes into
+        the dictionary parquet scan as ``StartsWith`` (row-group
+        pruning on the term-sorted dictionary), the anchored match runs
+        as a JVM ``RLIKE`` over the survivors (whole-stage codegen, no
+        Python), and the cut is a TakeOrderedAndProject — O(prefix
+        range) for anchored patterns, O(vocab) worst case for
+        leading-wildcard ones, never O(corpus).  The deterministic
+        df-ranked cap bounds downstream scoring cost no matter how
+        broad the pattern (Lucene's top-terms rewrite)."""
+        if max_expansions < 1:
+            raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
+        rx, prefix = wildcard_regex(pattern)
+        d = self.dictionary.select("term", "df", "cf")
+        if prefix:
+            d = d.filter(F.col("term").startswith(prefix))
+        return (
+            d.filter(F.col("term").rlike(rx))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+        )
+
+    def wildcard_topk(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 32,
+        min_should_match: int = 0,
+    ) -> DataFrame:
+        """BM25 top-k for a wildcard pattern: expand against the
+        dictionary (:meth:`expand_wildcard`'s deterministic df-ranked
+        cap), then score the expansion as ONE disjunctive query →
+        (doc_id, score_q, score, rank).  The expansion collect is
+        bounded by ``max_expansions`` (≤32 rows by default — a
+        dictionary lookup, not a corpus scan); ``min_should_match``
+        optionally requires docs to match several distinct expanded
+        terms."""
+        terms = [
+            r["term"] for r in self.expand_wildcard(pattern, max_expansions).collect()
+        ]
+        if not terms:
+            return self._empty_result().drop("query_id")
+        msm = min(min_should_match, len(terms)) if min_should_match else 0
+        return self.topk_batch(
+            [Query(0, terms, "OR", k, min_should_match=msm)]
+        ).drop("query_id")
 
     def suggest(self, query_term: str, max_dist: int = 1, n: int = 10) -> DataFrame:
         """Spell-suggest over the term dictionary: terms within
