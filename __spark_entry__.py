@@ -40,6 +40,7 @@ TFIDF_TERM = "dup"                             # degenerate single-term mode
 WILD_PATTERN = "s*"                            # expands to scan/sort/stream/...
 WILD_CAP = 4                                   # exercises the (df desc, term asc) tie cut
 MSM_N = 2                                      # minimum-should-match floor over OR terms
+EXPLAIN_DOCS = 3                               # top docs whose scores get explained
 K1, B = 1.2, 0.75
 TOPK = 20
 LSH_PLANES = 4                                 # 16 buckets over the test embeddings
@@ -409,6 +410,19 @@ def q_index_msm_topk(spark, sf_dir):
         [Query(0, BM25_OR_TERMS, "OR", TOPK, min_should_match=MSM_N)]
     )
     return out.select("doc_id", "score_q")
+
+
+def q_index_explain(spark, sf_dir):
+    """Score-explain (Lucene's Explanation analogue): the per-(doc,
+    term) BM25 breakdown — tf, df, doc_len and the exact stored
+    quantized impact — for the flagship OR query's top-3 docs.  The
+    doc selection is itself the oracled top-k cut, so the whole
+    debug-path contract (which docs, which pairs, which components)
+    is hash-checked."""
+    idx = _cached_index(spark, sf_dir)
+    top = [r["doc_id"] for r in idx.topk(BM25_OR_TERMS, k=EXPLAIN_DOCS).collect()]
+    out = idx.explain(BM25_OR_TERMS, top)
+    return out.select("doc_id", "term", "tf", "df", "doc_len", "score_q")
 
 
 def q_index_filtered_topk(spark, sf_dir):
@@ -1085,6 +1099,7 @@ FOLDED_QUERIES = frozenset({
     "index_prefix_batch",      # batch formulation of index_prefix_terms
     "index_wildcard_topk",     # dictionary expansion + the OR top-k family's scorer
     "index_msm_topk",          # count-constrained restriction of index_wand_topk
+    "index_explain",           # per-(doc,term) decomposition of index_wand_topk's sums
     "index_suggest_batch",     # batch formulation of index_fuzzy_suggest
     "index_hybrid_batch",      # batch formulation of index_hybrid_rerank
 })
@@ -1113,6 +1128,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_taat_topk": q_index_taat_topk,
         "index_wildcard_topk": q_index_wildcard_topk,
         "index_msm_topk": q_index_msm_topk,
+        "index_explain": q_index_explain,
         "index_filtered_topk": q_index_filtered_topk,
         "index_filtered_wand_topk": q_index_filtered_wand_topk,
         "index_snippets": q_index_snippets,
@@ -1449,6 +1465,22 @@ def _all_oracle_sql() -> dict[str, str]:
             "FROM sc GROUP BY doc_id",
             f"FROM sc GROUP BY doc_id HAVING count(*) >= {MSM_N}",
         ),
+        # explain: the flagship top-k's per-(doc, term) decomposition —
+        # doc selection is the same oracled cut, components re-derived
+        "index_explain": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            , expl_top AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, sum(score_q)::bigint AS s FROM sc GROUP BY doc_id
+                ORDER BY s DESC, doc_id ASC LIMIT {EXPLAIN_DOCS}
+              )
+            )
+            SELECT sc.doc_id, sc.term, tf.tf, st.df, dl.doc_len, sc.score_q
+            FROM sc
+            JOIN expl_top USING (doc_id)
+            JOIN tf ON tf.doc_id = sc.doc_id AND tf.term = sc.term
+            JOIN st ON st.term = sc.term
+            JOIN dl ON dl.doc_id = sc.doc_id
+        """,
         # bounded-staleness ingest converges to exact full-corpus scores
         "index_incremental_topk": _BM25_OR_BODY,
         "index_phrase_topk": _BM25_PHRASE_BODY,

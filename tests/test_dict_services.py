@@ -795,3 +795,42 @@ def test_msm_validation(idx):
         idx.topk_batch([Query(0, ["a", "b"], "AND", 5, min_should_match=2)])
     with pytest.raises(ValueError, match="min_should_match must be in"):
         idx.topk_batch([Query(0, ["a", "b"], "OR", 5, min_should_match=3)])
+
+
+# ---------------------------------------------------------------- explain
+
+
+def test_explain_matches_python_oracle(idx, py_stats):
+    """explain(): per-(doc, term) breakdown carries the exact stored
+    quantized impact (score_q == bm25_quantized_py), its float preimage
+    (floor(score*QUANT+0.5) == score_q), and the true tf/df/doc_len."""
+    from wikitfidf_spark.operators.scoring import QUANT
+
+    tfs, _, dfc, _ = py_stats
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    n = len(tfs)
+    avgdl = sum(dls.values()) / n
+    terms = ["arg_ctx77", "arg_cfg"]
+    top = [r["doc_id"] for r in idx.topk(terms, k=3).collect()]
+    rows = idx.explain(terms, top).collect()
+    assert {r["doc_id"] for r in rows} <= set(top)
+    seen = set()
+    for r in rows:
+        d, t = r["doc_id"], r["term"]
+        seen.add((d, t))
+        assert r["tf"] == tfs[d][t]
+        assert r["df"] == dfc[t]
+        assert r["doc_len"] == dls[d]
+        want_q = bm25_quantized_py(r["tf"], r["doc_len"], r["df"], n, avgdl)
+        assert r["score_q"] == want_q
+        assert math.floor(r["score"] * QUANT + 0.5) == r["score_q"]
+    # every (top doc, present term) pair is explained
+    want_pairs = {(d, t) for d in top for t in terms if t in tfs[d]}
+    assert seen == want_pairs
+
+
+def test_explain_validation(idx):
+    with pytest.raises(ValueError, match="at least one term"):
+        idx.explain([], [1])
+    with pytest.raises(ValueError, match="at least one doc id"):
+        idx.explain(["arg_cfg"], [])

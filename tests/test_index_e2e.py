@@ -345,7 +345,8 @@ def test_more_like_this(spark, built, oracle):
 
 def test_randomized_feature_differential(spark, built, oracle):
     """End-to-end randomized differential over the FULL query feature
-    surface (mode x exclude x boosts x offset): TAAT and WAND must be
+    surface (mode x exclude x boosts x offset x min_should_match):
+    TAAT and WAND must be
     row-identical to each other AND to a transparent pure-Python BM25
     oracle, per seeded batch.  Complements test_wand_randomized (kernel
     level) by driving the whole serve path — shard cogroup, sub-shard
@@ -363,6 +364,8 @@ def test_randomized_feature_differential(spark, built, oracle):
         for d, c in tfs.items():
             present = [t for t in uniq if t in c]
             if not present or (q.mode == "AND" and len(present) < len(uniq)):
+                continue
+            if q.min_should_match and len(present) < q.min_should_match:
                 continue
             if any(t in c for t in q.exclude):
                 continue
@@ -395,8 +398,14 @@ def test_randomized_feature_differential(spark, built, oracle):
                 if rng.random() < 0.5 else ()
             )
             offset = rng.choice([0, 0, 0, 3])
+            msm = (
+                rng.randint(2, len(terms))
+                if mode == "OR" and len(terms) >= 2 and rng.random() < 0.4
+                else 0
+            )
             queries.append(Query(qid, terms, mode, k,
-                                 exclude=exclude, boosts=boosts, offset=offset))
+                                 exclude=exclude, boosts=boosts, offset=offset,
+                                 min_should_match=msm))
         expected = sorted(r for q in queries for r in py_oracle(q))
         for strategy in ("taat", "wand"):
             got = sorted(

@@ -1802,6 +1802,63 @@ class InvertedIndex:
         )
         return joined.select("doc_id", "term", "tf", round_half_up(raw, 4).alias("tfidf"))
 
+    def explain(self, terms: Sequence[str], doc_ids: Sequence[int]) -> DataFrame:
+        """Per-(doc, term) BM25 score breakdown for specific documents —
+        Lucene's ``Explanation`` analogue for search-quality debugging:
+        (doc_id, term, tf, df, doc_len, idf, score, score_q), where
+        ``score_q`` is EXACTLY the stored quantized impact the serving
+        paths sum and ``idf``/``score`` are its float preimage
+        recomputed from the index's own k1/b and the manifest's
+        n/avgdl (during a bounded-staleness window the recomputed
+        float uses live df while ``score_q`` stays epoch-stale — the
+        gap IS the staleness, made visible).  Plan: term-pruned
+        posting decode (``isin`` pushes
+        into both parquet scan halves), the bounded doc filter applied
+        right after decode, then broadcast joins against the O(|terms|)
+        dictionary subset and the asked docs' docmeta rows — O(df of
+        the asked terms), never O(corpus)."""
+        from .build import _load_cfg
+
+        if not terms:
+            raise ValueError("needs at least one term")
+        if not doc_ids:
+            raise ValueError("needs at least one doc id")
+        cfg = _load_cfg(self.manifest, self.index_dir)
+        uniq = sorted(set(terms))
+        ids = sorted({int(x) for x in doc_ids})
+        d = self.decoded(uniq).filter(F.col("doc_id").isin(ids))
+        # same stale-window guard as tfidf_scores: delta-only terms are
+        # absent from the epoch dictionary until refresh — fall back to
+        # the exact live df from the structure sidecar columns
+        dic = self.dictionary.select("term", "df").filter(F.col("term").isin(uniq))
+        fallback_df = (
+            self.structure.filter(F.col("term").isin(uniq))
+            .groupBy("term").agg(F.sum("n_docs").alias("df_live"))
+        )
+        meta = self.docmeta.select("doc_id", "doc_len").filter(F.col("doc_id").isin(ids))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(self.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        tf_d = F.col("tf").cast("double")
+        denom = tf_d + F.lit(float(cfg.k1)) * (
+            F.lit(1.0 - cfg.b)
+            + F.lit(float(cfg.b)) * F.col("doc_len").cast("double") / F.lit(float(self.avgdl))
+        )
+        score = idf * tf_d * F.lit(float(cfg.k1) + 1.0) / denom
+        return (
+            d.join(F.broadcast(dic), "term", "left")
+            .join(F.broadcast(fallback_df), "term")
+            .withColumn("df", F.coalesce("df", "df_live"))
+            .join(F.broadcast(meta), "doc_id")
+            .select(
+                "doc_id", "term", "tf", "df", "doc_len",
+                idf.alias("idf"), score.alias("score"), "score_q",
+            )
+            .orderBy(F.asc("doc_id"), F.desc("score_q"), F.asc("term"))
+        )
+
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], "query_id int, doc_id long, score_q long, score double, rank int"
