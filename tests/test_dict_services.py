@@ -683,10 +683,15 @@ def test_exclude_docs_per_query(idx, strategy):
 
 
 def _py_wildcard_expand(py_stats, pattern, cap=32):
-    import fnmatch
+    # oracle matches ONLY the engine's */? dialect (fnmatch would also
+    # interpret [seq] character classes the engine treats as literals)
+    import re
 
+    from wikitfidf_spark.index.query import wildcard_regex
+
+    rx = re.compile(wildcard_regex(pattern)[0])
     _, _, dfc, cfc = py_stats
-    hits = [t for t in dfc if fnmatch.fnmatchcase(t, pattern)]
+    hits = [t for t in dfc if rx.match(t)]
     hits.sort(key=lambda t: (-dfc[t], t))
     return [(t, dfc[t], cfc[t]) for t in hits[:cap]]
 
@@ -732,6 +737,24 @@ def test_wildcard_no_match_is_empty(idx):
 def test_wildcard_empty_pattern_raises(idx):
     with pytest.raises(ValueError, match="non-empty"):
         idx.expand_wildcard("")
+
+
+def test_wildcard_brackets_are_literal(idx):
+    """'[' / ']' are literal characters in the wildcard dialect, not
+    fnmatch character classes — no dictionary term contains them."""
+    assert idx.expand_wildcard("ma[xy]*").count() == 0
+
+
+def test_wildcard_msm_above_expansion_is_unsatisfiable(idx, py_stats):
+    """An msm floor wider than the expansion returns NO matches (Lucene
+    semantics) instead of silently weakening the constraint."""
+    pattern = "arg_c*"
+    width = len(_py_wildcard_expand(py_stats, pattern))
+    assert width >= 2
+    assert idx.wildcard_topk(pattern, k=5, min_should_match=width + 1).count() == 0
+    # at exactly the expansion width the floor is satisfiable
+    sat = idx.wildcard_topk(pattern, k=5, min_should_match=2)
+    assert sat.count() > 0
 
 
 # ------------------------------------------------------- min_should_match

@@ -1315,15 +1315,17 @@ class InvertedIndex:
         bounded by ``max_expansions`` (≤32 rows by default — a
         dictionary lookup, not a corpus scan); ``min_should_match``
         optionally requires docs to match several distinct expanded
-        terms."""
+        terms — a floor above the expansion width is unsatisfiable and
+        returns no matches rather than silently weakening."""
         terms = [
             r["term"] for r in self.expand_wildcard(pattern, max_expansions).collect()
         ]
-        if not terms:
+        # an msm above the expansion width is unsatisfiable — return no
+        # matches (Lucene semantics), never silently weaken the floor
+        if not terms or (min_should_match and min_should_match > len(terms)):
             return self._empty_result().drop("query_id")
-        msm = min(min_should_match, len(terms)) if min_should_match else 0
         return self.topk_batch(
-            [Query(0, terms, "OR", k, min_should_match=msm)]
+            [Query(0, terms, "OR", k, min_should_match=min_should_match)]
         ).drop("query_id")
 
     def suggest(self, query_term: str, max_dist: int = 1, n: int = 10) -> DataFrame:
@@ -1827,34 +1829,57 @@ class InvertedIndex:
         uniq = sorted(set(terms))
         ids = sorted({int(x) for x in doc_ids})
         d = self.decoded(uniq).filter(F.col("doc_id").isin(ids))
-        # same stale-window guard as tfidf_scores: delta-only terms are
-        # absent from the epoch dictionary until refresh — fall back to
-        # the exact live df from the structure sidecar columns
-        dic = self.dictionary.select("term", "df").filter(F.col("term").isin(uniq))
-        fallback_df = (
-            self.structure.filter(F.col("term").isin(uniq))
-            .groupBy("term").agg(F.sum("n_docs").alias("df_live"))
-        )
+        # df and idf ride as literal maps (≤ |terms| driver rows): idf
+        # is computed with the SAME math.log + association the build
+        # kernel used, so the float preimage is bit-reproducible — a
+        # JVM-side F.log / different operation order can land 1 ulp off
+        # and break floor(score*QUANT+0.5) == score_q at boundaries.
+        # Stale-window guard as in tfidf_scores: delta-only terms miss
+        # the epoch dictionary — fall back to the exact live df from
+        # the structure sidecar columns.
+        live = {
+            r["term"]: int(r["df_live"])
+            for r in self.structure.filter(F.col("term").isin(uniq))
+            .groupBy("term").agg(F.sum("n_docs").alias("df_live")).collect()
+        }
+        epoch = {
+            r["term"]: int(r["df"])
+            for r in self.dictionary.select("term", "df")
+            .filter(F.col("term").isin(uniq)).collect()
+        }
+        df_map = {t: epoch.get(t, n) for t, n in live.items()}
+        if not df_map:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, tf long, df long, doc_len long,"
+                " idf double, score double, score_q long"
+            )
+        n_f = float(self.n_docs)
+        idf_map = {
+            t: math.log(1.0 + (n_f - df + 0.5) / (df + 0.5))
+            for t, df in df_map.items()
+        }
+        df_col = F.create_map(
+            *[F.lit(x) for t, v in sorted(df_map.items()) for x in (t, v)]
+        )[F.col("term")]
+        idf_col = F.create_map(
+            *[F.lit(x) for t, v in sorted(idf_map.items()) for x in (t, v)]
+        )[F.col("term")]
         meta = self.docmeta.select("doc_id", "doc_len").filter(F.col("doc_id").isin(ids))
-        idf = F.log(
-            F.lit(1.0)
-            + (F.lit(float(self.n_docs)) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
+        # association mirrors the build kernel exactly:
+        # idf * (tf * (k1+1)) / (tf + k1 * (1-b + b * (doc_len/avgdl)))
         tf_d = F.col("tf").cast("double")
         denom = tf_d + F.lit(float(cfg.k1)) * (
             F.lit(1.0 - cfg.b)
-            + F.lit(float(cfg.b)) * F.col("doc_len").cast("double") / F.lit(float(self.avgdl))
+            + F.lit(float(cfg.b)) * (F.col("doc_len").cast("double") / F.lit(float(self.avgdl)))
         )
-        score = idf * tf_d * F.lit(float(cfg.k1) + 1.0) / denom
+        score = (F.col("idf") * (tf_d * F.lit(float(cfg.k1) + 1.0))) / denom
         return (
-            d.join(F.broadcast(dic), "term", "left")
-            .join(F.broadcast(fallback_df), "term")
-            .withColumn("df", F.coalesce("df", "df_live"))
-            .join(F.broadcast(meta), "doc_id")
+            d.join(F.broadcast(meta), "doc_id")
+            .withColumn("df", df_col)
+            .withColumn("idf", idf_col)
             .select(
                 "doc_id", "term", "tf", "df", "doc_len",
-                idf.alias("idf"), score.alias("score"), "score_q",
+                "idf", score.alias("score"), "score_q",
             )
             .orderBy(F.asc("doc_id"), F.desc("score_q"), F.asc("term"))
         )
