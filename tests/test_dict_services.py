@@ -857,3 +857,29 @@ def test_explain_validation(idx):
         idx.explain([], [1])
     with pytest.raises(ValueError, match="at least one doc id"):
         idx.explain(["arg_cfg"], [])
+
+
+def test_wildcard_topk_batch_equals_per_call(idx):
+    """A batch of wildcard panels (incl. a leading-wildcard one and a
+    no-match one) is row-identical per panel to wildcard_topk."""
+    panels = [(0, "arg_c*"), (1, "*lock*"), (2, "zzqx*never"), (3, "ma?_*5")]
+    got = idx.wildcard_topk_batch(panels, k=7).collect()
+    by_qid: dict[int, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score_q"], r["rank"])
+        )
+    for qid, p in panels:
+        want = [
+            (r["doc_id"], r["score_q"], r["rank"])
+            for r in sorted(idx.wildcard_topk(p, k=7).collect(), key=lambda r: r["rank"])
+        ]
+        assert sorted(by_qid.get(qid, [])) == sorted(want), f"panel {qid} ({p!r})"
+    assert 2 not in by_qid  # no-match pattern yields no rows, not an error
+
+
+def test_wildcard_topk_batch_guards(idx):
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.wildcard_topk_batch([(0, "a*"), (0, "b*")])
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.wildcard_topk_batch([(0, "a*"), (1, "")])

@@ -1328,6 +1328,53 @@ class InvertedIndex:
             [Query(0, terms, "OR", k, min_should_match=min_should_match)]
         ).drop("query_id")
 
+    def wildcard_topk_batch(
+        self,
+        panels: Sequence[tuple[int, str]],
+        k: int = 10,
+        max_expansions: int = 32,
+    ) -> DataFrame:
+        """Wildcard search for a batch of (query_id, pattern) panels:
+        ONE dictionary job expands every pattern (the panel broadcasts
+        against the O(vocab) dictionary with a ``regexp_like`` + prefix
+        theta-join, whole-stage codegen; one rank window per panel
+        applies the (df desc, term asc) cap), then ONE ``topk_batch``
+        scores all expansions.  The intermediate collect is bounded by
+        ``|panels| * max_expansions`` dictionary rows.  Row-identical
+        per panel to :meth:`wildcard_topk` (equivalence-tested); a
+        panel whose pattern matches nothing yields no rows."""
+        panels = [(int(qid), p) for qid, p in panels]
+        _check_unique_qids(qid for qid, _ in panels)
+        compiled = [
+            (qid, *wildcard_regex(p)) for qid, p in panels
+        ]  # raises on an empty pattern, like expand_wildcard
+        if max_expansions < 1:
+            raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
+        pdf = self.spark.createDataFrame(
+            compiled, "query_id int, rx string, prefix string"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+        exp = (
+            self.dictionary.select("term", "df")
+            .join(
+                F.broadcast(pdf),
+                F.col("term").startswith(F.col("prefix"))
+                & F.regexp_like(F.col("term"), F.col("rx")),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= F.lit(max_expansions))
+            .select("query_id", "term")
+            .collect()
+        )
+        by_qid: dict[int, list[str]] = {}
+        for r in exp:
+            by_qid.setdefault(r["query_id"], []).append(r["term"])
+        if not by_qid:
+            return self._empty_result()
+        return self.topk_batch(
+            [Query(qid, terms, "OR", k) for qid, terms in sorted(by_qid.items())]
+        )
+
     def suggest(self, query_term: str, max_dist: int = 1, n: int = 10) -> DataFrame:
         """Spell-suggest over the term dictionary: terms within
         ``max_dist`` Levenshtein edits of ``query_term``, ranked
