@@ -41,6 +41,7 @@ WILD_PATTERN = "s*"                            # expands to scan/sort/stream/...
 WILD_CAP = 4                                   # exercises the (df desc, term asc) tie cut
 MSM_N = 2                                      # minimum-should-match floor over OR terms
 EXPLAIN_DOCS = 3                               # top docs whose scores get explained
+HIST_EDGES = (20.0, 40.0, 60.0, 80.0)          # range-facet buckets over doc_len (8-98 in-corpus)
 K1, B = 1.2, 0.75
 TOPK = 20
 LSH_PLANES = 4                                 # 16 buckets over the test embeddings
@@ -423,6 +424,15 @@ def q_index_explain(spark, sf_dir):
     top = [r["doc_id"] for r in idx.topk(BM25_OR_TERMS, k=EXPLAIN_DOCS).collect()]
     out = idx.explain(BM25_OR_TERMS, top)
     return out.select("doc_id", "term", "tf", "df", "doc_len", "score_q")
+
+
+def q_index_facet_histogram(spark, sf_dir):
+    """Range-facet aggregation (Elasticsearch range-agg analogue): the
+    flagship OR query's match set bucketed by doc_len over HIST_EDGES
+    half-open ranges; values outside [first, last) are dropped — both
+    drop sides are in-corpus at every SF."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.facet_histogram(BM25_OR_TERMS, "doc_len", HIST_EDGES)
 
 
 def q_index_filtered_topk(spark, sf_dir):
@@ -1100,6 +1110,7 @@ FOLDED_QUERIES = frozenset({
     "index_wildcard_topk",     # dictionary expansion + the OR top-k family's scorer
     "index_msm_topk",          # count-constrained restriction of index_wand_topk
     "index_explain",           # per-(doc,term) decomposition of index_wand_topk's sums
+    "index_facet_histogram",   # range-bucketed variant of index_facet_counts' match set
     "index_suggest_batch",     # batch formulation of index_fuzzy_suggest
     "index_hybrid_batch",      # batch formulation of index_hybrid_rerank
 })
@@ -1129,6 +1140,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wildcard_topk": q_index_wildcard_topk,
         "index_msm_topk": q_index_msm_topk,
         "index_explain": q_index_explain,
+        "index_facet_histogram": q_index_facet_histogram,
         "index_filtered_topk": q_index_filtered_topk,
         "index_filtered_wand_topk": q_index_filtered_wand_topk,
         "index_snippets": q_index_snippets,
@@ -1465,6 +1477,24 @@ def _all_oracle_sql() -> dict[str, str]:
             "FROM sc GROUP BY doc_id",
             f"FROM sc GROUP BY doc_id HAVING count(*) >= {MSM_N}",
         ),
+        # range-facet: Σ (value >= edge) − 1 bucket index, same as the
+        # engine's JVM expression; the VALUES table maps idx -> bounds
+        "index_facet_histogram": f"""
+            WITH {_TOK_CTE},
+            m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_OR_SQL})),
+            dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1),
+            j AS (SELECT dl.doc_len::double AS v FROM m JOIN dl USING (doc_id)),
+            b AS (SELECT ({" + ".join(f"(v >= {e})::int" for e in HIST_EDGES)}) - 1 AS bidx FROM j),
+            buckets AS (
+              SELECT * FROM (VALUES {", ".join(
+                  f"({i}, {a}::double, {b_}::double)"
+                  for i, (a, b_) in enumerate(zip(HIST_EDGES, HIST_EDGES[1:]))
+              )}) AS t(bidx, bucket_start, bucket_end)
+            )
+            SELECT bucket_start, bucket_end, count(*)::bigint AS n_docs
+            FROM b JOIN buckets USING (bidx) GROUP BY 1, 2
+            ORDER BY bucket_start ASC
+        """,
         # explain: the flagship top-k's per-(doc, term) decomposition —
         # doc selection is the same oracled cut, components re-derived
         "index_explain": _BM25_CTE % {"terms": _OR_SQL} + f"""

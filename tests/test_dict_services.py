@@ -883,3 +883,54 @@ def test_wildcard_topk_batch_guards(idx):
         idx.wildcard_topk_batch([(0, "a*"), (0, "b*")])
     with pytest.raises(ValueError, match="non-empty"):
         idx.wildcard_topk_batch([(0, "a*"), (1, "")])
+
+
+def test_search_min_should_match(idx, py_stats):
+    """search() threads msm through analysis; an unsatisfiable floor
+    (wider than the analyzed term count) is empty, not an error."""
+    text = "buf_pack64 ptr_set_util29 buf_util27"
+    want = _py_msm_topk(py_stats, text.split(), 10, 2)
+    got = [
+        (r["doc_id"], r["score_q"])
+        for r in sorted(
+            idx.search(text, k=10, min_should_match=2).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got == want and len(got) > 0
+    assert idx.search(text, k=10, min_should_match=99).count() == 0
+
+
+def test_facet_histogram_matches_oracle(idx, py_stats):
+    """Range-facet counts == a pure-Python bucket count over the
+    OR-match set's doc lengths; out-of-range values are not counted."""
+    tfs, _, _, _ = py_stats
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    terms = ["arg_ctx77", "arg_cfg"]
+    lens = sorted(dls[d] for d, c in tfs.items() if any(t in c for t in terms))
+    assert lens, "fixture drifted"
+    # edges chosen around the fixture's length distribution, with the
+    # first bucket deliberately starting ABOVE the minimum so the
+    # out-of-range drop is exercised
+    edges = [float(lens[len(lens) // 4]), float(lens[len(lens) // 2]),
+             float(lens[(3 * len(lens)) // 4]), float(lens[-1]) + 1.0]
+    want = Counter()
+    for d, c in tfs.items():
+        if not any(t in c for t in terms):
+            continue
+        v = float(dls[d])
+        for i in range(len(edges) - 1):
+            if edges[i] <= v < edges[i + 1]:
+                want[(edges[i], edges[i + 1])] += 1
+    got = {
+        (r["bucket_start"], r["bucket_end"]): r["n_docs"]
+        for r in idx.facet_histogram(terms, "doc_len", edges).collect()
+    }
+    assert got == dict(want) and sum(got.values()) < len(lens)  # some dropped
+
+
+def test_facet_histogram_guards(idx):
+    with pytest.raises(ValueError, match="strictly increasing"):
+        idx.facet_histogram(["arg_cfg"], edges=(10, 10, 20))
+    with pytest.raises(ValueError, match="at least one term"):
+        idx.facet_histogram([], edges=(0, 10))

@@ -823,18 +823,26 @@ class InvertedIndex:
         return list(dict.fromkeys(self.analyze_ordered(text)))
 
     def search(
-        self, text: str, k: int = 10, mode: str = "OR", strategy: str = "taat"
+        self,
+        text: str,
+        k: int = 10,
+        mode: str = "OR",
+        strategy: str = "taat",
+        min_should_match: int = 0,
     ) -> DataFrame:
         """Free-text top-k: ``analyze`` the query through the index's
         own normalization, then serve it like any term query.  Text
         that normalizes to NOTHING (stopwords/short tokens only) is an
         empty result, not an error — unlike the term APIs, the caller
-        didn't choose the term list."""
+        didn't choose the term list.  For the same reason an
+        ``min_should_match`` floor above the analyzed term count is an
+        empty result (unsatisfiable), not a ValueError."""
         terms = self.analyze(text)
-        if not terms:
+        if not terms or (min_should_match and min_should_match > len(terms)):
             return self._empty_result().drop("query_id")
         return self.topk_batch(
-            [Query(0, terms, mode, k)], strategy=strategy
+            [Query(0, terms, mode, k, min_should_match=min_should_match)],
+            strategy=strategy,
         ).drop("query_id")
 
     def analyze_ordered(self, text: str) -> list[str]:
@@ -1476,6 +1484,48 @@ class InvertedIndex:
             .groupBy("query_id", facet)
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.asc("query_id"), F.desc("n_docs"), F.asc(facet))
+        )
+
+    def facet_histogram(
+        self,
+        terms: Sequence[str],
+        col: str = "doc_len",
+        edges: Sequence[float] = (0, 100, 200, 400),
+    ) -> DataFrame:
+        """Range-facet aggregation over the OR-match set (Elasticsearch's
+        ``range`` aggregation next to search results): counts of live
+        docs matching ANY of ``terms`` per half-open bucket
+        ``[edges[i], edges[i+1])`` of a numeric docmeta column →
+        (bucket_start, bucket_end, n_docs), bucket-start ascending.
+        Values outside ``[edges[0], edges[-1])`` are not counted —
+        callers wanting an overflow bucket add a high edge.
+
+        Plan: the same term-pruned decode → distinct match set →
+        docmeta join as :meth:`facet_counts`; the bucket index is a
+        pure JVM expression (Σ (value >= edge) − 1 over the literal
+        edge list — no UDF, no extra shuffle beyond the count agg)."""
+        edges = [float(e) for e in edges]
+        if len(edges) < 2 or any(a >= b for a, b in zip(edges, edges[1:])):
+            raise ValueError("edges must be >= 2 strictly increasing values")
+        uniq = sorted(set(terms))
+        if not uniq:
+            raise ValueError("needs at least one term")
+        match = self.decoded(uniq).select("doc_id").distinct()
+        v = F.col(col).cast("double")
+        idx = sum((v >= F.lit(e)).cast("int") for e in edges) - F.lit(1)
+        starts = F.array(*[F.lit(e) for e in edges[:-1]])
+        ends = F.array(*[F.lit(e) for e in edges[1:]])
+        return (
+            match.join(self.docmeta.select("doc_id", col), "doc_id")
+            .withColumn("bidx", idx)
+            .filter((F.col("bidx") >= 0) & (F.col("bidx") < len(edges) - 1))
+            .select(
+                F.element_at(starts, F.col("bidx") + 1).alias("bucket_start"),
+                F.element_at(ends, F.col("bidx") + 1).alias("bucket_end"),
+            )
+            .groupBy("bucket_start", "bucket_end")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.asc("bucket_start"))
         )
 
     def synonym_topk(
