@@ -426,6 +426,16 @@ def q_index_explain(spark, sf_dir):
     return out.select("doc_id", "term", "tf", "df", "doc_len", "score_q")
 
 
+def q_index_collapse_topk(spark, sf_dir):
+    """Field-collapsed top-k (Elasticsearch collapse): best-scoring doc
+    per topic over the flagship OR query, groups ranked by their
+    representative — result-diversity serving."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.collapse_topk(BM25_OR_TERMS, field="topic", k=TOPK).select(
+        "topic", "doc_id", "score_q"
+    )
+
+
 def q_index_facet_histogram(spark, sf_dir):
     """Range-facet aggregation (Elasticsearch range-agg analogue): the
     flagship OR query's match set bucketed by doc_len over HIST_EDGES
@@ -1111,6 +1121,7 @@ FOLDED_QUERIES = frozenset({
     "index_msm_topk",          # count-constrained restriction of index_wand_topk
     "index_explain",           # per-(doc,term) decomposition of index_wand_topk's sums
     "index_facet_histogram",   # range-bucketed variant of index_facet_counts' match set
+    "index_collapse_topk",     # per-field restriction of the OR top-k family's ranking
     "index_suggest_batch",     # batch formulation of index_fuzzy_suggest
     "index_hybrid_batch",      # batch formulation of index_hybrid_rerank
 })
@@ -1141,6 +1152,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_msm_topk": q_index_msm_topk,
         "index_explain": q_index_explain,
         "index_facet_histogram": q_index_facet_histogram,
+        "index_collapse_topk": q_index_collapse_topk,
         "index_filtered_topk": q_index_filtered_topk,
         "index_filtered_wand_topk": q_index_filtered_wand_topk,
         "index_snippets": q_index_snippets,
@@ -1477,6 +1489,22 @@ def _all_oracle_sql() -> dict[str, str]:
             "FROM sc GROUP BY doc_id",
             f"FROM sc GROUP BY doc_id HAVING count(*) >= {MSM_N}",
         ),
+        # collapse: best doc per topic, groups ranked by representative
+        "index_collapse_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            , coll_agg AS (
+              SELECT doc_id, sum(score_q)::bigint AS score_q FROM sc GROUP BY doc_id
+            ),
+            coll AS (
+              SELECT d.lang AS topic, a.doc_id, a.score_q,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY a.score_q DESC, a.doc_id ASC
+                     ) AS r
+              FROM coll_agg a JOIN documents d USING (doc_id)
+            )
+            SELECT topic, doc_id, score_q FROM coll WHERE r = 1
+            ORDER BY score_q DESC, doc_id ASC LIMIT {TOPK}
+        """,
         # range-facet: Σ (value >= edge) − 1 bucket index, same as the
         # engine's JVM expression; the VALUES table maps idx -> bounds
         "index_facet_histogram": f"""

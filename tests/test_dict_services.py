@@ -934,3 +934,43 @@ def test_facet_histogram_guards(idx):
         idx.facet_histogram(["arg_cfg"], edges=(10, 10, 20))
     with pytest.raises(ValueError, match="at least one term"):
         idx.facet_histogram([], edges=(0, 10))
+
+
+def test_collapse_topk_matches_oracle(idx, py_stats):
+    """Field collapsing: the best-scoring doc per topic, groups ranked
+    by their representative's score, vs a pure-Python oracle."""
+    tfs, langs, dfc, _ = py_stats
+    dls = {d: sum(c.values()) for d, c in tfs.items()}
+    n = len(tfs)
+    avgdl = sum(dls.values()) / n
+    terms = ["arg_ctx77", "arg_cfg"]
+    scores = {}
+    for d, c in tfs.items():
+        present = [t for t in set(terms) if t in c]
+        if present:
+            scores[d] = sum(
+                bm25_quantized_py(c[t], dls[d], dfc[t], n, avgdl) for t in present
+            )
+    best: dict[str, tuple] = {}
+    for d, s in scores.items():
+        cur = best.get(langs[d])
+        if cur is None or (-s, d) < (-cur[1], cur[0]):
+            best[langs[d]] = (d, s)
+    want = sorted(
+        ((lang, d, s) for lang, (d, s) in best.items()),
+        key=lambda x: (-x[2], x[1]),
+    )[:5]
+    got = [
+        (r["topic"], r["doc_id"], r["score_q"])
+        for r in idx.collapse_topk(terms, field="topic", k=5).collect()
+    ]
+    assert got == want and len(got) > 1
+    # one row per distinct field value
+    assert len({t for t, _, _ in got}) == len(got)
+
+
+def test_collapse_topk_guards(idx):
+    with pytest.raises(ValueError, match="at least one term"):
+        idx.collapse_topk([])
+    with pytest.raises(ValueError, match="unknown mode"):
+        idx.collapse_topk(["arg_cfg"], mode="NOR")

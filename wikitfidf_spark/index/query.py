@@ -1870,6 +1870,54 @@ class InvertedIndex:
             )
         )
 
+    def collapse_topk(
+        self,
+        terms: Sequence[str],
+        field: str = "topic",
+        k: int = 10,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """Field-collapsed top-k (Elasticsearch's ``collapse``): rank
+        the match set by BM25 but keep only the best-scoring doc per
+        distinct value of a docmeta ``field``, then cut to the k best
+        groups → (field, doc_id, score_q, score) — result diversity
+        for serving (one hit per repo, per site, per license...).
+
+        Exact, not per-shard approximate: a field value's docs span
+        doc-partitioned shards, so the collapse is a global decision —
+        scoring uses the relational body over the term-pruned decode
+        (O(match set), same exact quantized impacts the kernels serve),
+        one window per field value picks each group's representative,
+        one global cut ranks the groups.  Ties: (score desc, doc asc)
+        inside a group and across groups."""
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
+        uniq = sorted(set(terms))
+        if not uniq:
+            raise ValueError("needs at least one term")
+        agg = (
+            self.decoded(uniq)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("score_q").alias("score_q"),
+                F.countDistinct("term").alias("n_terms"),
+            )
+        )
+        if mode == "AND":
+            agg = agg.filter(F.col("n_terms") == len(uniq))
+        w = Window.partitionBy(field).orderBy(F.desc("score_q"), F.asc("doc_id"))
+        return (
+            agg.join(self.docmeta.select("doc_id", field), "doc_id")
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .orderBy(F.desc("score_q"), F.asc("doc_id"))
+            .limit(k)
+            .select(
+                field, "doc_id", "score_q",
+                (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
+            )
+        )
+
     def tfidf_scores(self, terms: Sequence[str] | None = None) -> DataFrame:
         """Degenerate TF-IDF mode: reference formula (tfidf.go:100-103)
         over decoded postings — reproduces wikitfidf rankings.
