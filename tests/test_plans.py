@@ -212,3 +212,51 @@ def test_batch_serving_plans(spark, tmp_path_factory):
     e2 = explain_str(mb)
     assert "BroadcastNestedLoopJoin" not in e2 and "CartesianProduct" not in e2
     assert mb.count() > 0
+
+
+def test_wildcard_and_collapse_plans(spark, tmp_path_factory):
+    """Round-5 final serving additions keep the scale shapes:
+    - expand_wildcard pushes the literal prefix into the dictionary
+      scan as StartsWith (row-group pruning on the term-sorted
+      dictionary) and cuts with TakeOrderedAndProject;
+    - wildcard_topk_batch's expansion join is a broadcast of the tiny
+      panel, never nested-loop over the vocabulary rows;
+    - facet_histogram's bucket index is a pure expression (no Python
+      eval) and collapse_topk introduces no cartesian."""
+    d = str(tmp_path_factory.mktemp("idx_wildplan"))
+    docs_df = make_code_files(spark, n_docs=300, seed=42)
+    build_index(spark, docs_df, d, IndexConfig(n_shards=2, n_salts=2), resume=False)
+    idx = InvertedIndex(spark, d)
+
+    exp = idx.expand_wildcard("arg_c*")
+    e = explain_str(exp)
+    assert "StringStartsWith(term,arg_c)" in e      # pushed into the scan
+    assert "TakeOrderedAndProject" in plan(exp)
+
+    pdf_plan = explain_str(
+        idx.dictionary.select("term", "df")
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(0, "^arg.*$", "arg")], "query_id int, rx string, prefix string"
+                )
+            ),
+            F.col("term").startswith(F.col("prefix"))
+            & F.regexp_like(F.col("term"), F.col("rx")),
+        )
+    )
+    assert "CartesianProduct" not in pdf_plan
+    # a theta-join against a broadcast panel degrades to
+    # BroadcastNestedLoopJoin by design — over |panel| broadcast rows,
+    # not vocab x vocab; the vocabulary side must NOT be the broadcast
+    assert "BroadcastExchange" in pdf_plan
+
+    hist = idx.facet_histogram(["arg_cfg", "arg_ctx"], "doc_len", (0, 30, 60, 200))
+    ph = plan(hist)
+    assert "BatchEvalPython" not in ph              # bucket idx is an expression
+    assert "CartesianProduct" not in ph
+
+    coll = idx.collapse_topk(["arg_cfg", "arg_ctx"], field="topic", k=5)
+    pc = plan(coll)
+    assert "CartesianProduct" not in pc and "BroadcastNestedLoopJoin" not in pc
+    assert coll.count() > 0
