@@ -259,4 +259,10 @@ def test_wildcard_and_collapse_plans(spark, tmp_path_factory):
     coll = idx.collapse_topk(["arg_cfg", "arg_ctx"], field="topic", k=5)
     pc = plan(coll)
     assert "CartesianProduct" not in pc and "BroadcastNestedLoopJoin" not in pc
+    # representative pick is a two-phase hash agg (map-side partial min
+    # over (-score, doc) structs), NOT a per-field-value window — a
+    # skewed field value can't serialize onto one partition
+    ec = explain_str(coll)
+    assert "partial_min" in ec
+    assert "Window" not in pc
     assert coll.count() > 0

@@ -1886,10 +1886,13 @@ class InvertedIndex:
         Exact, not per-shard approximate: a field value's docs span
         doc-partitioned shards, so the collapse is a global decision —
         scoring uses the relational body over the term-pruned decode
-        (O(match set), same exact quantized impacts the kernels serve),
-        one window per field value picks each group's representative,
-        one global cut ranks the groups.  Ties: (score desc, doc asc)
-        inside a group and across groups."""
+        (O(match set), same exact quantized impacts the kernels serve).
+        Each group's representative is an ASSOCIATIVE min over
+        (−score, doc) structs — a two-phase hash aggregation with
+        map-side partial combine, so a skewed field value (half the
+        corpus in one repo) costs a partial agg, not a single-partition
+        window.  Ties: (score desc, doc asc) inside a group and across
+        groups."""
         if mode not in ("OR", "AND"):
             raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
         uniq = sorted(set(terms))
@@ -1905,16 +1908,28 @@ class InvertedIndex:
         )
         if mode == "AND":
             agg = agg.filter(F.col("n_terms") == len(uniq))
-        w = Window.partitionBy(field).orderBy(F.desc("score_q"), F.asc("doc_id"))
-        return (
+        best = (
             agg.join(self.docmeta.select("doc_id", field), "doc_id")
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
+            .groupBy(field)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score_q")).alias("neg_score"),
+                        F.col("doc_id").alias("doc_id"),
+                    )
+                ).alias("best")
+            )
+        )
+        return (
+            best.select(
+                field,
+                F.col("best.doc_id").alias("doc_id"),
+                (-F.col("best.neg_score")).alias("score_q"),
+            )
             .orderBy(F.desc("score_q"), F.asc("doc_id"))
             .limit(k)
-            .select(
-                field, "doc_id", "score_q",
-                (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
+            .withColumn(
+                "score", F.col("score_q").cast("double") / F.lit(float(QUANT))
             )
         )
 
