@@ -974,3 +974,21 @@ def test_collapse_topk_guards(idx):
         idx.collapse_topk([])
     with pytest.raises(ValueError, match="unknown mode"):
         idx.collapse_topk(["arg_cfg"], mode="NOR")
+
+
+def test_collapse_topk_k_guard(idx):
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        idx.collapse_topk(["arg_cfg"], k=0)
+
+
+def test_facet_histogram_rejects_nan_edges(idx):
+    with pytest.raises(ValueError, match="finite"):
+        idx.facet_histogram(["arg_cfg"], edges=(0.0, float("nan"), 100.0))
+
+
+def test_search_and_msm_still_validates(idx):
+    """An invalid AND+min_should_match combination must surface the
+    engine's ValueError, not be masked as an empty result by the
+    OR-only unsatisfiable shortcut."""
+    with pytest.raises(ValueError, match="min_should_match applies to OR"):
+        idx.search("buf_pack64 ptr_set_util29", mode="AND", min_should_match=5)

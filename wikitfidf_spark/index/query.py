@@ -838,7 +838,12 @@ class InvertedIndex:
         ``min_should_match`` floor above the analyzed term count is an
         empty result (unsatisfiable), not a ValueError."""
         terms = self.analyze(text)
-        if not terms or (min_should_match and min_should_match > len(terms)):
+        # the unsatisfiable-msm shortcut applies only to OR — an
+        # invalid AND+msm combination must reach topk_batch's
+        # validation, not be masked as "no matches"
+        if not terms or (
+            mode == "OR" and min_should_match and min_should_match > len(terms)
+        ):
             return self._empty_result().drop("query_id")
         return self.topk_batch(
             [Query(0, terms, mode, k, min_should_match=min_should_match)],
@@ -1505,8 +1510,13 @@ class InvertedIndex:
         pure JVM expression (Σ (value >= edge) − 1 over the literal
         edge list — no UDF, no extra shuffle beyond the count agg)."""
         edges = [float(e) for e in edges]
-        if len(edges) < 2 or any(a >= b for a, b in zip(edges, edges[1:])):
-            raise ValueError("edges must be >= 2 strictly increasing values")
+        # `not (a < b)` (rather than `a >= b`) also rejects NaN edges,
+        # whose comparisons are all False and would silently produce
+        # nonsense buckets
+        if len(edges) < 2 or any(
+            not math.isfinite(e) for e in edges
+        ) or any(not (a < b) for a, b in zip(edges, edges[1:])):
+            raise ValueError("edges must be >= 2 finite, strictly increasing values")
         uniq = sorted(set(terms))
         if not uniq:
             raise ValueError("needs at least one term")
@@ -1848,19 +1858,7 @@ class InvertedIndex:
         get auto-broadcast by Catalyst).  Scores are the same exact
         quantized impacts the unfiltered paths serve — filtering never
         changes a surviving document's score."""
-        if mode not in ("OR", "AND"):
-            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
-        uniq = sorted(set(terms))
-        d = self.decoded(uniq)
-        if predicate.strip().lower() != "true":  # unfiltered: skip the semi join
-            allowed = self.docmeta.filter(predicate).select("doc_id")
-            d = d.join(allowed, "doc_id", "left_semi")
-        agg = d.groupBy("doc_id").agg(
-            F.sum("score_q").alias("score_q"),
-            F.countDistinct("term").alias("n_terms"),
-        )
-        if mode == "AND":
-            agg = agg.filter(F.col("n_terms") == len(uniq))
+        agg = self._scored_doc_agg(terms, mode, predicate)
         return (
             agg.orderBy(F.desc("score_q"), F.asc("doc_id"))
             .limit(k)
@@ -1869,6 +1867,33 @@ class InvertedIndex:
                 (F.col("score_q").cast("double") / F.lit(float(QUANT))).alias("score"),
             )
         )
+
+    def _scored_doc_agg(
+        self, terms: Sequence[str], mode: str, predicate: str = "true"
+    ) -> DataFrame:
+        """The shared relational scoring body: decode the queried
+        posting lists, optionally LEFT-SEMI join the docmeta rows
+        matching ``predicate``, aggregate per doc → (doc_id, score_q).
+        The distinct-term count (and its per-doc tracking hash set) is
+        only added when AND mode needs it."""
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
+        uniq = sorted(set(terms))
+        d = self.decoded(uniq)
+        if predicate.strip().lower() != "true":  # unfiltered: skip the semi join
+            allowed = self.docmeta.filter(predicate).select("doc_id")
+            d = d.join(allowed, "doc_id", "left_semi")
+        if mode == "AND":
+            return (
+                d.groupBy("doc_id")
+                .agg(
+                    F.sum("score_q").alias("score_q"),
+                    F.countDistinct("term").alias("n_terms"),
+                )
+                .filter(F.col("n_terms") == len(uniq))
+                .drop("n_terms")
+            )
+        return d.groupBy("doc_id").agg(F.sum("score_q").alias("score_q"))
 
     def collapse_topk(
         self,
@@ -1893,21 +1918,11 @@ class InvertedIndex:
         corpus in one repo) costs a partial agg, not a single-partition
         window.  Ties: (score desc, doc asc) inside a group and across
         groups."""
-        if mode not in ("OR", "AND"):
-            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
-        uniq = sorted(set(terms))
-        if not uniq:
+        if not set(terms):
             raise ValueError("needs at least one term")
-        agg = (
-            self.decoded(uniq)
-            .groupBy("doc_id")
-            .agg(
-                F.sum("score_q").alias("score_q"),
-                F.countDistinct("term").alias("n_terms"),
-            )
-        )
-        if mode == "AND":
-            agg = agg.filter(F.col("n_terms") == len(uniq))
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        agg = self._scored_doc_agg(terms, mode)
         best = (
             agg.join(self.docmeta.select("doc_id", field), "doc_id")
             .groupBy(field)
