@@ -343,25 +343,36 @@ def test_more_like_this(spark, built, oracle):
         idx.more_like_this(123456789, m=m, k=k)
 
 
-def test_randomized_feature_differential(spark, built, oracle):
+def test_randomized_feature_differential(spark, built, oracle, corpus):
     """End-to-end randomized differential over the FULL query feature
-    surface (mode x exclude x boosts x offset x min_should_match):
+    surface (mode x exclude x boosts x offset x min_should_match
+    x batch-level metadata predicate):
     TAAT and WAND must be
     row-identical to each other AND to a transparent pure-Python BM25
     oracle, per seeded batch.  Complements test_wand_randomized (kernel
     level) by driving the whole serve path — shard cogroup, sub-shard
-    merge, membership-only exclude decode, pagination windows."""
+    merge, membership-only exclude decode, pagination windows, and the
+    filtered cogroup paths (TAAT vectorized mask / WAND pivot
+    snapping; scores of surviving docs untouched by construction)."""
     import random
 
     tfs, dls, dfc, n, avgdl = oracle
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in corpus.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        ).select("doc_id", "lang").collect()
+    }
     vocab = sorted(dfc)
     idx = InvertedIndex(spark, IDX_DIR)
 
-    def py_oracle(q: Query):
+    def py_oracle(q: Query, pred_lang: "str | None"):
         uniq = sorted(set(q.terms))
         boost = dict(zip(q.terms, q.boosts)) if q.boosts else {}
         out = {}
         for d, c in tfs.items():
+            if pred_lang is not None and langs[d] != pred_lang:
+                continue
             present = [t for t in uniq if t in c]
             if not present or (q.mode == "AND" and len(present) < len(uniq)):
                 continue
@@ -383,7 +394,14 @@ def test_randomized_feature_differential(spark, built, oracle):
     # soak knobs: WTF_FUZZ_BATCHES=50 WTF_FUZZ_SEED=7 pytest ... -k differential
     n_batches = int(os.environ.get("WTF_FUZZ_BATCHES", "3"))
     rng = random.Random(int(os.environ.get("WTF_FUZZ_SEED", "1234")))
+    all_langs = sorted(set(langs.values()))
     for batch_no in range(n_batches):
+        # a predicate applies to the WHOLE batch (the API's contract);
+        # scores of surviving docs must be the unfiltered globals
+        pred_lang = (
+            rng.choice(all_langs) if rng.random() < 0.35 else None
+        )
+        predicate = None if pred_lang is None else f"topic = '{pred_lang}'"
         queries = []
         for qid in range(12):
             n_terms = rng.randint(1, 4)
@@ -406,10 +424,12 @@ def test_randomized_feature_differential(spark, built, oracle):
             queries.append(Query(qid, terms, mode, k,
                                  exclude=exclude, boosts=boosts, offset=offset,
                                  min_should_match=msm))
-        expected = sorted(r for q in queries for r in py_oracle(q))
+        expected = sorted(r for q in queries for r in py_oracle(q, pred_lang))
         for strategy in ("taat", "wand"):
             got = sorted(
                 (r["query_id"], r["doc_id"], r["score_q"], r["rank"])
-                for r in idx.topk_batch(queries, strategy=strategy).collect()
+                for r in idx.topk_batch(
+                    queries, strategy=strategy, predicate=predicate
+                ).collect()
             )
-            assert got == expected, (batch_no, strategy)
+            assert got == expected, (batch_no, strategy, predicate)
