@@ -314,6 +314,68 @@ def main() -> None:
         f"per-family {extras['mixed']['families_qps']}; "
         f"stability {extras['mixed']['stability']})")
 
+    # ---- round-5-final panel families: wildcard multi-term rewrite,
+    # minimum-should-match, field collapse, range histogram, explain —
+    # 100 logical queries, same warm-up/median/stability protocol, so
+    # the new serving surface has recorded q/s from its first round.
+    from wikitfidf_spark.index.query import Query as _Q
+
+    wild_panels = [(i, t[:3] + "*") for i, t in enumerate(hot[:5])] + [
+        (5 + i, t[:4] + "?*") for i, t in enumerate(hot[5:10])
+    ]
+    wild_panels = [(qid, p) for qid, p in wild_panels][:25]
+    # widen to 25 distinct panels by varying prefix lengths
+    more = [(10 + i, _vocab(2000, 47)[i][:3] + "*") for i in range(15)]
+    wild_panels = wild_panels[:10] + more
+    msm_vocab = _vocab(2000, 53)
+    msm_qs = [
+        _Q(i, [msm_vocab[(3 * i) % 400], msm_vocab[(3 * i + 1) % 400],
+               msm_vocab[(3 * i + 2) % 400]], "OR", 10, min_should_match=2)
+        for i in range(60)
+    ]
+    top_doc_ids = [r["doc_id"] for r in idx.topk(hot[:3], k=5).collect()]
+
+    def panels_pass() -> dict[str, float]:
+        fam: dict[str, float] = {}
+        t0 = time.time()
+        idx.wildcard_topk_batch(wild_panels, k=10).count()
+        fam["wildcard25"] = time.time() - t0
+        t0 = time.time()
+        idx.topk_batch(msm_qs).count()
+        fam["msm60"] = time.time() - t0
+        t0 = time.time()
+        for t in hot[:5]:
+            idx.collapse_topk([t], field="topic", k=10).count()
+        fam["collapse5"] = time.time() - t0
+        t0 = time.time()
+        for t in hot[5:10]:
+            idx.facet_histogram([t], "doc_len", (0.0, 100.0, 200.0, 400.0, 10000.0)).count()
+        fam["hist5"] = time.time() - t0
+        t0 = time.time()
+        idx.explain(hot[:3], top_doc_ids).count()
+        fam["explain5"] = time.time() - t0
+        return fam
+
+    warm_p = panels_pass()
+    log(f"panels_100q warm-up (discarded): { {k: round(v, 2) for k, v in warm_p.items()} }")
+    p1, p2 = panels_pass(), panels_pass()
+    pan_med = {k: round(_st.median([p1[k], p2[k]]), 3) for k in p1}
+    timings["panels_100q"] = round(sum(pan_med.values()), 3)
+    pt1, pt2 = sum(p1.values()), sum(p2.values())
+    extras["panels"] = {
+        "families_sec": pan_med,
+        "families_qps": {
+            k: round(int("".join(c for c in k if c.isdigit())) / v, 1)
+            for k, v in pan_med.items()
+        },
+        "qps": round(100 / timings["panels_100q"], 2),
+        "pass_totals_sec": [round(pt1, 3), round(pt2, 3)],
+        "stability": round(max(pt1, pt2) / min(pt1, pt2), 3),
+    }
+    log(f"panels_100q: {timings['panels_100q']}s ({extras['panels']['qps']} q/s; "
+        f"per-family {extras['panels']['families_qps']}; "
+        f"stability {extras['panels']['stability']})")
+
     # index_add_1pct is the SUM of its two timed components (deferred +
     # refresh), kept in the queries dict for round-over-round compare —
     # exclude it from the total or the add wall counts twice
