@@ -445,6 +445,35 @@ def q_index_facet_histogram(spark, sf_dir):
     return idx.facet_histogram(BM25_OR_TERMS, "doc_len", HIST_EDGES)
 
 
+#: the two-panel batch probe shared by the collapse/histogram batch
+#: folds: the flagship OR panel plus the AND panel's term subset (the
+#: overlap exercises the term→panel fan-out)
+_BATCH_PANELS = [(0, BM25_OR_TERMS), (1, BM25_AND_TERMS)]
+
+
+def q_index_collapse_batch(spark, sf_dir):
+    """Two field-collapse panels in ONE job
+    (InvertedIndex.collapse_topk_batch): one posting decode for the
+    union of terms, broadcast term→panel fan-out, the same associative
+    min-struct representative pick as the single-call path, one rank
+    window per panel — row-identical per panel to
+    index_collapse_topk's method."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.collapse_topk_batch(_BATCH_PANELS, field="topic", k=TOPK).select(
+        "query_id", "topic", "doc_id", "score_q"
+    )
+
+
+def q_index_hist_batch(spark, sf_dir):
+    """Two range-facet histogram panels in ONE job
+    (InvertedIndex.facet_histogram_batch): one decode for the union of
+    terms, per-(panel, doc) distinct match sets, one docmeta join and
+    one partial-agg count — row-identical per panel to
+    index_facet_histogram's method."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.facet_histogram_batch(_BATCH_PANELS, "doc_len", HIST_EDGES)
+
+
 def q_index_filtered_topk(spark, sf_dir):
     """Metadata-filtered BM25 top-k through the ENGINE's cogrouped TAAT
     path (allowed docmeta ids co-shuffled by shard, vectorized mask):
@@ -1124,6 +1153,8 @@ FOLDED_QUERIES = frozenset({
     "index_collapse_topk",     # per-field restriction of the OR top-k family's ranking
     "index_suggest_batch",     # batch formulation of index_fuzzy_suggest
     "index_hybrid_batch",      # batch formulation of index_hybrid_rerank
+    "index_collapse_batch",    # batch formulation of index_collapse_topk
+    "index_hist_batch",        # batch formulation of index_facet_histogram
 })
 
 
@@ -1152,7 +1183,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_msm_topk": q_index_msm_topk,
         "index_explain": q_index_explain,
         "index_facet_histogram": q_index_facet_histogram,
+        "index_hist_batch": q_index_hist_batch,
         "index_collapse_topk": q_index_collapse_topk,
+        "index_collapse_batch": q_index_collapse_batch,
         "index_filtered_topk": q_index_filtered_topk,
         "index_filtered_wand_topk": q_index_filtered_wand_topk,
         "index_snippets": q_index_snippets,
@@ -1300,6 +1333,13 @@ _OR_SQL = ", ".join(f"'{t}'" for t in BM25_OR_TERMS)
 _NOT_SQL = ", ".join(f"'{t}'" for t in NOT_TERMS)
 _BOOST_SQL = ", ".join(f"('{t}', {b})" for t, b in zip(BM25_OR_TERMS, BOOSTS))
 _AND_SQL = ", ".join(f"'{t}'" for t in BM25_AND_TERMS)
+#: (query_id, term) VALUES rows for the collapse/histogram batch folds
+#: — mirrors the engine's per-panel term dedup (sorted(set(terms)))
+_PANEL_SQL = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, terms in _BATCH_PANELS
+    for t in sorted(set(terms))
+)
 # anchored ^…$ regex over ./.*/literals only — a fragment dialect Java
 # regex (engine RLIKE) and RE2 (DuckDB regexp_matches) agree on
 from wikitfidf_spark.index.query import wildcard_regex as _wildcard_regex  # noqa: E402
@@ -1522,6 +1562,70 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT bucket_start, bucket_end, count(*)::bigint AS n_docs
             FROM b JOIN buckets USING (bidx) GROUP BY 1, 2
             ORDER BY bucket_start ASC
+        """,
+        # collapse batch: the single-panel collapse SQL with a VALUES
+        # panel map fanning the shared sc CTE to both panels, and the
+        # final k cut per panel instead of global (the AND panel's
+        # terms are a subset of the OR panel's, so the union term list
+        # IS _OR_SQL and the overlap exercises the fan-out)
+        "index_collapse_batch": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            , panel AS (
+              SELECT * FROM (VALUES {_PANEL_SQL}) AS p(query_id, term)
+            ),
+            cb_agg AS (
+              SELECT p.query_id, sc.doc_id, sum(sc.score_q)::bigint AS score_q
+              FROM sc JOIN panel p USING (term) GROUP BY 1, 2
+            ),
+            cb AS (
+              SELECT a.query_id, d.lang AS topic, a.doc_id, a.score_q,
+                     row_number() OVER (
+                       PARTITION BY a.query_id, d.lang
+                       ORDER BY a.score_q DESC, a.doc_id ASC
+                     ) AS r
+              FROM cb_agg a JOIN documents d USING (doc_id)
+            ),
+            cb_ranked AS (
+              SELECT query_id, topic, doc_id, score_q,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_q DESC, doc_id ASC
+                     ) AS gr
+              FROM cb WHERE r = 1
+            )
+            SELECT query_id, topic, doc_id, score_q
+            FROM cb_ranked WHERE gr <= {TOPK}
+            ORDER BY query_id ASC, score_q DESC, doc_id ASC
+        """,
+        # histogram batch: per-panel distinct match sets via the same
+        # VALUES panel map, then the single-panel bucket arithmetic
+        "index_hist_batch": f"""
+            WITH {_TOK_CTE},
+            panel AS (
+              SELECT * FROM (VALUES {_PANEL_SQL}) AS p(query_id, term)
+            ),
+            m AS (
+              SELECT DISTINCT p.query_id, tf.doc_id
+              FROM tf JOIN panel p USING (term)
+            ),
+            dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1),
+            j AS (
+              SELECT m.query_id, dl.doc_len::double AS v
+              FROM m JOIN dl USING (doc_id)
+            ),
+            b AS (
+              SELECT query_id,
+                     ({" + ".join(f"(v >= {e})::int" for e in HIST_EDGES)}) - 1 AS bidx
+              FROM j
+            ),
+            buckets AS (
+              SELECT * FROM (VALUES {", ".join(
+                  f"({i}, {a}::double, {b_}::double)"
+                  for i, (a, b_) in enumerate(zip(HIST_EDGES, HIST_EDGES[1:]))
+              )}) AS t(bidx, bucket_start, bucket_end)
+            )
+            SELECT query_id, bucket_start, bucket_end, count(*)::bigint AS n_docs
+            FROM b JOIN buckets USING (bidx) GROUP BY 1, 2, 3
+            ORDER BY query_id ASC, bucket_start ASC
         """,
         # explain: the flagship top-k's per-(doc, term) decomposition —
         # doc selection is the same oracled cut, components re-derived

@@ -344,12 +344,15 @@ def main() -> None:
         idx.topk_batch(msm_qs).count()
         fam["msm60"] = time.time() - t0
         t0 = time.time()
-        for t in hot[:5]:
-            idx.collapse_topk([t], field="topic", k=10).count()
+        idx.collapse_topk_batch(
+            [(i, [t]) for i, t in enumerate(hot[:5])], field="topic", k=10
+        ).count()
         fam["collapse5"] = time.time() - t0
         t0 = time.time()
-        for t in hot[5:10]:
-            idx.facet_histogram([t], "doc_len", (0.0, 100.0, 200.0, 400.0, 10000.0)).count()
+        idx.facet_histogram_batch(
+            [(i, [t]) for i, t in enumerate(hot[5:10])],
+            "doc_len", (0.0, 100.0, 200.0, 400.0, 10000.0),
+        ).count()
         fam["hist5"] = time.time() - t0
         t0 = time.time()
         idx.explain(hot[:3], top_doc_ids).count()

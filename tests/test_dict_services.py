@@ -986,6 +986,77 @@ def test_facet_histogram_rejects_nan_edges(idx):
         idx.facet_histogram(["arg_cfg"], edges=(0.0, float("nan"), 100.0))
 
 
+def test_collapse_topk_batch_equals_per_call(idx):
+    """collapse_topk_batch == a loop of single collapse_topk calls, in
+    both modes; a term shared by two panels fans out to both and
+    per-panel ordering (score desc, doc asc) survives the rank
+    window."""
+    t1, t2, t3 = [
+        r["term"]
+        for r in idx.dictionary.orderBy(F.desc("df"), F.asc("term")).limit(3).collect()
+    ]
+    panels = [(0, [t1, t2]), (1, [t3]), (2, [t2, t3])]
+    for mode in ("OR", "AND"):
+        batch = idx.collapse_topk_batch(panels, field="topic", k=5, mode=mode).collect()
+        by_qid: dict[int, list] = {}
+        for r in batch:
+            by_qid.setdefault(r["query_id"], []).append(
+                (r["topic"], r["doc_id"], r["score_q"], r["score"])
+            )
+        for qid, terms in panels:
+            want = [
+                (r["topic"], r["doc_id"], r["score_q"], r["score"])
+                for r in idx.collapse_topk(terms, field="topic", k=5, mode=mode).collect()
+            ]
+            assert by_qid.get(qid, []) == want, f"collapse panel {qid} ({mode}) diverged"
+        assert by_qid  # hot terms must match something
+
+
+def test_collapse_topk_batch_guards(idx):
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.collapse_topk_batch([(0, ["a"]), (0, ["b"])])
+    with pytest.raises(ValueError, match="at least one term"):
+        idx.collapse_topk_batch([(0, ["arg_cfg"]), (1, [])])
+    with pytest.raises(ValueError, match="unknown mode"):
+        idx.collapse_topk_batch([(0, ["arg_cfg"])], mode="NOR")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        idx.collapse_topk_batch([(0, ["arg_cfg"])], k=0)
+
+
+def test_facet_histogram_batch_equals_per_call(idx):
+    """facet_histogram_batch == a loop of single facet_histogram calls
+    (which delegate to the batch with one panel — the equivalence is
+    still asserted against independently-collected outputs)."""
+    t1, t2 = [
+        r["term"]
+        for r in idx.dictionary.orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+    ]
+    edges = (0.0, 50.0, 100.0, 200.0, 100000.0)
+    panels = [(0, [t1]), (1, [t1, t2]), (2, ["zz_missing"])]
+    batch = idx.facet_histogram_batch(panels, "doc_len", edges).collect()
+    by_qid: dict[int, list] = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["bucket_start"], r["bucket_end"], r["n_docs"])
+        )
+    for qid, terms in panels:
+        want = [
+            (r["bucket_start"], r["bucket_end"], r["n_docs"])
+            for r in idx.facet_histogram(terms, "doc_len", edges).collect()
+        ]
+        assert by_qid.get(qid, []) == want, f"histogram panel {qid} diverged"
+    assert by_qid[1] and 2 not in by_qid  # no-match panel yields no rows
+
+
+def test_facet_histogram_batch_guards(idx):
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.facet_histogram_batch([(0, ["a"]), (0, ["b"])])
+    with pytest.raises(ValueError, match="at least one term"):
+        idx.facet_histogram_batch([(0, [])])
+    with pytest.raises(ValueError, match="finite"):
+        idx.facet_histogram_batch([(0, ["arg_cfg"])], edges=(10.0, 10.0))
+
+
 def test_search_and_msm_still_validates(idx):
     """An invalid AND+min_should_match combination must surface the
     engine's ValueError, not be masked as an empty result by the

@@ -266,3 +266,24 @@ def test_wildcard_and_collapse_plans(spark, tmp_path_factory):
     assert "partial_min" in ec
     assert "Window" not in pc
     assert coll.count() > 0
+
+    # batch shapes keep the scale properties: the panel fan-out is a
+    # broadcast equi-join (never nested-loop over postings), the
+    # collapse representative stays an associative partial_min, and the
+    # only window is the per-panel rank cut (partitioned by query_id —
+    # bounded by the batch result, not by a docmeta field's skew)
+    cb = idx.collapse_topk_batch(
+        [(0, ["arg_cfg", "arg_ctx"]), (1, ["arg_cfg"])], field="topic", k=5
+    )
+    pcb = plan(cb)
+    assert "CartesianProduct" not in pcb and "BroadcastNestedLoopJoin" not in pcb
+    ecb = explain_str(cb)
+    assert "partial_min" in ecb
+    assert "partitionspec(query_id" in pcb.lower().replace(" ", "") or \
+        "query_id" in pcb.split("Window")[1][:200]
+    hb = idx.facet_histogram_batch(
+        [(0, ["arg_cfg"]), (1, ["arg_ctx"])], "doc_len", (0.0, 100.0, 1e9)
+    )
+    phb = plan(hb)
+    assert "BatchEvalPython" not in phb
+    assert "CartesianProduct" not in phb and "BroadcastNestedLoopJoin" not in phb

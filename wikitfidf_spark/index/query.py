@@ -1509,6 +1509,29 @@ class InvertedIndex:
         docmeta join as :meth:`facet_counts`; the bucket index is a
         pure JVM expression (Σ (value >= edge) − 1 over the literal
         edge list — no UDF, no extra shuffle beyond the count agg)."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            raise ValueError("needs at least one term")
+        return (
+            self.facet_histogram_batch([(0, uniq)], col=col, edges=edges)
+            .drop("query_id")
+        )
+
+    def facet_histogram_batch(
+        self,
+        queries: Sequence[tuple[int, Sequence[str]]],
+        col: str = "doc_len",
+        edges: Sequence[float] = (0, 100, 200, 400),
+    ) -> DataFrame:
+        """Range-facet histograms for a batch of (query_id, terms)
+        panels in ONE job → (query_id, bucket_start, bucket_end,
+        n_docs).  One term-pruned posting scan decoded once for the
+        union of terms, a broadcast term→panel fan-out, per-(panel,
+        doc) distinct, one docmeta join and one partial-agg count —
+        the fixed job cost is paid once per batch instead of once per
+        panel (the same shape as :meth:`facet_counts_batch`; the
+        bucket index stays a pure JVM expression).  Row-identical per
+        panel to :meth:`facet_histogram`, which delegates here."""
         edges = [float(e) for e in edges]
         # `not (a < b)` (rather than `a >= b`) also rejects NaN edges,
         # whose comparisons are all False and would silently produce
@@ -1517,10 +1540,21 @@ class InvertedIndex:
             not math.isfinite(e) for e in edges
         ) or any(not (a < b) for a, b in zip(edges, edges[1:])):
             raise ValueError("edges must be >= 2 finite, strictly increasing values")
-        uniq = sorted(set(terms))
-        if not uniq:
-            raise ValueError("needs at least one term")
-        match = self.decoded(uniq).select("doc_id").distinct()
+        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
+        _check_unique_qids(qid for qid, _ in queries)
+        if not queries or any(not terms for _, terms in queries):
+            raise ValueError("every panel needs at least one term")
+        all_terms = sorted({t for _, terms in queries for t in terms})
+        tq = self.spark.createDataFrame(
+            [(qid, t) for qid, terms in queries for t in terms],
+            "query_id int, term string",
+        )
+        match = (
+            self.decoded(all_terms).select("term", "doc_id")
+            .join(F.broadcast(tq), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
         v = F.col(col).cast("double")
         idx = sum((v >= F.lit(e)).cast("int") for e in edges) - F.lit(1)
         starts = F.array(*[F.lit(e) for e in edges[:-1]])
@@ -1530,12 +1564,13 @@ class InvertedIndex:
             .withColumn("bidx", idx)
             .filter((F.col("bidx") >= 0) & (F.col("bidx") < len(edges) - 1))
             .select(
+                "query_id",
                 F.element_at(starts, F.col("bidx") + 1).alias("bucket_start"),
                 F.element_at(ends, F.col("bidx") + 1).alias("bucket_end"),
             )
-            .groupBy("bucket_start", "bucket_end")
+            .groupBy("query_id", "bucket_start", "bucket_end")
             .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy(F.asc("bucket_start"))
+            .orderBy(F.asc("query_id"), F.asc("bucket_start"))
         )
 
     def synonym_topk(
@@ -1946,6 +1981,94 @@ class InvertedIndex:
             .withColumn(
                 "score", F.col("score_q").cast("double") / F.lit(float(QUANT))
             )
+        )
+
+    def collapse_topk_batch(
+        self,
+        queries: Sequence[tuple[int, Sequence[str]]],
+        field: str = "topic",
+        k: int = 10,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """Field-collapsed top-k for a batch of (query_id, terms)
+        panels in ONE job → (query_id, field, doc_id, score_q, score).
+        One term-pruned posting scan decoded once for the union of
+        terms, a broadcast term→panel fan-out, per-(panel, doc) score
+        aggregation (AND additionally requires the panel's full
+        distinct-term count, checked against a broadcast per-panel
+        size table), one docmeta join, and the same associative
+        min-struct representative pick as :meth:`collapse_topk` —
+        still a two-phase hash agg with map-side partial combine, so a
+        skewed field value costs a partial agg, not a single-partition
+        window.  The only window is the per-panel rank cut to the k
+        best groups (partitioned by query_id — bounded by the batch's
+        result size, not the corpus).  Row-identical per panel to
+        :meth:`collapse_topk` (same (score desc, doc asc) ties)."""
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
+        _check_unique_qids(qid for qid, _ in queries)
+        if not queries or any(not terms for _, terms in queries):
+            raise ValueError("every panel needs at least one term")
+        all_terms = sorted({t for _, terms in queries for t in terms})
+        tq = self.spark.createDataFrame(
+            [(qid, t) for qid, terms in queries for t in terms],
+            "query_id int, term string",
+        )
+        d = (
+            self.decoded(all_terms).select("term", "doc_id", "score_q")
+            .join(F.broadcast(tq), "term")
+        )
+        if mode == "AND":
+            sizes = self.spark.createDataFrame(
+                [(qid, len(terms)) for qid, terms in queries],
+                "query_id int, q_n_terms int",
+            )
+            agg = (
+                d.groupBy("query_id", "doc_id")
+                .agg(
+                    F.sum("score_q").alias("score_q"),
+                    F.countDistinct("term").alias("n_terms"),
+                )
+                .join(F.broadcast(sizes), "query_id")
+                .filter(F.col("n_terms") == F.col("q_n_terms"))
+                .select("query_id", "doc_id", "score_q")
+            )
+        else:
+            agg = d.groupBy("query_id", "doc_id").agg(
+                F.sum("score_q").alias("score_q")
+            )
+        best = (
+            agg.join(self.docmeta.select("doc_id", field), "doc_id")
+            .groupBy("query_id", field)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score_q")).alias("neg_score"),
+                        F.col("doc_id").alias("doc_id"),
+                    )
+                ).alias("best")
+            )
+            .select(
+                "query_id",
+                field,
+                F.col("best.doc_id").alias("doc_id"),
+                (-F.col("best.neg_score")).alias("score_q"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_q"), F.asc("doc_id")
+        )
+        return (
+            best.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.lit(k))
+            .drop("rank")
+            .withColumn(
+                "score", F.col("score_q").cast("double") / F.lit(float(QUANT))
+            )
+            .orderBy(F.asc("query_id"), F.desc("score_q"), F.asc("doc_id"))
         )
 
     def tfidf_scores(self, terms: Sequence[str] | None = None) -> DataFrame:
