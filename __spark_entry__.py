@@ -25,7 +25,7 @@ from wikitfidf_spark.sources import read_named_table
 from wikitfidf_spark.tokenize import TOKEN_REGEX
 from wikitfidf_spark.operators import termstats, topk, badwords as bw, stemdict, filters
 from wikitfidf_spark.operators import dedup, similarity, textstats, multimodal
-from wikitfidf_spark.operators import sampling
+from wikitfidf_spark.operators import sampling, decontam
 from wikitfidf_spark.operators.scoring import QUANT, round_half_up
 from wikitfidf_spark.streaming import jobs as stream_jobs
 
@@ -451,6 +451,16 @@ def q_index_facet_histogram(spark, sf_dir):
 _BATCH_PANELS = [(0, BM25_OR_TERMS), (1, BM25_AND_TERMS)]
 
 
+def q_index_facet_stats(spark, sf_dir):
+    """Stats aggregation (Elasticsearch stats-agg analogue): count /
+    min / max / sum / avg of doc_len over the flagship OR query's
+    match set — the numeric summary panel next to search results.
+    Integer doc_lens make every output exact, so the DuckDB compare
+    is strict."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.facet_stats(BM25_OR_TERMS, col="doc_len")
+
+
 def q_index_collapse_batch(spark, sf_dir):
     """Two field-collapse panels in ONE job
     (InvertedIndex.collapse_topk_batch): one posting decode for the
@@ -783,6 +793,25 @@ def q_index_paged_topk(spark, sf_dir):
     return out.select("doc_id", "score_q", "rank")
 
 
+def q_index_cursor_topk(spark, sf_dir):
+    """Cursor pagination (Elasticsearch search_after): the flagship OR
+    query's second page fetched by passing page 1's LAST hit as the
+    (score_q, doc_id) cursor instead of an offset.  Each shard's local
+    cut stays k — deep page P costs O(k) per shard, not O(offset+k),
+    which is what makes paging sustainable at 100-TB index scale.
+    Ranks are page-relative (1..k); the oracle re-derives the same
+    rows as absolute ranks TOPK+1..2*TOPK shifted down by TOPK."""
+    from wikitfidf_spark.index.query import Query
+
+    idx = _cached_index(spark, sf_dir)
+    p1 = idx.topk(BM25_OR_TERMS, k=TOPK).orderBy("rank").collect()
+    cursor = (p1[-1]["score_q"], p1[-1]["doc_id"])
+    out = idx.topk_batch(
+        [Query(0, BM25_OR_TERMS, "OR", TOPK, search_after=cursor)], strategy="wand"
+    )
+    return out.select("doc_id", "score_q", "rank")
+
+
 def q_index_not_topk(spark, sf_dir):
     """Boolean NOT through the engine: the flagship OR query with docs
     containing NOT_TERMS excluded (must_not semantics — surviving docs
@@ -851,6 +880,25 @@ def q_index_hybrid_batch(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups: md5(text) -> representative + group size."""
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+#: eval-set carve-out for the decontamination probe: every 37th doc
+#: plays the held-out benchmark, the rest the training corpus
+DECON_EVAL_MOD = 37
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (GPT-3 appendix-C / Lee et al. 2021):
+    per-train-doc n-gram overlap with a held-out eval split — the
+    pre-training filter that keeps benchmark answers out of the
+    training corpus.  Eval grams are distinct + broadcast (the
+    benchmark side is always small); the corpus side is one tokenize →
+    gram projection + broadcast hash join, never shuffled.  Returns
+    contaminated docs only: (doc_id, n_hit_grams, n_grams, hit_frac)."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return decontam.contamination_report(tr, ev)
 
 
 def q_minhash_candidates(spark, sf_dir):
@@ -1155,6 +1203,10 @@ FOLDED_QUERIES = frozenset({
     "index_hybrid_batch",      # batch formulation of index_hybrid_rerank
     "index_collapse_batch",    # batch formulation of index_collapse_topk
     "index_hist_batch",        # batch formulation of index_facet_histogram
+    "index_cursor_topk",       # cursor formulation of index_paged_topk's page
+    "index_facet_stats",       # stats variant of index_facet_counts' match set
+    "ann_lsh_topk",            # bucketed strategy variant of ann_cosine_topk;
+                               # ann_ivf_topk keeps the scale-path driver row
 })
 
 
@@ -1183,6 +1235,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_msm_topk": q_index_msm_topk,
         "index_explain": q_index_explain,
         "index_facet_histogram": q_index_facet_histogram,
+        "index_facet_stats": q_index_facet_stats,
         "index_hist_batch": q_index_hist_batch,
         "index_collapse_topk": q_index_collapse_topk,
         "index_collapse_batch": q_index_collapse_batch,
@@ -1202,6 +1255,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_facet_counts": q_index_facet_counts,
         "index_not_topk": q_index_not_topk,
         "index_paged_topk": q_index_paged_topk,
+        "index_cursor_topk": q_index_cursor_topk,
         "index_boosted_topk": q_index_boosted_topk,
         "index_synonym_topk": q_index_synonym_topk,
         "index_hybrid_rerank": q_index_hybrid_rerank,
@@ -1209,6 +1263,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
+        "decontaminate": q_decontaminate,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
@@ -1563,6 +1618,18 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM b JOIN buckets USING (bidx) GROUP BY 1, 2
             ORDER BY bucket_start ASC
         """,
+        # stats agg: count/min/max/sum/avg of doc_len over the OR
+        # match set — integer doc_lens make sum/avg exact, so the
+        # hash compare is strict
+        "index_facet_stats": f"""
+            WITH {_TOK_CTE},
+            m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_OR_SQL})),
+            dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1),
+            j AS (SELECT dl.doc_len::double AS v FROM m JOIN dl USING (doc_id))
+            SELECT count(*)::bigint AS n_docs, min(v) AS min_v, max(v) AS max_v,
+                   sum(v) AS sum_v, sum(v) / count(*) AS avg_v
+            FROM j
+        """,
         # collapse batch: the single-panel collapse SQL with a VALUES
         # panel map fanning the shared sc CTE to both panels, and the
         # final k cut per panel instead of global (the AND panel's
@@ -1711,6 +1778,19 @@ def _all_oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, score_q, rank::int AS rank FROM agg
             WHERE rank > {PAGE_OFFSET} AND rank <= {PAGE_OFFSET + TOPK}
+            ORDER BY rank
+        """,
+        # cursor pagination: the engine pages by (score_q, doc_id)
+        # cursor with page-relative ranks; the oracle re-derives the
+        # same second page from the absolute ranking
+        "index_cursor_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            , agg AS (
+              SELECT doc_id, sum(score_q)::bigint AS score_q,
+                     row_number() OVER (ORDER BY sum(score_q) DESC, doc_id ASC) AS rank
+              FROM sc GROUP BY doc_id
+            )
+            SELECT doc_id, score_q, (rank - {TOPK})::int AS rank FROM agg
+            WHERE rank > {TOPK} AND rank <= {2 * TOPK}
             ORDER BY rank
         """,
         "index_boosted_topk": _BM25_CTE % {"terms": _OR_SQL} + f"""
@@ -1932,6 +2012,34 @@ def _all_oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*)::bigint AS n_dups
             FROM documents GROUP BY 1
+        """,
+        # decontamination: distinct md5'd n-grams per doc; eval split =
+        # doc_id % MOD == 0; contaminated train docs share >= 1 gram.
+        # range() end is exclusive: i runs 1..len-n+1
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS l
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, unnest(list_transform(
+                range(1, len(l) - {decontam.DECON_N - 2}),
+                i -> md5(array_to_string(list_slice(l, i, i + {decontam.DECON_N - 1}), ' '))
+              )) AS gram
+              FROM toks WHERE len(l) >= {decontam.DECON_N}
+            ),
+            dg AS (SELECT DISTINCT doc_id, gram FROM g),
+            ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % {DECON_EVAL_MOD} = 0),
+            tg AS (SELECT * FROM dg WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+            hits AS (
+              SELECT doc_id, count(*)::bigint AS n_hit_grams
+              FROM tg JOIN ev USING (gram) GROUP BY 1
+            ),
+            tot AS (SELECT doc_id, count(*)::bigint AS n_grams FROM tg GROUP BY 1)
+            SELECT h.doc_id, h.n_hit_grams, t.n_grams,
+                   h.n_hit_grams::double / t.n_grams AS hit_frac
+            FROM hits h JOIN tot t USING (doc_id)
+            ORDER BY doc_id
         """,
         "minhash_candidates": f"""
             WITH {_minhash_cte_sql()}

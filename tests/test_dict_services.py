@@ -487,6 +487,54 @@ def test_pagination_negative_offset_raises(idx):
         idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, offset=-1)])
 
 
+# ---------------- cursor pagination (search_after) ----------------
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+def test_search_after_tiles_like_offset(idx, strategy):
+    """Walking pages by cursor yields EXACTLY the offset path's pages
+    (same docs, same scores; cursor ranks are page-relative)."""
+    from wikitfidf_spark.index.query import Query
+
+    terms = ["arg_ctx77", "arg_cfg"]
+    full = idx.topk_batch([Query(0, terms, "OR", 30)], strategy=strategy).collect()
+    assert len(full) == 30
+    by_rank = sorted(full, key=lambda r: r["rank"])
+    cursor, walked = None, []
+    for _ in range(3):
+        page = idx.topk_batch(
+            [Query(0, terms, "OR", 10, search_after=cursor)], strategy=strategy
+        ).collect()
+        page = sorted(page, key=lambda r: r["rank"])
+        assert [r["rank"] for r in page] == list(range(1, 11))  # page-relative
+        walked += [(r["doc_id"], r["score_q"]) for r in page]
+        cursor = (page[-1]["score_q"], page[-1]["doc_id"])
+    assert walked == [(r["doc_id"], r["score_q"]) for r in by_rank]
+
+
+def test_search_after_cross_strategy_identical(idx):
+    from wikitfidf_spark.index.query import Query
+
+    terms = ["arg_ctx77", "arg_cfg"]
+    first = idx.topk(terms, k=5).collect()
+    cur = (first[-1]["score_q"], first[-1]["doc_id"])
+    a = idx.topk_batch([Query(0, terms, "OR", 5, search_after=cur)], strategy="taat").collect()
+    b = idx.topk_batch([Query(0, terms, "OR", 5, search_after=cur)], strategy="wand").collect()
+    key = lambda rows: sorted((r["rank"], r["doc_id"], r["score_q"]) for r in rows)
+    assert key(a) == key(b) and len(a) == 5
+
+
+def test_search_after_rejects_offset_combo(idx):
+    from wikitfidf_spark.index.query import Query
+
+    with pytest.raises(ValueError, match="mutually"):
+        idx.topk_batch(
+            [Query(0, ["arg_cfg"], "OR", 5, offset=3, search_after=(10, 2))]
+        )
+    with pytest.raises(ValueError, match="score_q, doc_id"):
+        idx.topk_batch([Query(0, ["arg_cfg"], "OR", 5, search_after=(10,))])
+
+
 # ---------------- per-term query boosts ----------------
 
 
@@ -1046,6 +1094,48 @@ def test_facet_histogram_batch_equals_per_call(idx):
         ]
         assert by_qid.get(qid, []) == want, f"histogram panel {qid} diverged"
     assert by_qid[1] and 2 not in by_qid  # no-match panel yields no rows
+
+
+def test_facet_stats_batch_equals_per_call(idx):
+    """facet_stats_batch == a loop of single facet_stats calls; stats
+    over an integer-valued column are exact (sum/avg derived from
+    integer doc_lens), so strict equality is the right check."""
+    t1, t2 = [
+        r["term"]
+        for r in idx.dictionary.orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+    ]
+    panels = [(0, [t1]), (1, [t1, t2]), (2, ["zz_missing"])]
+    batch = {r["query_id"]: r for r in idx.facet_stats_batch(panels).collect()}
+    for qid, terms in panels:
+        single = idx.facet_stats(terms).collect()
+        if qid in batch:
+            (s,) = single
+            b = batch[qid]
+            assert (s["n_docs"], s["min_v"], s["max_v"], s["sum_v"], s["avg_v"]) == (
+                b["n_docs"], b["min_v"], b["max_v"], b["sum_v"], b["avg_v"]
+            ), f"stats panel {qid} diverged"
+        else:
+            assert single == []
+    assert 1 in batch and 2 not in batch
+    # sanity against docmeta directly: one-term panel's stats over
+    # doc_len match a hand aggregation of the matching docs
+    match_docs = {
+        r["doc_id"] for r in idx.decoded([t1]).select("doc_id").distinct().collect()
+    }
+    lens = [
+        r["doc_len"]
+        for r in idx.docmeta.filter(F.col("doc_id").isin(match_docs)).collect()
+    ]
+    b = batch[0]
+    assert b["n_docs"] == len(lens) and b["min_v"] == min(lens)
+    assert b["max_v"] == max(lens) and b["sum_v"] == sum(lens)
+
+
+def test_facet_stats_batch_guards(idx):
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.facet_stats_batch([(0, ["a"]), (0, ["b"])])
+    with pytest.raises(ValueError, match="at least one term"):
+        idx.facet_stats_batch([(0, [])])
 
 
 def test_facet_histogram_batch_guards(idx):

@@ -172,6 +172,7 @@ def wand_top_k(
     excluded: "np.ndarray | None" = None,
     boosts: dict | None = None,
     msm: int = 0,
+    after: "tuple[int, int] | None" = None,
 ) -> list[tuple[int, int]]:
     """Block-max WAND (OR) / skipping intersection (AND) over one shard.
 
@@ -189,8 +190,13 @@ def wand_top_k(
     admissible (the upper bound still dominates every candidate's true
     score; non-qualifying docs are simply never offered to the heap),
     and once fewer than ``msm`` live cursors remain no future doc can
-    qualify, so evaluation stops early.  Returns [(doc_id, score_q)]
-    sorted by (score desc, doc asc), ≤ k.
+    qualify, so evaluation stops early.  ``after``: cursor pagination —
+    only docs strictly after ``(score_q, doc_id)`` in (score desc,
+    doc asc) order are offered to the heap; score pruning stays
+    admissible (upper bounds dominate every candidate regardless of
+    the cursor, non-qualifying docs are simply never offered — same
+    argument as msm).  Returns [(doc_id, score_q)] sorted by
+    (score desc, doc asc), ≤ k.
     """
     if allowed is not None and not len(allowed):
         return []
@@ -212,6 +218,10 @@ def wand_top_k(
     heap: list[tuple[int, int]] = []  # (score_q, -doc_id) min-heap
 
     def offer(doc: int, score: int) -> None:
+        if after is not None and (
+            score > after[0] or (score == after[0] and doc <= after[1])
+        ):
+            return  # at or before the cursor — belongs to an earlier page
         item = (score, -doc)
         if len(heap) < k:
             heapq.heappush(heap, item)
@@ -453,7 +463,7 @@ def _taat_eval(
     filtering commutes with concatenation; the AND count check runs
     after either way), without re-decoding per mask."""
     out_q, out_d, out_s = [], [], []
-    for qid, terms, mode, k, exclude, boosts, excl_docs, msm in qspec:
+    for qid, terms, mode, k, exclude, boosts, excl_docs, msm, after in qspec:
         uniq_terms = sorted(set(terms))
         present = [t for t in uniq_terms if t in decoded]
         if not present:
@@ -504,6 +514,12 @@ def _taat_eval(
         elif msm > 1:
             # minimum-should-match: same distinct-term count, >= floor
             m = cnt >= msm
+            u, sums = u[m], sums[m]
+        if after is not None:
+            # cursor pagination: only docs strictly after (score desc,
+            # doc asc) cursor qualify — the local cut stays k
+            a_s, a_d = after
+            m = (sums < a_s) | ((sums == a_s) & (u > a_d))
             u, sums = u[m], sums[m]
         if not len(u):
             continue
@@ -566,6 +582,14 @@ class Query:
     # postings are complete within its shard, so a shard holding fewer
     # than msm of the query's terms can be skipped outright.
     min_should_match: int = 0
+    # cursor pagination (Elasticsearch search_after): ``(score_q,
+    # doc_id)`` of the LAST hit of the previous page.  Only docs
+    # strictly after that cursor in (score desc, doc asc) order
+    # qualify; each shard's local cut stays k — deep page P costs
+    # O(k) per shard, not the O(offset+k) the ``offset`` path pays.
+    # Mutually exclusive with ``offset``; returned ``rank`` is
+    # relative to the cursor (1..k), as cursor pagination implies.
+    search_after: tuple[int, int] | None = None
 
 
 @dataclass
@@ -683,6 +707,16 @@ class InvertedIndex:
                 )
             if q.offset < 0:
                 raise ValueError(f"query {q.query_id}: offset must be >= 0, got {q.offset}")
+            if q.search_after is not None:
+                if q.offset:
+                    raise ValueError(
+                        f"query {q.query_id}: search_after and offset are mutually"
+                        " exclusive (the cursor IS the page position)"
+                    )
+                if len(q.search_after) != 2:
+                    raise ValueError(
+                        f"query {q.query_id}: search_after must be (score_q, doc_id)"
+                    )
             if q.min_should_match:
                 if q.mode != "OR":
                     raise ValueError(
@@ -723,6 +757,8 @@ class InvertedIndex:
                 np.asarray(sorted(set(map(int, q.exclude_docs))), dtype=np.int64)
                 if q.exclude_docs else None,
                 int(q.min_should_match),
+                (int(q.search_after[0]), int(q.search_after[1]))
+                if q.search_after is not None else None,
             )
             for q in queries
         ]
@@ -754,7 +790,7 @@ class InvertedIndex:
                 return excl_cache[exclude]
 
             out = []
-            for qid, terms, mode, k, exclude, boosts, excl_doc_ids, msm in qspec:
+            for qid, terms, mode, k, exclude, boosts, excl_doc_ids, msm, after in qspec:
                 rows_q = {t: by_term[t] for t in terms if t in by_term}
                 if not rows_q:
                     continue
@@ -769,7 +805,7 @@ class InvertedIndex:
                         else np.union1d(excluded, excl_doc_ids)
                     )
                 for doc, score in wand_top_k(
-                    rows_q, k, mode, allowed_u, excluded, boosts, msm
+                    rows_q, k, mode, allowed_u, excluded, boosts, msm, after
                 ):
                     out.append((qid, doc, score))
             return pd.DataFrame(out, columns=["query_id", "doc_id", "score_q"])
@@ -805,8 +841,16 @@ class InvertedIndex:
             local, {q.query_id: (q.k, q.offset) for q in queries}
         )
 
-    def topk(self, terms: Sequence[str], k: int = 10, mode: str = "OR") -> DataFrame:
-        return self.topk_batch([Query(0, list(terms), mode, k)]).drop("query_id")
+    def topk(
+        self,
+        terms: Sequence[str],
+        k: int = 10,
+        mode: str = "OR",
+        search_after: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        return self.topk_batch(
+            [Query(0, list(terms), mode, k, search_after=search_after)]
+        ).drop("query_id")
 
     # ---------- free-text entry: query-side analysis ----------
 
@@ -1019,7 +1063,7 @@ class InvertedIndex:
                 if not len(allowed):
                     continue
                 out.append(_taat_eval(
-                    decoded, [(qid, terms, "AND", k, (), None, None, 0)], allowed,
+                    decoded, [(qid, terms, "AND", k, (), None, None, 0, None)], allowed,
                 ))
             if not out:
                 return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
@@ -1571,6 +1615,61 @@ class InvertedIndex:
             .groupBy("query_id", "bucket_start", "bucket_end")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.asc("query_id"), F.asc("bucket_start"))
+        )
+
+    def facet_stats(self, terms: Sequence[str], col: str = "doc_len") -> DataFrame:
+        """Stats aggregation over the OR-match set (Elasticsearch's
+        ``stats`` aggregation next to search results): count / min /
+        max / sum / avg of a numeric docmeta column over the live docs
+        matching ANY of ``terms`` → one row (n_docs, min_v, max_v,
+        sum_v, avg_v).  Same term-pruned decode → distinct match set →
+        pruned docmeta join plan as :meth:`facet_counts`; the stats are
+        one partial-agg (map-side combine) over the match set.  avg is
+        derived sum/count, so for integer-valued columns every output
+        is exact and engine-independent."""
+        return (
+            self.facet_stats_batch([(0, list(terms))], col=col).drop("query_id")
+        )
+
+    def facet_stats_batch(
+        self,
+        queries: Sequence[tuple[int, Sequence[str]]],
+        col: str = "doc_len",
+    ) -> DataFrame:
+        """Stats aggregations for a batch of (query_id, terms) panels
+        in ONE job → (query_id, n_docs, min_v, max_v, sum_v, avg_v).
+        One posting scan decoded once for the union of terms, broadcast
+        term→panel fan-out, per-(panel, doc) distinct, one docmeta
+        join, one partial agg — fixed job costs paid once per batch
+        (the :meth:`facet_counts_batch` shape).  Row-identical per
+        panel to :meth:`facet_stats`, which delegates here."""
+        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
+        _check_unique_qids(qid for qid, _ in queries)
+        if not queries or any(not terms for _, terms in queries):
+            raise ValueError("every panel needs at least one term")
+        all_terms = sorted({t for _, terms in queries for t in terms})
+        tq = self.spark.createDataFrame(
+            [(qid, t) for qid, terms in queries for t in terms],
+            "query_id int, term string",
+        )
+        match = (
+            self.decoded(all_terms).select("term", "doc_id")
+            .join(F.broadcast(tq), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        v = F.col(col).cast("double")
+        return (
+            match.join(self.docmeta.select("doc_id", col), "doc_id")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+                F.sum(v).alias("sum_v"),
+                (F.sum(v) / F.count(F.lit(1))).alias("avg_v"),
+            )
+            .orderBy("query_id")
         )
 
     def synonym_topk(
