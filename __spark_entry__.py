@@ -887,6 +887,25 @@ def q_dedup_exact(spark, sf_dir):
 DECON_EVAL_MOD = 37
 
 
+def q_dup_spans(spark, sf_dir):
+    """Corpus-internal duplicated-span report (Lee et al. 2021 intra-
+    corpus half): per doc, the fraction of its n-grams shared with
+    >= 2 distinct docs — the boilerplate/template filter exact and
+    MinHash dedup both miss.  One uniform md5-gram hash agg + one
+    gram-keyed equi-join; all JVM codegen."""
+    return decontam.dup_span_report(_docs(spark, sf_dir))
+
+
+def q_index_function_score(spark, sf_dir):
+    """Function-score ranking (Elasticsearch field_value_factor,
+    modifier none): BM25 score_q x doc_len over the flagship OR
+    query's WHOLE match set (a low-BM25 doc with a large factor can
+    win, so no top-m pool cut) — integer x integer keeps every score
+    exact for the hash compare."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.function_score_topk(BM25_OR_TERMS, k=TOPK, factor="doc_len")
+
+
 def q_decontaminate(spark, sf_dir):
     """Eval-set decontamination (GPT-3 appendix-C / Lee et al. 2021):
     per-train-doc n-gram overlap with a held-out eval split — the
@@ -1207,6 +1226,8 @@ FOLDED_QUERIES = frozenset({
     "index_facet_stats",       # stats variant of index_facet_counts' match set
     "ann_lsh_topk",            # bucketed strategy variant of ann_cosine_topk;
                                # ann_ivf_topk keeps the scale-path driver row
+    "dup_spans",               # corpus-internal variant of decontaminate's grams
+    "index_function_score",    # factor-weighted variant of the OR top-k ranking
 })
 
 
@@ -1264,6 +1285,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
+        "index_function_score": q_index_function_score,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
@@ -2012,6 +2035,46 @@ def _all_oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*)::bigint AS n_dups
             FROM documents GROUP BY 1
+        """,
+        # intra-corpus duplicated spans: grams shared by >= 2 docs
+        "dup_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS l
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, unnest(list_transform(
+                range(1, len(l) - {decontam.DECON_N - 2}),
+                i -> md5(array_to_string(list_slice(l, i, i + {decontam.DECON_N - 1}), ' '))
+              )) AS gram
+              FROM toks WHERE len(l) >= {decontam.DECON_N}
+            ),
+            dg AS (SELECT DISTINCT doc_id, gram FROM g),
+            dup AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2),
+            hits AS (
+              SELECT doc_id, count(*)::bigint AS n_dup_grams
+              FROM dg JOIN dup USING (gram) GROUP BY 1
+            ),
+            tot AS (SELECT doc_id, count(*)::bigint AS n_grams FROM dg GROUP BY 1)
+            SELECT h.doc_id, h.n_dup_grams, t.n_grams,
+                   h.n_dup_grams::double / t.n_grams AS dup_frac
+            FROM hits h JOIN tot t USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # function score: BM25 sum x doc_len, ranked over the whole
+        # match set (exact integer arithmetic end to end)
+        "index_function_score": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            , agg AS (SELECT doc_id, sum(score_q)::bigint AS score_q FROM sc GROUP BY 1),
+            fs AS (
+              SELECT a.doc_id, a.score_q, (a.score_q * dl.doc_len)::bigint AS score_fs
+              FROM agg a JOIN dl USING (doc_id)
+            ),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY score_fs DESC, doc_id ASC)::int AS rank
+              FROM fs
+            )
+            SELECT doc_id, score_q, score_fs, rank FROM r
+            WHERE rank <= {TOPK} ORDER BY rank
         """,
         # decontamination: distinct md5'd n-grams per doc; eval split =
         # doc_id % MOD == 0; contaminated train docs share >= 1 gram.

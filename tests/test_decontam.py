@@ -82,6 +82,25 @@ def test_ngram_sets_guard():
         decontam.ngram_sets(None, n=0)
 
 
+def test_dup_span_report_flags_shared_run(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),       # shares run with 2
+            (2, "prefix alpha beta gamma delta epsilon tail"),
+            (3, "one two three four five six seven"),          # unique
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in decontam.dup_span_report(docs, n=5).collect()}
+    assert set(rep) == {1, 2}
+    # the shared 5-gram 'alpha beta gamma delta epsilon' is the only dup
+    assert rep[1]["n_dup_grams"] == 1 and rep[1]["n_grams"] == 2
+    assert rep[2]["n_dup_grams"] == 1 and rep[2]["n_grams"] == 3
+    assert rep[1]["dup_frac"] == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="min_docs"):
+        decontam.dup_span_report(docs, min_docs=1)
+
+
 def test_eval_join_is_broadcast(tables):
     """The corpus side must never shuffle for the eval join: the plan
     carries a broadcast hash join on the md5 gram key."""

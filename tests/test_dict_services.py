@@ -1131,6 +1131,31 @@ def test_facet_stats_batch_equals_per_call(idx):
     assert b["max_v"] == max(lens) and b["sum_v"] == sum(lens)
 
 
+def test_function_score_matches_hand_computation(idx):
+    """function_score_topk == BM25 sums x doc_len recomputed from the
+    engine's own tfidf-mode tables, ranked (score_fs desc, doc asc)."""
+    terms = ["arg_ctx77", "arg_cfg"]
+    base = {
+        r["doc_id"]: r["score_q"]
+        for r in idx.topk(terms, k=100000).collect()
+    }
+    lens = {
+        r["doc_id"]: r["doc_len"]
+        for r in idx.docmeta.filter(F.col("doc_id").isin(list(base))).collect()
+    }
+    want = sorted(
+        ((d, s, s * lens[d]) for d, s in base.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score_q"], r["score_fs"])
+        for r in idx.function_score_topk(terms, k=10).orderBy("rank").collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError, match="k must be"):
+        idx.function_score_topk(terms, k=0)
+
+
 def test_facet_stats_batch_guards(idx):
     with pytest.raises(ValueError, match="duplicate"):
         idx.facet_stats_batch([(0, ["a"]), (0, ["b"])])

@@ -2029,6 +2029,48 @@ class InvertedIndex:
             )
         return d.groupBy("doc_id").agg(F.sum("score_q").alias("score_q"))
 
+    def function_score_topk(
+        self,
+        terms: Sequence[str],
+        k: int = 10,
+        mode: str = "OR",
+        factor: str = "doc_len",
+    ) -> DataFrame:
+        """Function-score ranking (Elasticsearch ``function_score`` with
+        ``field_value_factor``, modifier ``none``): final score =
+        BM25 score_q × an integer docmeta ``factor`` column →
+        (doc_id, score_q, score_fs, rank), top-k by (score_fs desc,
+        doc_id asc).
+
+        EXACT over the whole match set by design, not a top-m rescore:
+        the factor reorders globally (a low-BM25 doc with a large
+        factor can out-rank the lexical top-m), so the pool cut cannot
+        be taken before the multiply.  The plan stays O(match set):
+        the shared relational scoring body (term-pruned decode → one
+        partial agg per doc) joins the factor column pruned out of
+        docmeta, multiplies, and cuts with TakeOrderedAndProject.
+        Integer × integer keeps every score exact and
+        engine-independent (the reason ``factor`` must be integral —
+        fractional weighting belongs in Query.boosts or hybrid RRF)."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        scored = self._scored_doc_agg(terms, mode)
+        fac = self.docmeta.select(
+            "doc_id", F.col(factor).cast("long").alias("_factor")
+        )
+        out = (
+            scored.join(fac, "doc_id")
+            .select(
+                "doc_id",
+                "score_q",
+                (F.col("score_q") * F.col("_factor")).alias("score_fs"),
+            )
+            .orderBy(F.desc("score_fs"), F.asc("doc_id"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score_fs"), F.asc("doc_id"))
+        return out.withColumn("rank", F.row_number().over(w))
+
     def collapse_topk(
         self,
         terms: Sequence[str],

@@ -103,6 +103,56 @@ def contamination_report(
     )
 
 
+def dup_span_report(
+    docs: DataFrame,
+    *,
+    n: int = DECON_N,
+    min_docs: int = 2,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-internal duplicated-span report (the intra-corpus half of
+    Lee et al. 2021): per doc, how much of it is made of n-grams that
+    also appear in >= ``min_docs`` distinct documents → (doc_id,
+    n_dup_grams, n_grams, dup_frac), docs with >= 1 duplicated gram
+    only, ordered (doc_id asc).  Pipelines threshold on ``dup_frac``
+    to drop boilerplate-heavy documents (licenses, headers, templated
+    text) that exact and MinHash dedup both miss when the surrounding
+    bytes differ.
+
+    Scale shape: gram doc-frequency is ONE hash agg on the md5 gram
+    key (uniform — md5 cannot skew); the duplicated-gram set joins
+    back on the same key (shuffle equi-join; unlike the eval side of
+    :func:`contamination_report` it is corpus-sized, so it is NOT
+    broadcast).  Everything stays JVM codegen."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    g = ngram_sets(docs, n=n, doc_id=doc_id, text=text)
+    # g is distinct per (doc, gram), so count(*) per gram = doc frequency
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") >= min_docs)
+        .select("gram")
+    )
+    hits = (
+        g.join(dup, "gram")
+        .groupBy(doc_id)
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = g.groupBy(doc_id).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        hits.join(totals, doc_id)
+        .select(
+            doc_id,
+            "n_dup_grams",
+            "n_grams",
+            (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias("dup_frac"),
+        )
+        .orderBy(doc_id)
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,
