@@ -315,6 +315,37 @@ def test_snippets(spark, built, corpus, oracle):
     assert all(len(r["snippet"].split(" ")) <= 4 for r in f)
 
 
+def test_snippets_batch_equals_per_call(spark, built, corpus, oracle):
+    """snippets_batch == a loop of single snippets calls per query:
+    same hits, same ranks, same byte-identical windows (the batch path
+    swaps the literal-term least for an array_min over the broadcast
+    term array — semantics must not move)."""
+    tfs, dls, dfc, n, avgdl = oracle
+    idx = InvertedIndex(spark, IDX_DIR)
+    hot = sorted(dfc, key=lambda t: (-dfc[t], t))[:3]
+    qs = [
+        Query(0, hot[:2], "OR", 8),
+        Query(1, [hot[2], hot[0]], "AND", 5),
+        Query(2, ["zz_never_a_term"], "OR", 5),  # no-match panel
+    ]
+    batch: dict[int, dict] = {}
+    for r in idx.snippets_batch(corpus, qs, window=8, before=2).collect():
+        batch.setdefault(r["query_id"], {})[r["doc_id"]] = (
+            r["score_q"], r["rank"], r["snippet"]
+        )
+    for q in qs:
+        want = {
+            r["doc_id"]: (r["score_q"], r["rank"], r["snippet"])
+            for r in idx.snippets(
+                corpus, q.terms, q.k, mode=q.mode, window=8, before=2
+            ).collect()
+        }
+        assert batch.get(q.query_id, {}) == want, f"snippet panel {q.query_id} diverged"
+    assert batch[0] and 2 not in batch
+    with pytest.raises(ValueError, match="window"):
+        idx.snippets_batch(corpus, qs, window=0)
+
+
 def test_more_like_this(spark, built, oracle):
     """MLT: the source doc's top-m reference-TF-IDF terms (round4,
     term-asc ties) become a BM25 OR query with the source excluded —

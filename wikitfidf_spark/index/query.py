@@ -1138,6 +1138,69 @@ class InvertedIndex:
             .select("doc_id", "score_q", "rank", snip.alias("snippet"))
         )
 
+    def snippets_batch(
+        self,
+        docs: DataFrame,
+        queries: Sequence[Query],
+        window: int = 12,
+        before: int = 3,
+        text_col: str = "content",
+        id_col: str = "doc_id",
+        strategy: str = "wand",
+        predicate: str | None = None,
+    ) -> DataFrame:
+        """Result-page snippets for a QUERY batch in one job →
+        (query_id, doc_id, score_q, rank, snippet).  One
+        :meth:`topk_batch` scores every query, the per-query term
+        arrays ride the (small) hit set as a broadcast column, and the
+        docs table is scanned ONCE for the union of hits — the per-hit
+        window cut is the same JVM expression as :meth:`snippets`,
+        with the literal-term ``least`` replaced by an
+        ``array_min(filter(transform(...)))`` over the row's own term
+        array (still whole-stage codegen, no UDF).  Row-identical per
+        query to the single-call path (equivalence-tested)."""
+        from ..tokenize import tokens_col
+
+        if window < 1 or before < 0:
+            raise ValueError(f"window must be >= 1 and before >= 0, got {window}/{before}")
+        if id_col not in docs.columns:
+            from .build import _load_cfg
+
+            cfg = _load_cfg(self.manifest, self.index_dir)
+            if not cfg.id_cols:
+                raise ValueError(
+                    f"docs has no {id_col!r} column and the index config "
+                    "declares no natural-key id_cols to derive it from"
+                )
+            docs = docs.withColumn(id_col, F.xxhash64(*cfg.id_cols))
+        hits = self.topk_batch(queries, strategy=strategy, predicate=predicate).select(
+            "query_id", "doc_id", "score_q", "rank"
+        )
+        qt = self.spark.createDataFrame(
+            [(int(q.query_id), sorted(set(q.terms))) for q in queries],
+            "query_id int, qterms array<string>",
+        )
+        hits = hits.join(F.broadcast(qt), "query_id")
+        toks = tokens_col(F.col(text_col))
+        first = F.array_min(
+            F.filter(
+                F.transform(
+                    F.col("qterms"),
+                    lambda t: F.nullif(F.array_position(toks, t), F.lit(0)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+        start = F.greatest(
+            F.lit(1), (F.coalesce(first, F.lit(1)) - F.lit(before)).cast("int")
+        )
+        snip = F.array_join(F.slice(toks, start, window), " ")
+        return (
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .join(F.broadcast(hits), "doc_id")
+            .select("query_id", "doc_id", "score_q", "rank", snip.alias("snippet"))
+        )
+
     def more_like_this(
         self,
         doc_id: int,
