@@ -129,6 +129,46 @@ def test_suggest_batch_guards(idx):
         idx.suggest_batch([(0, "a")], max_dist=-1)
 
 
+# ---------------- did-you-mean (phrase-suggester composition) ----------------
+
+
+def test_did_you_mean_corrects_misspelled_term(idx, py_stats):
+    _, _, dfc, _ = py_stats
+    hot = max(dfc, key=lambda t: (dfc[t], t))
+    typo = hot[:-1] + ("x" if hot[-1] != "x" else "q")  # dist-1 unknown
+    assert typo not in dfc
+    corrected, fixes = idx.did_you_mean(f"{hot} {typo}", max_dist=2)
+    assert corrected is not None
+    # the typo's best candidate is its (dist asc, df desc, term asc) top
+    want = idx.suggest(typo, 2, 1).collect()[0]["term"]
+    assert corrected.split() == [hot, want]
+    assert fixes == [
+        {"term": typo, "replacement": want,
+         "dist": fixes[0]["dist"], "df": fixes[0]["df"]}
+    ] and fixes[0]["dist"] >= 1
+
+
+def test_did_you_mean_clean_query_returns_none(idx, py_stats):
+    _, _, dfc, _ = py_stats
+    hot = sorted(dfc, key=lambda t: (-dfc[t], t))[:2]
+    assert idx.did_you_mean(" ".join(hot)) == (None, [])
+    # nothing analyzable -> no correction, not an error
+    assert idx.did_you_mean("of at") == (None, [])
+    # hopeless gibberish beyond max_dist -> None too
+    assert idx.did_you_mean("qqwwqqwwqqww", max_dist=1) == (None, [])
+
+
+def test_did_you_mean_feeds_search(idx, py_stats):
+    """The corrected stream is in the index's term space: searching it
+    returns the hits the typo'd query missed."""
+    _, _, dfc, _ = py_stats
+    hot = max(dfc, key=lambda t: (dfc[t], t))
+    typo = hot[:-1] + ("x" if hot[-1] != "x" else "q")
+    corrected, _ = idx.did_you_mean(typo, max_dist=2)
+    assert corrected is not None
+    assert idx.search(corrected, k=5).count() > 0
+
+
 def test_facet_counts_matches_oracle(idx, py_stats):
     tfs, langs, _, _ = py_stats
     terms = ["map_lock5", "code_get93", "set_repo74"]

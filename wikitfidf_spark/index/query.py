@@ -1551,6 +1551,54 @@ class InvertedIndex:
             .orderBy("query_id", F.asc("dist"), F.desc("df"), F.asc("term"))
         )
 
+    def did_you_mean(
+        self, text: str, max_dist: int = 2
+    ) -> tuple[str | None, list[dict]]:
+        """Query correction (the Elasticsearch phrase-suggester shape):
+        analyze ``text`` through the index's own config, look up each
+        analyzed term in the dictionary, and spell-correct the UNKNOWN
+        ones (df = 0) via ONE :meth:`suggest_batch` job (length-band
+        theta-join against the dictionary — never touches postings).
+
+        Returns ``(corrected, corrections)``: ``corrected`` is the
+        analyzed token stream with each correctable unknown replaced
+        by its best candidate ((dist asc, df desc, term asc) — the
+        highest-evidence nearest term), or ``None`` when every term
+        already exists or nothing within ``max_dist`` was found;
+        ``corrections`` lists {term, replacement, dist, df} per fixed
+        token.  Corrections live in the index's TERM space (stems for
+        a stemmed index) — exactly what :meth:`search` accepts, so
+        ``search(" ".join ...)`` of the corrected stream is the retry
+        query.  Driver-side cost: O(#unknown terms) collected rows."""
+        toks = self.analyze_ordered(text)
+        if not toks:
+            return None, []
+        uniq = sorted(set(toks))
+        known = {
+            r["term"]
+            for r in self.dictionary.filter(F.col("term").isin(uniq))
+            .select("term").collect()
+        }
+        unknown = [t for t in uniq if t not in known]
+        if not unknown:
+            return None, []
+        cand = self.suggest_batch(list(enumerate(unknown)), max_dist=max_dist, n=1)
+        best = {unknown[r["query_id"]]: r for r in cand.collect()}
+        if not best:
+            return None, []
+        corrected = " ".join(best[t]["term"] if t in best else t for t in toks)
+        corrections = [
+            {
+                "term": t,
+                "replacement": best[t]["term"],
+                "dist": best[t]["dist"],
+                "df": best[t]["df"],
+            }
+            for t in unknown
+            if t in best
+        ]
+        return corrected, corrections
+
     def facet_counts(self, terms: Sequence[str], facet: str = "topic") -> DataFrame:
         """Facet counts over the OR-match set: how many live docs
         matching ANY of ``terms`` fall in each ``facet`` bucket (a
