@@ -883,8 +883,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 #: eval-set carve-out for the decontamination probe: every 37th doc
-#: plays the held-out benchmark, the rest the training corpus
+#: plays the held-out benchmark, the rest the training corpus.  The
+#: synthetic corpus's tiny vocabulary makes 5 the selective gram
+#: length here (production default is decontam.DECON_N = 13)
 DECON_EVAL_MOD = 37
+DECON_TEST_N = 5
 
 
 def q_dup_spans(spark, sf_dir):
@@ -893,7 +896,7 @@ def q_dup_spans(spark, sf_dir):
     >= 2 distinct docs — the boilerplate/template filter exact and
     MinHash dedup both miss.  One uniform md5-gram hash agg + one
     gram-keyed equi-join; all JVM codegen."""
-    return decontam.dup_span_report(_docs(spark, sf_dir))
+    return decontam.dup_span_report(_docs(spark, sf_dir), n=DECON_TEST_N)
 
 
 def q_index_function_score(spark, sf_dir):
@@ -917,7 +920,7 @@ def q_decontaminate(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
     tr = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-    return decontam.contamination_report(tr, ev)
+    return decontam.contamination_report(tr, ev, n=DECON_TEST_N)
 
 
 def q_minhash_candidates(spark, sf_dir):
@@ -2044,10 +2047,10 @@ def _all_oracle_sql() -> dict[str, str]:
             ),
             g AS (
               SELECT doc_id, unnest(list_transform(
-                range(1, len(l) - {decontam.DECON_N - 2}),
-                i -> md5(array_to_string(list_slice(l, i, i + {decontam.DECON_N - 1}), ' '))
+                range(1, len(l) - {DECON_TEST_N - 2}),
+                i -> md5(array_to_string(list_slice(l, i, i + {DECON_TEST_N - 1}), ' '))
               )) AS gram
-              FROM toks WHERE len(l) >= {decontam.DECON_N}
+              FROM toks WHERE len(l) >= {DECON_TEST_N}
             ),
             dg AS (SELECT DISTINCT doc_id, gram FROM g),
             dup AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2),
@@ -2086,10 +2089,10 @@ def _all_oracle_sql() -> dict[str, str]:
             ),
             g AS (
               SELECT doc_id, unnest(list_transform(
-                range(1, len(l) - {decontam.DECON_N - 2}),
-                i -> md5(array_to_string(list_slice(l, i, i + {decontam.DECON_N - 1}), ' '))
+                range(1, len(l) - {DECON_TEST_N - 2}),
+                i -> md5(array_to_string(list_slice(l, i, i + {DECON_TEST_N - 1}), ' '))
               )) AS gram
-              FROM toks WHERE len(l) >= {decontam.DECON_N}
+              FROM toks WHERE len(l) >= {DECON_TEST_N}
             ),
             dg AS (SELECT DISTINCT doc_id, gram FROM g),
             ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % {DECON_EVAL_MOD} = 0),

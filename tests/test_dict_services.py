@@ -141,7 +141,7 @@ def test_did_you_mean_corrects_misspelled_term(idx, py_stats):
     assert corrected is not None
     # the typo's best candidate is its (dist asc, df desc, term asc) top
     want = idx.suggest(typo, 2, 1).collect()[0]["term"]
-    assert corrected.split() == [hot, want]
+    assert corrected == [hot, want]
     assert fixes == [
         {"term": typo, "replacement": want,
          "dist": fixes[0]["dist"], "df": fixes[0]["df"]}
@@ -158,15 +158,16 @@ def test_did_you_mean_clean_query_returns_none(idx, py_stats):
     assert idx.did_you_mean("qqwwqqwwqqww", max_dist=1) == (None, [])
 
 
-def test_did_you_mean_feeds_search(idx, py_stats):
-    """The corrected stream is in the index's term space: searching it
-    returns the hits the typo'd query missed."""
+def test_did_you_mean_feeds_topk(idx, py_stats):
+    """The corrected list is in the index's TERM space: the retry query
+    is topk(corrected) — not search(), which would re-stem
+    already-stemmed terms (stemmers are not idempotent)."""
     _, _, dfc, _ = py_stats
     hot = max(dfc, key=lambda t: (dfc[t], t))
     typo = hot[:-1] + ("x" if hot[-1] != "x" else "q")
     corrected, _ = idx.did_you_mean(typo, max_dist=2)
     assert corrected is not None
-    assert idx.search(corrected, k=5).count() > 0
+    assert idx.topk(corrected, k=5).count() > 0
 
 
 def test_facet_counts_matches_oracle(idx, py_stats):

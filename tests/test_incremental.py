@@ -277,6 +277,25 @@ def test_stale_window_tfidf_covers_delta_only_terms(spark, tmp_path):
     assert all(r["tfidf"] is not None for r in got)
 
 
+def test_stale_window_did_you_mean_keeps_delta_only_terms(spark, tmp_path):
+    """did_you_mean must not 'correct' a term that exists only in an
+    un-refreshed delta: membership unions the structure's term set
+    during the stale window, so the user's valid new term survives."""
+    from wikitfidf_spark.index.query import InvertedIndex
+
+    docs = make_code_files(spark, n_docs=120, seed=42)
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4)) == 0
+    d = str(tmp_path / "idx_dym_stale")
+    build_index(spark, docs.filter(~split), d, CFG, resume=False)
+    delta = docs.filter(split).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" zzz_delta_only_term"))
+    )
+    add_documents(spark, delta, d, refresh_scores=False)
+    idx = InvertedIndex(spark, d)
+    corrected, fixes = idx.did_you_mean("zzz_delta_only_term")
+    assert corrected is None and fixes == []  # the term is live — no correction
+
+
 def test_maybe_compact_closes_stale_window(spark, tmp_path):
     """The ingest-loop policy refreshes (not compacts) once
     stale_deltas reaches the threshold: the O(corpus) score map is paid

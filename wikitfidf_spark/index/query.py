@@ -1103,40 +1103,22 @@ class InvertedIndex:
         (bucketed by doc_id) instead of a flat scan; the join shape is
         unchanged.  Stemmed indexes locate the stem's literal form
         only — docs whose surface forms all differ fall back to the
-        document head (coalesce to position 1 keeps the row)."""
-        from ..tokenize import tokens_col
-
-        if window < 1 or before < 0:
-            raise ValueError(f"window must be >= 1 and before >= 0, got {window}/{before}")
+        document head (coalesce to position 1 keeps the row).
+        Delegates to :meth:`snippets_batch` with one query — one code
+        path for the window semantics."""
         if not terms:
             # e.g. analyze() of a stopword-only query — fail clean
-            # instead of letting F.least(*[]) raise WRONG_NUM_COLUMNS
             raise ValueError("snippets needs at least one term")
-        if id_col not in docs.columns:
-            # derive the id exactly as the build did (config natural keys)
-            from .build import _load_cfg
-
-            cfg = _load_cfg(self.manifest, self.index_dir)
-            if not cfg.id_cols:
-                raise ValueError(
-                    f"docs has no {id_col!r} column and the index config "
-                    "declares no natural-key id_cols to derive it from"
-                )
-            docs = docs.withColumn(id_col, F.xxhash64(*cfg.id_cols))
-        uniq = sorted(set(terms))
-        hits = self.topk_batch(
-            [Query(0, list(terms), mode, k)], strategy=strategy, predicate=predicate
-        ).select("doc_id", "score_q", "rank")
-        toks = tokens_col(F.col(text_col))
-        firsts = [F.nullif(F.array_position(toks, F.lit(t)), F.lit(0)) for t in uniq]
-        first = firsts[0] if len(firsts) == 1 else F.least(*firsts)
-        start = F.greatest(F.lit(1), (F.coalesce(first, F.lit(1)) - F.lit(before)).cast("int"))
-        snip = F.array_join(F.slice(toks, start, window), " ")
-        return (
-            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-            .join(F.broadcast(hits), "doc_id")
-            .select("doc_id", "score_q", "rank", snip.alias("snippet"))
-        )
+        return self.snippets_batch(
+            docs,
+            [Query(0, list(terms), mode, k)],
+            window=window,
+            before=before,
+            text_col=text_col,
+            id_col=id_col,
+            strategy=strategy,
+            predicate=predicate,
+        ).drop("query_id")
 
     def snippets_batch(
         self,
@@ -1553,31 +1535,42 @@ class InvertedIndex:
 
     def did_you_mean(
         self, text: str, max_dist: int = 2
-    ) -> tuple[str | None, list[dict]]:
+    ) -> tuple[list[str] | None, list[dict]]:
         """Query correction (the Elasticsearch phrase-suggester shape):
         analyze ``text`` through the index's own config, look up each
-        analyzed term in the dictionary, and spell-correct the UNKNOWN
-        ones (df = 0) via ONE :meth:`suggest_batch` job (length-band
+        analyzed term in the index's term space, and spell-correct the
+        UNKNOWN ones via ONE :meth:`suggest_batch` job (length-band
         theta-join against the dictionary — never touches postings).
 
-        Returns ``(corrected, corrections)``: ``corrected`` is the
-        analyzed token stream with each correctable unknown replaced
-        by its best candidate ((dist asc, df desc, term asc) — the
-        highest-evidence nearest term), or ``None`` when every term
-        already exists or nothing within ``max_dist`` was found;
+        Returns ``(corrected_terms, corrections)``: ``corrected_terms``
+        is the analyzed token stream with each correctable unknown
+        replaced by its best candidate ((dist asc, df desc, term asc)
+        — the highest-evidence nearest term), or ``None`` when every
+        term already exists or nothing within ``max_dist`` was found;
         ``corrections`` lists {term, replacement, dist, df} per fixed
-        token.  Corrections live in the index's TERM space (stems for
-        a stemmed index) — exactly what :meth:`search` accepts, so
-        ``search(" ".join ...)`` of the corrected stream is the retry
-        query.  Driver-side cost: O(#unknown terms) collected rows."""
+        token.  The corrected list lives in the index's TERM space
+        (stems for a stemmed index), so the retry query is
+        ``topk(corrected_terms)`` / ``topk_batch`` — NOT ``search``,
+        which would re-analyze and re-stem already-stemmed terms
+        (stemmers are not idempotent: porter2("generous") is
+        "generou").  During a bounded-staleness window, membership
+        includes terms that exist only in un-refreshed delta
+        generations (structure-derived, same guard as more_like_this)
+        so a valid new term is never "corrected" away.  Driver-side
+        cost: O(#query terms) collected rows."""
         toks = self.analyze_ordered(text)
         if not toks:
             return None, []
         uniq = sorted(set(toks))
+        terms_src = self.dictionary.select("term")
+        if int(self.manifest.get("stale_deltas", 0)) > 0:
+            # epoch dictionary lacks delta-only terms; the structure
+            # scan is term-pruned by the isin below, so this stays
+            # O(asked terms), not O(vocab)
+            terms_src = terms_src.union(self.structure.select("term"))
         known = {
             r["term"]
-            for r in self.dictionary.filter(F.col("term").isin(uniq))
-            .select("term").collect()
+            for r in terms_src.filter(F.col("term").isin(uniq)).distinct().collect()
         }
         unknown = [t for t in uniq if t not in known]
         if not unknown:
@@ -1586,7 +1579,7 @@ class InvertedIndex:
         best = {unknown[r["query_id"]]: r for r in cand.collect()}
         if not best:
             return None, []
-        corrected = " ".join(best[t]["term"] if t in best else t for t in toks)
+        corrected = [best[t]["term"] if t in best else t for t in toks]
         corrections = [
             {
                 "term": t,
@@ -1616,29 +1609,43 @@ class InvertedIndex:
             .drop("query_id")
         )
 
-    def facet_counts_batch(
-        self, queries: Sequence[tuple[int, Sequence[str]]], facet: str = "topic"
-    ) -> DataFrame:
-        """Facet counts for a batch of (query_id, terms) panels in ONE
-        job → (query_id, facet, n_docs).  Plan: one term-pruned posting
-        scan decoded once for the union of terms, a broadcast
-        term→query map fan-out (a term shared by two panels fans to
-        both), per-(query, doc) distinct, one docmeta join, one
-        partial-agg count — the per-panel fixed cost (scan + decode +
-        join) is paid once for the whole batch."""
-        queries = [(int(qid), list(terms)) for qid, terms in queries]
+    def _panel_match_sets(
+        self, queries: Sequence[tuple[int, Sequence[str]]]
+    ) -> tuple[list[tuple[int, list[str]]], DataFrame]:
+        """The shared front half of every facet batch (counts /
+        histogram / stats): normalize and validate the (query_id,
+        terms) panels, then build the per-(panel, doc) DISTINCT match
+        set — ONE term-pruned posting decode for the union of terms +
+        a broadcast term→panel fan-out (a term shared by two panels
+        fans to both).  Fixing match-set semantics here fixes all
+        three aggregations at once."""
+        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
         _check_unique_qids(qid for qid, _ in queries)
+        if not queries or any(not terms for _, terms in queries):
+            raise ValueError("every panel needs at least one term")
         all_terms = sorted({t for _, terms in queries for t in terms})
         tq = self.spark.createDataFrame(
-            [(qid, t) for qid, terms in queries for t in set(terms)],
+            [(qid, t) for qid, terms in queries for t in terms],
             "query_id int, term string",
         )
-        docs = (
+        match = (
             self.decoded(all_terms).select("term", "doc_id")
             .join(F.broadcast(tq), "term")
             .select("query_id", "doc_id")
             .distinct()
         )
+        return queries, match
+
+    def facet_counts_batch(
+        self, queries: Sequence[tuple[int, Sequence[str]]], facet: str = "topic"
+    ) -> DataFrame:
+        """Facet counts for a batch of (query_id, terms) panels in ONE
+        job → (query_id, facet, n_docs).  Plan: the shared
+        :meth:`_panel_match_sets` decode (one scan for the union of
+        terms, broadcast fan-out, per-(query, doc) distinct), one
+        docmeta join, one partial-agg count — the per-panel fixed cost
+        (scan + decode + join) is paid once for the whole batch."""
+        _, docs = self._panel_match_sets(queries)
         return (
             docs.join(self.docmeta.select("doc_id", facet), "doc_id")
             .groupBy("query_id", facet)
@@ -1695,21 +1702,7 @@ class InvertedIndex:
             not math.isfinite(e) for e in edges
         ) or any(not (a < b) for a, b in zip(edges, edges[1:])):
             raise ValueError("edges must be >= 2 finite, strictly increasing values")
-        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
-        _check_unique_qids(qid for qid, _ in queries)
-        if not queries or any(not terms for _, terms in queries):
-            raise ValueError("every panel needs at least one term")
-        all_terms = sorted({t for _, terms in queries for t in terms})
-        tq = self.spark.createDataFrame(
-            [(qid, t) for qid, terms in queries for t in terms],
-            "query_id int, term string",
-        )
-        match = (
-            self.decoded(all_terms).select("term", "doc_id")
-            .join(F.broadcast(tq), "term")
-            .select("query_id", "doc_id")
-            .distinct()
-        )
+        _, match = self._panel_match_sets(queries)
         v = F.col(col).cast("double")
         idx = sum((v >= F.lit(e)).cast("int") for e in edges) - F.lit(1)
         starts = F.array(*[F.lit(e) for e in edges[:-1]])
@@ -1753,33 +1746,27 @@ class InvertedIndex:
         term→panel fan-out, per-(panel, doc) distinct, one docmeta
         join, one partial agg — fixed job costs paid once per batch
         (the :meth:`facet_counts_batch` shape).  Row-identical per
-        panel to :meth:`facet_stats`, which delegates here."""
-        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
-        _check_unique_qids(qid for qid, _ in queries)
-        if not queries or any(not terms for _, terms in queries):
-            raise ValueError("every panel needs at least one term")
-        all_terms = sorted({t for _, terms in queries for t in terms})
-        tq = self.spark.createDataFrame(
-            [(qid, t) for qid, terms in queries for t in terms],
-            "query_id int, term string",
-        )
-        match = (
-            self.decoded(all_terms).select("term", "doc_id")
-            .join(F.broadcast(tq), "term")
-            .select("query_id", "doc_id")
-            .distinct()
-        )
+        panel to :meth:`facet_stats`, which delegates here.
+
+        NULL semantics follow the Elasticsearch stats agg: ``n_docs``
+        counts matched docs where the field is PRESENT (non-null),
+        and every stat — including the avg denominator — runs over
+        those same docs, so the outputs stay mutually consistent on
+        nullable columns (a panel whose matches all lack the field
+        yields no row, like a no-match panel)."""
+        _, match = self._panel_match_sets(queries)
         v = F.col(col).cast("double")
         return (
             match.join(self.docmeta.select("doc_id", col), "doc_id")
             .groupBy("query_id")
             .agg(
-                F.count(F.lit(1)).alias("n_docs"),
+                F.count(v).alias("n_docs"),
                 F.min(v).alias("min_v"),
                 F.max(v).alias("max_v"),
                 F.sum(v).alias("sum_v"),
-                (F.sum(v) / F.count(F.lit(1))).alias("avg_v"),
+                (F.sum(v) / F.count(v)).alias("avg_v"),
             )
+            .filter(F.col("n_docs") > 0)
             .orderBy("query_id")
         )
 
