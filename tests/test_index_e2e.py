@@ -385,6 +385,7 @@ def test_randomized_feature_differential(spark, built, oracle, corpus):
     merge, membership-only exclude decode, pagination windows, and the
     filtered cogroup paths (TAAT vectorized mask / WAND pivot
     snapping; scores of surviving docs untouched by construction)."""
+    import dataclasses
     import random
 
     tfs, dls, dfc, n, avgdl = oracle
@@ -397,7 +398,7 @@ def test_randomized_feature_differential(spark, built, oracle, corpus):
     vocab = sorted(dfc)
     idx = InvertedIndex(spark, IDX_DIR)
 
-    def py_oracle(q: Query, pred_lang: "str | None"):
+    def py_ranked(q: Query, pred_lang: "str | None"):
         uniq = sorted(set(q.terms))
         boost = dict(zip(q.terms, q.boosts)) if q.boosts else {}
         out = {}
@@ -416,7 +417,19 @@ def test_randomized_feature_differential(spark, built, oracle, corpus):
                 * boost.get(t, 1)
                 for t in present
             )
-        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+        return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def py_oracle(q: Query, pred_lang: "str | None"):
+        ranked = py_ranked(q, pred_lang)
+        if q.search_after is not None:
+            # cursor pages are ranked relative to the cursor
+            a_s, a_d = q.search_after
+            ranked = [
+                (d, s) for d, s in ranked if s < a_s or (s == a_s and d > a_d)
+            ]
+            return [
+                (q.query_id, d, s, r + 1) for r, (d, s) in enumerate(ranked)
+            ][: q.k]
         return [
             (q.query_id, d, s, r + 1)
             for r, (d, s) in enumerate(ranked)
@@ -452,9 +465,17 @@ def test_randomized_feature_differential(spark, built, oracle, corpus):
                 if mode == "OR" and len(terms) >= 2 and rng.random() < 0.4
                 else 0
             )
-            queries.append(Query(qid, terms, mode, k,
-                                 exclude=exclude, boosts=boosts, offset=offset,
-                                 min_should_match=msm))
+            q = Query(qid, terms, mode, k,
+                      exclude=exclude, boosts=boosts, offset=offset,
+                      min_should_match=msm)
+            if offset == 0 and rng.random() < 0.3:
+                # cursor pagination draw: cut the oracle's full ranking
+                # at a random point and page from there (ties included)
+                full = py_ranked(q, pred_lang)
+                if full:
+                    cd, cs = full[rng.randrange(len(full))]
+                    q = dataclasses.replace(q, search_after=(cs, cd))
+            queries.append(q)
         expected = sorted(r for q in queries for r in py_oracle(q, pred_lang))
         for strategy in ("taat", "wand"):
             got = sorted(
