@@ -101,6 +101,18 @@ def test_dup_span_report_flags_shared_run(spark):
         decontam.dup_span_report(docs, min_docs=1)
 
 
+def test_dup_span_plan_joins_on_gram_key(tables):
+    """The duplicated-gram join must be a keyed join (shuffle or
+    broadcast hash on the md5 gram), never a cartesian/nested-loop."""
+    train, _ = tables
+    plan = (
+        decontam.dup_span_report(train)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_eval_join_is_broadcast(tables):
     """The corpus side must never shuffle for the eval join: the plan
     carries a broadcast hash join on the md5 gram key."""
