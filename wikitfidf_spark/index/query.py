@@ -1629,7 +1629,7 @@ class InvertedIndex:
             "query_id int, term string",
         )
         match = (
-            self.decoded(all_terms).select("term", "doc_id")
+            self.decoded_docs(all_terms)
             .join(F.broadcast(tq), "term")
             .select("query_id", "doc_id")
             .distinct()
@@ -2062,6 +2062,31 @@ class InvertedIndex:
                     })
 
         return rows.mapInPandas(decode, "term string, doc_id long, tf long, score_q long")
+
+    def decoded_docs(self, terms: Sequence[str] | None = None) -> DataFrame:
+        """(term, doc_id) membership-only decode: skips the tf AND
+        score varint streams entirely (the codec shortcut the WAND
+        must_not masks use) and — in the un-fused state — never touches
+        the scores artifact at all: the structure side alone carries
+        doc membership.  The facet/histogram/stats match sets only
+        need doc ids, and the Python-side varint decode IS the
+        kernel's cost, so this is the right scan for them."""
+        rows = self.combined if self.combined is not None else self.structure
+        if terms is not None:
+            rows = rows.filter(F.col("term").isin(list(terms)))
+        rows = rows.select(
+            "term", "n_docs", "docs_payload", "block_firsts", "block_counts"
+        )
+
+        def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdf_iter:
+                for r in pdf.to_dict("records"):
+                    yield pd.DataFrame({
+                        "term": r["term"],
+                        "doc_id": codec.decode_doc_ids(r),
+                    })
+
+        return rows.mapInPandas(decode, "term string, doc_id long")
 
     def topk_relational(
         self, terms: Sequence[str], k: int = 10, mode: str = "OR"
