@@ -451,6 +451,17 @@ def q_index_facet_histogram(spark, sf_dir):
 _BATCH_PANELS = [(0, BM25_OR_TERMS), (1, BM25_AND_TERMS)]
 
 
+def q_index_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (Elasticsearch analogue): terms
+    over-represented in the flagship OR query's match set vs the
+    corpus, scored by the exact-integer lift (fg_df*N)/(bg_df*m) —
+    one IEEE division, engine-independent.  Membership decode ->
+    tf-generation scan semi-joined to the match set -> dictionary
+    join; the match count rides a broadcast one-row agg."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.significant_terms(BM25_OR_TERMS, n=TOPK)
+
+
 def q_index_facet_stats(spark, sf_dir):
     """Stats aggregation (Elasticsearch stats-agg analogue): count /
     min / max / sum / avg of doc_len over the flagship OR query's
@@ -1231,6 +1242,7 @@ FOLDED_QUERIES = frozenset({
                                # ann_ivf_topk keeps the scale-path driver row
     "dup_spans",               # corpus-internal variant of decontaminate's grams
     "index_function_score",    # factor-weighted variant of the OR top-k ranking
+    "index_significant_terms", # lift-ranked variant of index_facet_counts' match set
 })
 
 
@@ -1260,6 +1272,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_explain": q_index_explain,
         "index_facet_histogram": q_index_facet_histogram,
         "index_facet_stats": q_index_facet_stats,
+        "index_significant_terms": q_index_significant_terms,
         "index_hist_batch": q_index_hist_batch,
         "index_collapse_topk": q_index_collapse_topk,
         "index_collapse_batch": q_index_collapse_batch,
@@ -1643,6 +1656,25 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT bucket_start, bucket_end, count(*)::bigint AS n_docs
             FROM b JOIN buckets USING (bidx) GROUP BY 1, 2
             ORDER BY bucket_start ASC
+        """,
+        # significant terms: lift = (fg_df*N)/(bg_df*m), exact integer
+        # products, ONE IEEE division — engine-independent by design
+        "index_significant_terms": f"""
+            WITH {_TOK_CTE},
+            m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_OR_SQL})),
+            fg AS (
+              SELECT term, count(*)::bigint AS fg_df
+              FROM tf JOIN m USING (doc_id) GROUP BY 1
+            ),
+            bg AS (SELECT term, count(*)::bigint AS bg_df FROM tf GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM m)::bigint AS m_cnt,
+                           (SELECT count(DISTINCT doc_id) FROM tf)::bigint AS n_docs)
+            SELECT fg.term, fg.fg_df, bg.bg_df,
+                   (fg.fg_df::double * tot.n_docs::double)
+                   / (bg.bg_df::double * tot.m_cnt::double) AS lift
+            FROM fg JOIN bg USING (term) CROSS JOIN tot
+            WHERE fg.fg_df >= 2 AND fg.term NOT IN ({_OR_SQL})
+            ORDER BY lift DESC, fg_df DESC, term ASC LIMIT {TOPK}
         """,
         # stats agg: count/min/max/sum/avg of doc_len over the OR
         # match set — integer doc_lens make sum/avg exact, so the

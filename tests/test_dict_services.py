@@ -1172,6 +1172,35 @@ def test_facet_stats_batch_equals_per_call(idx):
     assert b["max_v"] == max(lens) and b["sum_v"] == sum(lens)
 
 
+def test_significant_terms_matches_hand_computation(idx, py_stats):
+    """significant_terms == the lift ranking re-derived from the pure-
+    Python corpus stats: fg_df over match docs, bg_df global,
+    lift = (fg_df*N)/(bg_df*m), query terms excluded, fg_df >= 2."""
+    tfs, _, dfc, _ = py_stats
+    n = len(tfs)
+    terms = ["arg_ctx77", "arg_cfg"]
+    match = {d for d, c in tfs.items() if any(t in c for t in terms)}
+    m = len(match)
+    fg = Counter(t for d in match for t in tfs[d])
+    want = sorted(
+        (
+            (t, fg[t], dfc[t], (fg[t] * n) / (dfc[t] * m))
+            for t in fg
+            if fg[t] >= 2 and t not in terms
+        ),
+        key=lambda r: (-r[3], -r[1], r[0]),
+    )[:10]
+    got = [
+        (r["term"], r["fg_df"], r["bg_df"], r["lift"])
+        for r in idx.significant_terms(terms, n=10).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError, match="at least one term"):
+        idx.significant_terms([])
+    with pytest.raises(ValueError, match="n must be"):
+        idx.significant_terms(terms, n=0)
+
+
 def test_function_score_matches_hand_computation(idx):
     """function_score_topk == BM25 sums x doc_len recomputed from the
     engine's own tfidf-mode tables, ranked (score_fs desc, doc asc)."""

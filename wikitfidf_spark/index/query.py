@@ -1533,6 +1533,79 @@ class InvertedIndex:
             .orderBy("query_id", F.asc("dist"), F.desc("df"), F.asc("term"))
         )
 
+    def significant_terms(
+        self, terms: Sequence[str], n: int = 10, min_fg_df: int = 2
+    ) -> DataFrame:
+        """Significant-terms aggregation (Elasticsearch
+        ``significant_terms``): the terms most over-represented in the
+        OR-match set relative to the background corpus →
+        (term, fg_df, bg_df, lift), top-n by (lift desc, fg_df desc,
+        term asc), query terms excluded, ``fg_df >= min_fg_df``
+        (rare-term noise floor).
+
+        ``lift = (fg_df · N) / (bg_df · m)`` — foreground rate over
+        background rate, computed as exact integer products divided
+        ONCE (IEEE division is correctly rounded, so the score is
+        bit-identical across engines; deliberately NOT the JLH/chi²
+        log shapes, whose libm transcendentals differ).
+
+        Plan: membership-only decode of the queried postings →
+        distinct match set; ONE scan of the tf generations (column-
+        pruned to (doc_id, term), tombstone-anti-joined) semi-joined
+        to the match set → fg_df per term; the (match-vocab-sized) fg
+        table joins the dictionary for bg_df; the match count rides a
+        broadcast one-row agg, never a collect.  During a bounded-
+        staleness window bg_df falls back to structure-derived live df
+        (same guard as more_like_this) so delta-only terms stay
+        scored."""
+        from .build import _tombstones, index_paths
+
+        uniq = sorted(set(terms))
+        if not uniq:
+            raise ValueError("needs at least one term")
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        match = self.decoded_docs(uniq).select("doc_id").distinct()
+        p = index_paths(self.manifest)
+        tf = self.spark.read.parquet(
+            *[os.path.join(self.index_dir, rel) for rel in p["tf"]]
+        ).select("doc_id", "term")
+        tombs = _tombstones(self.spark, self.index_dir, self.manifest)
+        if tombs is not None:
+            tf = tf.join(tombs.select("doc_id"), "doc_id", "left_anti")
+        fg = (
+            tf.join(match, "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("fg_df"))
+            .filter(F.col("fg_df") >= min_fg_df)
+            .filter(~F.col("term").isin(uniq))
+        )
+        if int(self.manifest.get("stale_deltas", 0)) > 0:
+            fallback = self.structure.groupBy("term").agg(
+                F.sum("n_docs").alias("df_live")
+            )
+            bg = (
+                fg.join(F.broadcast(self.dictionary.select("term", "df")), "term", "left")
+                .join(F.broadcast(fallback), "term")
+                .withColumn("bg_df", F.coalesce("df", "df_live"))
+                .drop("df", "df_live")
+            )
+        else:
+            bg = fg.join(
+                F.broadcast(self.dictionary.select("term", F.col("df").alias("bg_df"))),
+                "term",
+            )
+        m_df = match.agg(F.count(F.lit(1)).alias("m_cnt"))
+        lift = (F.col("fg_df").cast("double") * F.lit(float(self.n_docs))) / (
+            F.col("bg_df").cast("double") * F.col("m_cnt").cast("double")
+        )
+        return (
+            bg.crossJoin(F.broadcast(m_df))
+            .select("term", "fg_df", "bg_df", lift.alias("lift"))
+            .orderBy(F.desc("lift"), F.desc("fg_df"), F.asc("term"))
+            .limit(n)
+        )
+
     def did_you_mean(
         self, text: str, max_dist: int = 2
     ) -> tuple[list[str] | None, list[dict]]:
