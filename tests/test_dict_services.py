@@ -1226,6 +1226,51 @@ def test_function_score_matches_hand_computation(idx):
         idx.function_score_topk(terms, k=0)
 
 
+def test_significant_terms_batch_equals_per_call(idx):
+    """significant_terms_batch == a loop of single calls per panel
+    (the single delegates to the batch with one panel; the equivalence
+    is asserted against independently-collected outputs, including a
+    panel whose query-term exclusion differs)."""
+    t1, t2 = [
+        r["term"]
+        for r in idx.dictionary.orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+    ]
+    panels = [(0, [t1]), (1, [t1, t2]), (2, ["zz_missing"])]
+    batch: dict[int, list] = {}
+    for r in idx.significant_terms_batch(panels, n=8).collect():
+        batch.setdefault(r["query_id"], []).append(
+            (r["term"], r["fg_df"], r["bg_df"], r["lift"])
+        )
+    for qid, terms in panels:
+        want = [
+            (r["term"], r["fg_df"], r["bg_df"], r["lift"])
+            for r in idx.significant_terms(terms, n=8).collect()
+        ]
+        assert batch.get(qid, []) == want, f"significant panel {qid} diverged"
+    assert batch[0] and 2 not in batch
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_function_score_batch_equals_per_call(idx, mode):
+    t1, t2 = [
+        r["term"]
+        for r in idx.dictionary.orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+    ]
+    panels = [(0, [t1]), (1, [t1, t2]), (2, ["zz_missing"])]
+    batch: dict[int, list] = {}
+    for r in idx.function_score_topk_batch(panels, k=7, mode=mode).collect():
+        batch.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score_q"], r["score_fs"])
+        )
+    for qid, terms in panels:
+        want = [
+            (r["rank"], r["doc_id"], r["score_q"], r["score_fs"])
+            for r in idx.function_score_topk(terms, k=7, mode=mode).orderBy("rank").collect()
+        ]
+        assert batch.get(qid, []) == want, f"function-score panel {qid} diverged"
+    assert batch[0] and 2 not in batch
+
+
 def test_facet_stats_batch_guards(idx):
     with pytest.raises(ValueError, match="duplicate"):
         idx.facet_stats_batch([(0, ["a"]), (0, ["b"])])

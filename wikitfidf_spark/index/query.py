@@ -1557,15 +1557,36 @@ class InvertedIndex:
         broadcast one-row agg, never a collect.  During a bounded-
         staleness window bg_df falls back to structure-derived live df
         (same guard as more_like_this) so delta-only terms stay
-        scored."""
+        scored.  Delegates to :meth:`significant_terms_batch` with
+        one panel — one code path for the lift semantics."""
+        if not list(terms):
+            raise ValueError("needs at least one term")
+        return (
+            self.significant_terms_batch([(0, list(terms))], n=n, min_fg_df=min_fg_df)
+            .drop("query_id")
+        )
+
+    def significant_terms_batch(
+        self,
+        queries: Sequence[tuple[int, Sequence[str]]],
+        n: int = 10,
+        min_fg_df: int = 2,
+    ) -> DataFrame:
+        """Significant-terms panels for a batch of (query_id, terms) in
+        ONE job → (query_id, term, fg_df, bg_df, lift), top-n per panel.
+        The shared :meth:`_panel_match_sets` membership decode builds
+        every panel's match set at once; ONE tombstone-clean
+        tf-generation scan joins the (query_id, doc_id) match table
+        (per-panel fg counts in one partial agg); per-panel match
+        counts and the dictionary bg_df ride broadcast joins; one rank
+        window per panel replaces the per-call TakeOrdered.
+        Row-identical per panel to :meth:`significant_terms`
+        (equivalence-tested) — fixed job costs paid once per batch."""
         from .build import _tombstones, index_paths
 
-        uniq = sorted(set(terms))
-        if not uniq:
-            raise ValueError("needs at least one term")
         if n < 1:
             raise ValueError(f"n must be >= 1, got {n}")
-        match = self.decoded_docs(uniq).select("doc_id").distinct()
+        queries, match = self._panel_match_sets(queries)
         p = index_paths(self.manifest)
         tf = self.spark.read.parquet(
             *[os.path.join(self.index_dir, rel) for rel in p["tf"]]
@@ -1573,12 +1594,22 @@ class InvertedIndex:
         tombs = _tombstones(self.spark, self.index_dir, self.manifest)
         if tombs is not None:
             tf = tf.join(tombs.select("doc_id"), "doc_id", "left_anti")
+        # per-panel query-term exclusion as a broadcast anti-join (the
+        # single path's literal isin can't express per-panel lists)
+        qterms = self.spark.createDataFrame(
+            [(qid, t) for qid, terms in queries for t in terms],
+            "qid int, qterm string",
+        )
         fg = (
-            tf.join(match, "doc_id", "left_semi")
-            .groupBy("term")
+            tf.join(match, "doc_id")
+            .groupBy("query_id", "term")
             .agg(F.count(F.lit(1)).alias("fg_df"))
             .filter(F.col("fg_df") >= min_fg_df)
-            .filter(~F.col("term").isin(uniq))
+            .join(
+                F.broadcast(qterms),
+                (F.col("query_id") == F.col("qid")) & (F.col("term") == F.col("qterm")),
+                "left_anti",
+            )
         )
         if int(self.manifest.get("stale_deltas", 0)) > 0:
             fallback = self.structure.groupBy("term").agg(
@@ -1595,15 +1626,20 @@ class InvertedIndex:
                 F.broadcast(self.dictionary.select("term", F.col("df").alias("bg_df"))),
                 "term",
             )
-        m_df = match.agg(F.count(F.lit(1)).alias("m_cnt"))
+        m_df = match.groupBy("query_id").agg(F.count(F.lit(1)).alias("m_cnt"))
         lift = (F.col("fg_df").cast("double") * F.lit(float(self.n_docs))) / (
             F.col("bg_df").cast("double") * F.col("m_cnt").cast("double")
         )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("lift"), F.desc("fg_df"), F.asc("term")
+        )
         return (
-            bg.crossJoin(F.broadcast(m_df))
-            .select("term", "fg_df", "bg_df", lift.alias("lift"))
-            .orderBy(F.desc("lift"), F.desc("fg_df"), F.asc("term"))
-            .limit(n)
+            bg.join(F.broadcast(m_df), "query_id")
+            .select("query_id", "term", "fg_df", "bg_df", lift.alias("lift"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .drop("_rk")
+            .orderBy("query_id", F.desc("lift"), F.desc("fg_df"), F.asc("term"))
         )
 
     def did_you_mean(
@@ -2247,25 +2283,87 @@ class InvertedIndex:
         docmeta, multiplies, and cuts with TakeOrderedAndProject.
         Integer × integer keeps every score exact and
         engine-independent (the reason ``factor`` must be integral —
-        fractional weighting belongs in Query.boosts or hybrid RRF)."""
+        fractional weighting belongs in Query.boosts or hybrid RRF).
+        Delegates to :meth:`function_score_topk_batch` with one panel
+        — one code path for the factor semantics."""
+        if not list(terms):
+            raise ValueError("needs at least one term")
+        return (
+            self.function_score_topk_batch(
+                [(0, list(terms))], k=k, mode=mode, factor=factor
+            ).drop("query_id")
+        )
+
+    def function_score_topk_batch(
+        self,
+        queries: Sequence[tuple[int, Sequence[str]]],
+        k: int = 10,
+        mode: str = "OR",
+        factor: str = "doc_len",
+    ) -> DataFrame:
+        """Function-score panels for a batch of (query_id, terms) in
+        ONE job → (query_id, doc_id, score_q, score_fs, rank), top-k
+        per panel by (score_fs desc, doc_id asc).  One term-pruned
+        scored decode for the union of terms, a broadcast term→panel
+        fan-out, one partial agg per (panel, doc), one pruned docmeta
+        join for the factor column, one rank window per panel — the
+        :meth:`collapse_topk_batch` shape with the factor multiply in
+        place of the field collapse.  ``mode`` applies batch-wide;
+        AND panels keep only docs matching every panel term (distinct-
+        term count against a broadcast per-panel term count).
+        Row-identical per panel to :meth:`function_score_topk`
+        (equivalence-tested)."""
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
-        scored = self._scored_doc_agg(terms, mode)
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
+        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
+        _check_unique_qids(qid for qid, _ in queries)
+        if not queries or any(not terms for _, terms in queries):
+            raise ValueError("every panel needs at least one term")
+        all_terms = sorted({t for _, terms in queries for t in terms})
+        tq = self.spark.createDataFrame(
+            [(qid, t) for qid, terms in queries for t in terms],
+            "query_id int, term string",
+        )
+        scored = (
+            self.decoded(all_terms).select("term", "doc_id", "score_q")
+            .join(F.broadcast(tq), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum("score_q").alias("score_q"),
+                F.count_distinct("term").alias("_nt"),
+            )
+        )
+        if mode == "AND":
+            want = self.spark.createDataFrame(
+                [(qid, len(terms)) for qid, terms in queries],
+                "query_id int, _want int",
+            )
+            scored = (
+                scored.join(F.broadcast(want), "query_id")
+                .filter(F.col("_nt") == F.col("_want"))
+                .drop("_want")
+            )
+        scored = scored.drop("_nt")
         fac = self.docmeta.select(
             "doc_id", F.col(factor).cast("long").alias("_factor")
         )
-        out = (
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_fs"), F.asc("doc_id")
+        )
+        return (
             scored.join(fac, "doc_id")
             .select(
+                "query_id",
                 "doc_id",
                 "score_q",
                 (F.col("score_q") * F.col("_factor")).alias("score_fs"),
             )
-            .orderBy(F.desc("score_fs"), F.asc("doc_id"))
-            .limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
         )
-        w = Window.orderBy(F.desc("score_fs"), F.asc("doc_id"))
-        return out.withColumn("rank", F.row_number().over(w))
 
     def collapse_topk(
         self,
