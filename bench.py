@@ -79,6 +79,7 @@ def main() -> None:
         "bm25_or_topk", "bm25_and_topk", "minhash_candidates",
         "ann_cosine_topk", "token_counts", "events_windowed",
         "sessionize", "lineitem_pricing", "broadcast_join_agg",
+        "decontaminate",  # round-5 second session: n-gram eval-overlap filter
     ]
     qmap = entry._all_queries()  # headline set spans checked + folded entries
     # pass 0 is a DISCARDED warm-up (first-touch costs dominate it:
