@@ -462,6 +462,26 @@ def q_index_significant_terms(spark, sf_dir):
     return idx.significant_terms(BM25_OR_TERMS, n=TOPK)
 
 
+def q_index_rank_eval(spark, sf_dir):
+    """Search-quality evaluation (Elasticsearch _rank_eval analogue):
+    the flagship OR ranking graded against an independent relevance
+    rule (docs containing EVERY query term = relevant) — P@k, R@k and
+    MRR as exact single-division metrics.  One topk_batch + a
+    broadcast qrels join + one partial agg."""
+    from wikitfidf_spark.index.query import Query
+
+    idx = _cached_index(spark, sf_dir)
+    uniq = sorted(set(BM25_OR_TERMS))
+    qrels = (
+        idx.decoded_docs(uniq)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+        .select(F.lit(0).alias("query_id"), "doc_id")
+    )
+    return idx.rank_eval([Query(0, list(BM25_OR_TERMS), "OR", TOPK)], qrels)
+
+
 def q_index_facet_stats(spark, sf_dir):
     """Stats aggregation (Elasticsearch stats-agg analogue): count /
     min / max / sum / avg of doc_len over the flagship OR query's
@@ -1243,6 +1263,7 @@ FOLDED_QUERIES = frozenset({
     "dup_spans",               # corpus-internal variant of decontaminate's grams
     "index_function_score",    # factor-weighted variant of the OR top-k ranking
     "index_significant_terms", # lift-ranked variant of index_facet_counts' match set
+    "index_rank_eval",         # metric view over index_wand_topk's ranking
 })
 
 
@@ -1273,6 +1294,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_facet_histogram": q_index_facet_histogram,
         "index_facet_stats": q_index_facet_stats,
         "index_significant_terms": q_index_significant_terms,
+        "index_rank_eval": q_index_rank_eval,
         "index_hist_batch": q_index_hist_batch,
         "index_collapse_topk": q_index_collapse_topk,
         "index_collapse_batch": q_index_collapse_batch,
@@ -1657,6 +1679,28 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM b JOIN buckets USING (bidx) GROUP BY 1, 2
             ORDER BY bucket_start ASC
         """,
+        # rank eval: P@k / R@k / MRR of the OR ranking vs AND-matching
+        # docs as the relevance rule — single integer divisions only
+        "index_rank_eval": _BM25_CTE % {"terms": _OR_SQL} + f"""
+            , agg AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY sum(score_q) DESC, doc_id ASC) AS rank
+              FROM sc GROUP BY doc_id
+            ),
+            topk AS (SELECT * FROM agg WHERE rank <= {TOPK}),
+            rel AS (
+              SELECT doc_id FROM tf WHERE term IN ({_OR_SQL})
+              GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(BM25_OR_TERMS))}
+            ),
+            relhits AS (SELECT t.rank FROM topk t JOIN rel USING (doc_id))
+            SELECT 0 AS query_id,
+                   (SELECT count(*) FROM rel)::bigint AS n_rel,
+                   (SELECT count(*) FROM relhits)::bigint AS hits_at_k,
+                   (SELECT count(*) FROM relhits)::double / {TOPK} AS precision_at_k,
+                   (SELECT count(*) FROM relhits)::double
+                     / (SELECT count(*) FROM rel) AS recall_at_k,
+                   coalesce(1.0 / (SELECT min(rank) FROM relhits), 0.0) AS reciprocal_rank
+        """,
         # significant terms: lift = (fg_df*N)/(bg_df*m), exact integer
         # products, ONE IEEE division — engine-independent by design
         "index_significant_terms": f"""
@@ -1685,7 +1729,8 @@ def _all_oracle_sql() -> dict[str, str]:
             dl AS (SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY 1),
             j AS (SELECT dl.doc_len::double AS v FROM m JOIN dl USING (doc_id))
             SELECT count(*)::bigint AS n_docs, min(v) AS min_v, max(v) AS max_v,
-                   sum(v) AS sum_v, sum(v) / count(*) AS avg_v
+                   sum(v) AS sum_v, sum(v) / count(*) AS avg_v,
+                   median(v) AS median_v
             FROM j
         """,
         # collapse batch: the single-panel collapse SQL with a VALUES

@@ -1152,9 +1152,10 @@ def test_facet_stats_batch_equals_per_call(idx):
         if qid in batch:
             (s,) = single
             b = batch[qid]
-            assert (s["n_docs"], s["min_v"], s["max_v"], s["sum_v"], s["avg_v"]) == (
-                b["n_docs"], b["min_v"], b["max_v"], b["sum_v"], b["avg_v"]
-            ), f"stats panel {qid} diverged"
+            cols = ("n_docs", "min_v", "max_v", "sum_v", "avg_v", "median_v")
+            assert tuple(s[c] for c in cols) == tuple(b[c] for c in cols), (
+                f"stats panel {qid} diverged"
+            )
         else:
             assert single == []
     assert 1 in batch and 2 not in batch
@@ -1170,6 +1171,9 @@ def test_facet_stats_batch_equals_per_call(idx):
     b = batch[0]
     assert b["n_docs"] == len(lens) and b["min_v"] == min(lens)
     assert b["max_v"] == max(lens) and b["sum_v"] == sum(lens)
+    import statistics
+
+    assert b["median_v"] == statistics.median(lens)
 
 
 def test_significant_terms_matches_hand_computation(idx, py_stats):
@@ -1224,6 +1228,46 @@ def test_function_score_matches_hand_computation(idx):
     assert got == want
     with pytest.raises(ValueError, match="k must be"):
         idx.function_score_topk(terms, k=0)
+
+
+def test_rank_eval_matches_hand_computation(idx, py_stats):
+    """rank_eval == metrics re-derived from the served ranking and the
+    labels: P@k = hits/k, R@k = hits/n_rel, RR = 1/first-relevant-rank
+    (0 when nothing relevant is retrieved); unlabeled queries yield no
+    row."""
+    from wikitfidf_spark.index.query import Query
+
+    tfs, _, dfc, _ = py_stats
+    terms = ["arg_ctx77", "arg_cfg"]
+    ranked = [
+        (r["doc_id"], r["rank"])
+        for r in idx.topk(terms, k=10).orderBy("rank").collect()
+    ]
+    rel = sorted(d for d, c in tfs.items() if all(t in c for t in terms))
+    assert rel, "fixture must have AND-matching docs"
+    qrels = idx.spark.createDataFrame(
+        [(0, d) for d in rel] + [(1, rel[0])], "query_id int, doc_id long"
+    )
+    out = {
+        r["query_id"]: r
+        for r in idx.rank_eval(
+            [
+                Query(0, terms, "OR", 10),
+                Query(1, ["zz_never_a_term"], "OR", 10),  # nothing retrieved
+                Query(2, terms, "OR", 10),                # unlabeled
+            ],
+            qrels,
+        ).collect()
+    }
+    hit_ranks = [rk for d, rk in ranked if d in set(rel)]
+    r0 = out[0]
+    assert r0["n_rel"] == len(rel) and r0["hits_at_k"] == len(hit_ranks)
+    assert r0["precision_at_k"] == len(hit_ranks) / 10
+    assert r0["recall_at_k"] == len(hit_ranks) / len(rel)
+    assert r0["reciprocal_rank"] == 1.0 / min(hit_ranks)
+    r1 = out[1]  # labeled but nothing retrieved
+    assert (r1["hits_at_k"], r1["precision_at_k"], r1["reciprocal_rank"]) == (0, 0.0, 0.0)
+    assert 2 not in out  # unlabeled -> ungraded
 
 
 def test_significant_terms_batch_equals_per_call(idx):

@@ -1642,6 +1642,66 @@ class InvertedIndex:
             .orderBy("query_id", F.desc("lift"), F.desc("fg_df"), F.asc("term"))
         )
 
+    def rank_eval(
+        self,
+        queries: Sequence[Query],
+        qrels: DataFrame,
+        strategy: str = "taat",
+    ) -> DataFrame:
+        """Search-quality evaluation (Elasticsearch ``_rank_eval``):
+        serve the query batch, score each ranking against a relevance-
+        labels table ``qrels`` (query_id, doc_id) → one row per LABELED
+        query: (query_id, n_rel, hits_at_k, precision_at_k,
+        recall_at_k, reciprocal_rank), query_id ascending.
+
+        Metrics are the set-based classics whose arithmetic is exact
+        in IEEE doubles (single integer divisions — engine-independent
+        by construction): P@k = hits/k, R@k = hits/n_rel,
+        RR = 1/rank-of-first-relevant (0 when no relevant doc is
+        retrieved).  NDCG is deliberately absent: its log2 discounts
+        are libm transcendentals that differ across engines — the
+        wrong trade for an oracle-checked metric.
+
+        Plan: ONE :meth:`topk_batch` serves every query; the
+        (benchmark-sized) qrels broadcast-join the ≤ Σk hit rows;
+        per-query metrics are one partial agg.  Queries absent from
+        ``qrels`` produce no row (nothing to grade against)."""
+        hits = self.topk_batch(queries, strategy=strategy).select(
+            "query_id", "doc_id", "rank"
+        )
+        kdf = self.spark.createDataFrame(
+            [(int(q.query_id), int(q.k)) for q in queries], "query_id int, k int"
+        )
+        qr = qrels.select("query_id", "doc_id").distinct()
+        n_rel = qr.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+        relhits = (
+            hits.join(F.broadcast(qr), ["query_id", "doc_id"])
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("hits_at_k"),
+                F.min("rank").alias("_first"),
+            )
+        )
+        return (
+            n_rel.join(relhits, "query_id", "left")
+            .join(F.broadcast(kdf), "query_id")
+            .select(
+                "query_id",
+                "n_rel",
+                F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+                (
+                    F.coalesce("hits_at_k", F.lit(0)).cast("double") / F.col("k")
+                ).alias("precision_at_k"),
+                (
+                    F.coalesce("hits_at_k", F.lit(0)).cast("double") / F.col("n_rel")
+                ).alias("recall_at_k"),
+                F.coalesce(
+                    F.lit(1.0) / F.col("_first").cast("double"), F.lit(0.0)
+                ).alias("reciprocal_rank"),
+            )
+            .orderBy("query_id")
+        )
+
     def did_you_mean(
         self, text: str, max_dist: int = 2
     ) -> tuple[list[str] | None, list[dict]]:
@@ -1874,6 +1934,11 @@ class InvertedIndex:
                 F.max(v).alias("max_v"),
                 F.sum(v).alias("sum_v"),
                 (F.sum(v) / F.count(v)).alias("avg_v"),
+                # exact median (interpolated midpoint for even counts
+                # — the same linear-interpolation definition DuckDB's
+                # median/quantile_cont uses, so integer columns stay
+                # engine-identical); percentile_approx would not be
+                F.median(v).alias("median_v"),
             )
             .filter(F.col("n_docs") > 0)
             .orderBy("query_id")
