@@ -1230,6 +1230,33 @@ def test_function_score_matches_hand_computation(idx):
         idx.function_score_topk(terms, k=0)
 
 
+def test_synonym_topk_batch_equals_per_call(idx, py_stats):
+    """synonym_topk_batch == a loop of single calls per panel, with
+    per-panel group statistics kept separate under the composite
+    scoring key (a group shared by two panels must not pool stats)."""
+    _, _, dfc, _ = py_stats
+    hot = sorted(dfc, key=lambda t: (-dfc[t], t))[:3]
+    panels = [
+        (0, [[hot[0], hot[1]]]),
+        (1, [[hot[0]], [hot[2]]]),
+        (2, [["zz_never_a_term"]]),
+    ]
+    batch: dict[int, list] = {}
+    for r in idx.synonym_topk_batch(panels, k=6).collect():
+        batch.setdefault(r["query_id"], []).append((r["doc_id"], r["score_q"]))
+    for qid, groups in panels:
+        want = [
+            (r["doc_id"], r["score_q"])
+            for r in idx.synonym_topk(groups, 6).collect()
+        ]
+        assert batch.get(qid, []) == want, f"synonym panel {qid} diverged"
+    assert batch[0] and 2 not in batch
+    with pytest.raises(ValueError, match="more than one group"):
+        idx.synonym_topk_batch([(0, [[hot[0]], [hot[0]]])])
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.synonym_topk_batch([(0, [[hot[0]]]), (0, [[hot[1]]])])
+
+
 def test_rank_eval_matches_hand_computation(idx, py_stats):
     """rank_eval == metrics re-derived from the served ranking and the
     labels: P@k = hits/k, R@k = hits/n_rel, RR = 1/first-relevant-rank

@@ -1957,47 +1957,102 @@ class InvertedIndex:
         per-(doc, group) partial agg → group-df agg (O(groups) rows) →
         the shared quantized BM25 kernel → per-doc sum, top-k.  AND
         mode requires every group matched."""
-        if mode not in ("OR", "AND"):
-            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
         gs = [list(dict.fromkeys(g)) for g in groups if g]
         if not gs:
             return self._empty_result().select("doc_id", "score_q")
-        seen: dict[str, int] = {}
-        for gi, g in enumerate(gs):
-            for t in g:
-                if t in seen:
-                    raise ValueError(f"term {t!r} appears in more than one group")
-                seen[t] = gi
+        return (
+            self.synonym_topk_batch([(0, gs)], k=k, mode=mode)
+            .drop("query_id", "rank")
+        )
+
+    def synonym_topk_batch(
+        self,
+        queries: "Sequence[tuple[int, Sequence[Sequence[str]]]]",
+        k: int = 10,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """Synonym-expanded top-k for a batch of (query_id, groups)
+        panels in ONE job → (query_id, doc_id, score_q, rank), top-k
+        per panel.  Each panel's groups keep PROPER group statistics
+        (group tf = Σ member tf, group df = docs containing ANY
+        member) under a composite "qid:gid" scoring key, so one
+        term-pruned decode + one broadcast term→(panel, group) map +
+        one partial agg serve every panel; per-panel rank windows
+        replace the per-call TakeOrdered.  Row-identical per panel to
+        :meth:`synonym_topk`, which delegates here."""
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        norm: list[tuple[int, list[list[str]]]] = []
+        for qid, groups in queries:
+            gs = [list(dict.fromkeys(g)) for g in groups if g]
+            if not gs:
+                raise ValueError(f"panel {qid}: needs at least one non-empty group")
+            seen: set[str] = set()
+            for g in gs:
+                for t in g:
+                    if t in seen:
+                        raise ValueError(
+                            f"panel {qid}: term {t!r} appears in more than one group"
+                        )
+                    seen.add(t)
+            norm.append((int(qid), gs))
+        _check_unique_qids(qid for qid, _ in norm)
         from ..operators.scoring import bm25_term_scores
         from .build import _load_cfg
 
         cfg = _load_cfg(self.manifest, self.index_dir)
+        rows = [
+            (qid, f"{qid}:{gi}", t)
+            for qid, gs in norm
+            for gi, g in enumerate(gs)
+            for t in g
+        ]
         mapping = self.spark.createDataFrame(
-            list(seen.items()), "term string, gid int"
+            rows, "query_id int, gkey string, term string"
         )
+        all_terms = sorted({t for _, _, t in rows})
         gtf = (
-            self.decoded(list(seen))
+            self.decoded(all_terms)
             .join(F.broadcast(mapping), "term")
-            .groupBy("doc_id", "gid")
+            .groupBy("doc_id", "gkey")
             .agg(F.sum("tf").alias("tf"))
         )
-        gstats = gtf.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
+        gstats = gtf.groupBy("gkey").agg(F.count(F.lit(1)).alias("df"))
         doclens = self.docmeta.select("doc_id", "doc_len")
         scored = bm25_term_scores(
-            gtf.withColumnRenamed("gid", "term"),
-            gstats.withColumnRenamed("gid", "term"),
+            gtf.withColumnRenamed("gkey", "term"),
+            gstats.withColumnRenamed("gkey", "term"),
             doclens, self.n_docs, self.avgdl, k1=cfg.k1, b=cfg.b,
         )
-        agg = scored.groupBy("doc_id").agg(
-            F.sum("score_q").alias("score_q"),
-            F.count(F.lit(1)).alias("_ng"),
+        agg = (
+            scored.withColumn(
+                "query_id", F.split(F.col("term"), ":").getItem(0).cast("int")
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum("score_q").alias("score_q"),
+                F.count(F.lit(1)).alias("_ng"),
+            )
+        )
+        want = self.spark.createDataFrame(
+            [(qid, len(gs)) for qid, gs in norm], "query_id int, _want int"
         )
         if mode == "AND":
-            agg = agg.filter(F.col("_ng") == len(gs))
+            agg = (
+                agg.join(F.broadcast(want), "query_id")
+                .filter(F.col("_ng") == F.col("_want"))
+                .drop("_want")
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_q"), F.asc("doc_id")
+        )
         return (
-            agg.select("doc_id", "score_q")
-            .orderBy(F.desc("score_q"), F.asc("doc_id"))
-            .limit(k)
+            agg.drop("_ng")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
         )
 
     # ---------- hybrid lexical + dense retrieval ----------
