@@ -296,6 +296,48 @@ def test_stale_window_did_you_mean_keeps_delta_only_terms(spark, tmp_path):
     assert corrected is None and fixes == []  # the term is live — no correction
 
 
+def test_index_report_tracks_lifecycle(spark, tmp_path):
+    """index_report (manifest+filesystem only, no Spark) reflects each
+    lifecycle stage: fresh build -> deferred add (generation + stale
+    window) -> refresh (window closed) -> delete (tombstones) ->
+    compact (one generation, tombstones folded)."""
+    from wikitfidf_spark.index.build import (
+        compact, delete_documents, index_report, refresh_scores,
+    )
+
+    docs = make_code_files(spark, n_docs=120, seed=42).cache()
+    split = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4)) == 0
+    d = str(tmp_path / "idx_report")
+    build_index(spark, docs.filter(~split), d, CFG, resume=False)
+    r = index_report(d)
+    assert r["tf_generations"] == 1 and r["stale_deltas"] == 0
+    assert not r["has_tombstones"] and r["positions"] == "absent"
+    assert r["live_docs"] == r["epoch_docs"] > 0
+    assert r["structure_files"] > 0 and r["payload_bytes_on_disk"] > 0
+    assert r["n_shards"] == CFG.n_shards
+
+    add_documents(spark, docs.filter(split), d, refresh_scores=False)
+    r = index_report(d)
+    assert r["tf_generations"] == 2 and r["stale_deltas"] == 1
+    assert r["live_docs"] == 120 and r["epoch_docs"] < 120
+
+    refresh_scores(spark, d)
+    r = index_report(d)
+    assert r["stale_deltas"] == 0 and r["epoch_docs"] == 120
+
+    victim = docs.limit(1).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    ).collect()[0]["doc_id"]
+    delete_documents(spark, [victim], d)
+    r = index_report(d)
+    assert r["has_tombstones"] and r["live_docs"] == 119
+
+    compact(spark, d)
+    r = index_report(d)
+    assert r["tf_generations"] == 1 and not r["has_tombstones"]
+    assert r["live_docs"] == r["epoch_docs"] == 119
+
+
 def test_maybe_compact_closes_stale_window(spark, tmp_path):
     """The ingest-loop policy refreshes (not compacts) once
     stale_deltas reaches the threshold: the O(corpus) score map is paid

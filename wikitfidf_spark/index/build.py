@@ -2068,3 +2068,64 @@ def compact(spark: SparkSession, index_dir: str) -> BuildResult:
         paths_update={"tf": [tf_rel]}, reset_owners=True,
         drop_path_keys=drop_keys,
     )
+
+
+def index_report(index_dir: str) -> dict:
+    """Operability snapshot of an index directory — the segments/stats
+    diagnostic (Elasticsearch _segments/_stats analogue), manifest +
+    filesystem only: NO Spark session, NO data scan, safe to call from
+    monitoring.  Returns:
+
+    - ``version`` / ``format`` — manifest generation counter + codec id
+    - ``live_docs`` / ``epoch_docs`` — serving corpus size vs the score
+      epoch's (they differ inside a bounded-staleness window)
+    - ``avgdl``, ``n_shards``, ``total_tokens``, ``n_postings``
+    - ``tf_generations`` — un-compacted generation count (query merge
+      width grows ~1 per un-compacted delta)
+    - ``stale_deltas`` — deltas serving epoch-stale scores
+      (``refresh_scores``/``maybe_compact`` close the window)
+    - ``has_tombstones`` — deleted docs pending a compact fold
+    - ``positions`` — "current" | "stale-dropped" | "absent"
+    - ``structure_files`` / ``payload_bytes_on_disk`` — physical file
+      count + bytes under the current structure/score pointers
+    """
+    manifest = load_manifest(index_dir)
+    p = index_paths(manifest)
+    m = manifest.get("metrics", {})
+    sc_p = p["scores"]
+    rels = set(p["structure"].values()) | (
+        {sc_p} if isinstance(sc_p, str) else set(sc_p.values())
+    )
+    n_files = 0
+    n_bytes = 0
+    for rel in sorted(rels):
+        d = os.path.join(index_dir, rel)
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            fp = os.path.join(d, f)
+            if os.path.isfile(fp) and not f.startswith(("_", ".")):
+                n_files += 1
+                n_bytes += os.path.getsize(fp)
+    if p.get("positions") is None:
+        positions = "absent"
+    elif int(manifest.get("positions_version", -1)) == int(manifest.get("version", 0)):
+        positions = "current"
+    else:
+        positions = "stale-dropped"
+    return {
+        "version": int(manifest.get("version", 0)),
+        "format": manifest.get("format"),
+        "live_docs": int(m.get("live_total_docs", m.get("total_docs", 0))),
+        "epoch_docs": int(m.get("total_docs", 0)),
+        "avgdl": float(m.get("avgdl", 0.0)),
+        "n_shards": len(p["structure"]),
+        "total_tokens": int(m.get("total_tokens", 0)),
+        "n_postings": int(m.get("n_postings", 0)),
+        "tf_generations": len(p["tf"]),
+        "stale_deltas": int(manifest.get("stale_deltas", 0)),
+        "has_tombstones": p.get("tombstones") is not None,
+        "positions": positions,
+        "structure_files": n_files,
+        "payload_bytes_on_disk": n_bytes,
+    }
