@@ -1693,6 +1693,8 @@ def _all_oracle_sql() -> dict[str, str]:
               GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(BM25_OR_TERMS))}
             ),
             relhits AS (SELECT t.rank FROM topk t JOIN rel USING (doc_id))
+            -- the engine emits no row for an unlabeled query; mirror
+            -- that when the relevance rule matches nothing
             SELECT 0 AS query_id,
                    (SELECT count(*) FROM rel)::bigint AS n_rel,
                    (SELECT count(*) FROM relhits)::bigint AS hits_at_k,
@@ -1700,6 +1702,7 @@ def _all_oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM relhits)::double
                      / (SELECT count(*) FROM rel) AS recall_at_k,
                    coalesce(1.0 / (SELECT min(rank) FROM relhits), 0.0) AS reciprocal_rank
+            WHERE (SELECT count(*) FROM rel) > 0
         """,
         # significant terms: lift = (fg_df*N)/(bg_df*m), exact integer
         # products, ONE IEEE division — engine-independent by design

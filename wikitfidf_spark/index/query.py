@@ -1805,6 +1805,52 @@ class InvertedIndex:
         )
         return queries, match
 
+    def _panel_scored_aggs(
+        self, queries: Sequence[tuple[int, Sequence[str]]], mode: str
+    ) -> tuple[list[tuple[int, list[str]]], DataFrame]:
+        """The shared SCORED front half of the panel batch rankers
+        (field collapse / function score): normalize and validate the
+        panels, decode the union of terms once WITH scores, broadcast
+        the term→panel fan-out, and aggregate one score sum per
+        (panel, doc) — AND panels additionally require the panel's
+        full distinct-term count (broadcast per-panel size table).
+        The membership-only sibling is :meth:`_panel_match_sets`."""
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
+        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
+        _check_unique_qids(qid for qid, _ in queries)
+        if not queries or any(not terms for _, terms in queries):
+            raise ValueError("every panel needs at least one term")
+        all_terms = sorted({t for _, terms in queries for t in terms})
+        tq = self.spark.createDataFrame(
+            [(qid, t) for qid, terms in queries for t in terms],
+            "query_id int, term string",
+        )
+        d = (
+            self.decoded(all_terms).select("term", "doc_id", "score_q")
+            .join(F.broadcast(tq), "term")
+        )
+        if mode == "AND":
+            sizes = self.spark.createDataFrame(
+                [(qid, len(terms)) for qid, terms in queries],
+                "query_id int, q_n_terms int",
+            )
+            agg = (
+                d.groupBy("query_id", "doc_id")
+                .agg(
+                    F.sum("score_q").alias("score_q"),
+                    F.countDistinct("term").alias("n_terms"),
+                )
+                .join(F.broadcast(sizes), "query_id")
+                .filter(F.col("n_terms") == F.col("q_n_terms"))
+                .select("query_id", "doc_id", "score_q")
+            )
+        else:
+            agg = d.groupBy("query_id", "doc_id").agg(
+                F.sum("score_q").alias("score_q")
+            )
+        return queries, agg
+
     def facet_counts_batch(
         self, queries: Sequence[tuple[int, Sequence[str]]], facet: str = "topic"
     ) -> DataFrame:
@@ -1893,9 +1939,9 @@ class InvertedIndex:
     def facet_stats(self, terms: Sequence[str], col: str = "doc_len") -> DataFrame:
         """Stats aggregation over the OR-match set (Elasticsearch's
         ``stats`` aggregation next to search results): count / min /
-        max / sum / avg of a numeric docmeta column over the live docs
-        matching ANY of ``terms`` → one row (n_docs, min_v, max_v,
-        sum_v, avg_v).  Same term-pruned decode → distinct match set →
+        max / sum / avg / median of a numeric docmeta column over the
+        live docs matching ANY of ``terms`` → one row (n_docs, min_v,
+        max_v, sum_v, avg_v, median_v).  Same term-pruned decode → distinct match set →
         pruned docmeta join plan as :meth:`facet_counts`; the stats are
         one partial-agg (map-side combine) over the match set.  avg is
         derived sum/count, so for integer-valued columns every output
@@ -1910,7 +1956,8 @@ class InvertedIndex:
         col: str = "doc_len",
     ) -> DataFrame:
         """Stats aggregations for a batch of (query_id, terms) panels
-        in ONE job → (query_id, n_docs, min_v, max_v, sum_v, avg_v).
+        in ONE job → (query_id, n_docs, min_v, max_v, sum_v, avg_v,
+        median_v).
         One posting scan decoded once for the union of terms, broadcast
         term→panel fan-out, per-(panel, doc) distinct, one docmeta
         join, one partial agg — fixed job costs paid once per batch
@@ -1957,6 +2004,10 @@ class InvertedIndex:
         per-(doc, group) partial agg → group-df agg (O(groups) rows) →
         the shared quantized BM25 kernel → per-doc sum, top-k.  AND
         mode requires every group matched."""
+        if mode not in ("OR", "AND"):
+            # validate BEFORE the empty-groups early return — a typo'd
+            # mode must raise even when the group list filtered empty
+            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
         gs = [list(dict.fromkeys(g)) for g in groups if g]
         if not gs:
             return self._empty_result().select("doc_id", "score_q")
@@ -2036,10 +2087,10 @@ class InvertedIndex:
                 F.count(F.lit(1)).alias("_ng"),
             )
         )
-        want = self.spark.createDataFrame(
-            [(qid, len(gs)) for qid, gs in norm], "query_id int, _want int"
-        )
         if mode == "AND":
+            want = self.spark.createDataFrame(
+                [(qid, len(gs)) for qid, gs in norm], "query_id int, _want int"
+            )
             agg = (
                 agg.join(F.broadcast(want), "query_id")
                 .filter(F.col("_ng") == F.col("_want"))
@@ -2435,37 +2486,7 @@ class InvertedIndex:
         (equivalence-tested)."""
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
-        if mode not in ("OR", "AND"):
-            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
-        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
-        _check_unique_qids(qid for qid, _ in queries)
-        if not queries or any(not terms for _, terms in queries):
-            raise ValueError("every panel needs at least one term")
-        all_terms = sorted({t for _, terms in queries for t in terms})
-        tq = self.spark.createDataFrame(
-            [(qid, t) for qid, terms in queries for t in terms],
-            "query_id int, term string",
-        )
-        scored = (
-            self.decoded(all_terms).select("term", "doc_id", "score_q")
-            .join(F.broadcast(tq), "term")
-            .groupBy("query_id", "doc_id")
-            .agg(
-                F.sum("score_q").alias("score_q"),
-                F.count_distinct("term").alias("_nt"),
-            )
-        )
-        if mode == "AND":
-            want = self.spark.createDataFrame(
-                [(qid, len(terms)) for qid, terms in queries],
-                "query_id int, _want int",
-            )
-            scored = (
-                scored.join(F.broadcast(want), "query_id")
-                .filter(F.col("_nt") == F.col("_want"))
-                .drop("_want")
-            )
-        scored = scored.drop("_nt")
+        _, scored = self._panel_scored_aggs(queries, mode)
         fac = self.docmeta.select(
             "doc_id", F.col(factor).cast("long").alias("_factor")
         )
@@ -2559,42 +2580,9 @@ class InvertedIndex:
         best groups (partitioned by query_id — bounded by the batch's
         result size, not the corpus).  Row-identical per panel to
         :meth:`collapse_topk` (same (score desc, doc asc) ties)."""
-        if mode not in ("OR", "AND"):
-            raise ValueError(f"unknown mode {mode!r}: use 'OR' or 'AND'")
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
-        queries = [(int(qid), sorted(set(terms))) for qid, terms in queries]
-        _check_unique_qids(qid for qid, _ in queries)
-        if not queries or any(not terms for _, terms in queries):
-            raise ValueError("every panel needs at least one term")
-        all_terms = sorted({t for _, terms in queries for t in terms})
-        tq = self.spark.createDataFrame(
-            [(qid, t) for qid, terms in queries for t in terms],
-            "query_id int, term string",
-        )
-        d = (
-            self.decoded(all_terms).select("term", "doc_id", "score_q")
-            .join(F.broadcast(tq), "term")
-        )
-        if mode == "AND":
-            sizes = self.spark.createDataFrame(
-                [(qid, len(terms)) for qid, terms in queries],
-                "query_id int, q_n_terms int",
-            )
-            agg = (
-                d.groupBy("query_id", "doc_id")
-                .agg(
-                    F.sum("score_q").alias("score_q"),
-                    F.countDistinct("term").alias("n_terms"),
-                )
-                .join(F.broadcast(sizes), "query_id")
-                .filter(F.col("n_terms") == F.col("q_n_terms"))
-                .select("query_id", "doc_id", "score_q")
-            )
-        else:
-            agg = d.groupBy("query_id", "doc_id").agg(
-                F.sum("score_q").alias("score_q")
-            )
+        _, agg = self._panel_scored_aggs(queries, mode)
         best = (
             agg.join(self.docmeta.select("doc_id", field), "doc_id")
             .groupBy("query_id", field)
