@@ -975,6 +975,19 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (min-label
+    propagation) over the Jaccard-verified pair graph — the step
+    between pair generation and canonical-doc selection (pairwise
+    dedup under-deletes transitive groups).  Deterministic integer
+    labels; oracle = a DuckDB recursive transitive closure."""
+    sh = dedup.shingle_sets(_docs(spark, sf_dir))
+    pairs = dedup.jaccard_on_pairs(dedup.minhash_candidates(sh), sh).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup.connected_components(pairs)
+
+
 def q_simhash(spark, sf_dir):
     """tf-weighted 16-bit SimHash fingerprints (near-dup banding key)."""
     return dedup.simhash(_tf(spark, sf_dir))
@@ -1264,6 +1277,7 @@ FOLDED_QUERIES = frozenset({
     "index_function_score",    # factor-weighted variant of the OR top-k ranking
     "index_significant_terms", # lift-ranked variant of index_facet_counts' match set
     "index_rank_eval",         # metric view over index_wand_topk's ranking
+    "dedup_clusters",          # closure over jaccard_pairs' verified graph
 })
 
 
@@ -1327,6 +1341,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_function_score": q_index_function_score,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2190,6 +2205,35 @@ def _all_oracle_sql() -> dict[str, str]:
         "minhash_candidates": f"""
             WITH {_minhash_cte_sql()}
             SELECT a, b FROM pairs
+        """,
+        # near-dup clustering: recursive transitive closure over the
+        # thresholded pair graph; component = min reachable doc_id
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_cte_sql()},
+            sizes AS (SELECT doc_id, count(*)::bigint AS sz FROM terms GROUP BY 1),
+            inter AS (
+              SELECT p.a, p.b, count(*)::bigint AS inter
+              FROM pairs p
+              JOIN terms ta ON ta.doc_id = p.a
+              JOIN terms tb ON tb.doc_id = p.b AND tb.term = ta.term
+              GROUP BY p.a, p.b
+            ),
+            jp AS (
+              SELECT i.a, i.b
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+                           JOIN sizes sb ON sb.doc_id = i.b
+              WHERE i.inter::double / (sa.sz + sb.sz - i.inter)::double >= 0.5
+            ),
+            edges AS (SELECT a AS src, b AS dst FROM jp
+                      UNION SELECT b, a FROM jp),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS doc_id, least(src, min(dst)) AS component_id
+            FROM reach GROUP BY src
+            ORDER BY doc_id
         """,
         "jaccard_pairs": f"""
             WITH {_minhash_cte_sql()},

@@ -31,6 +31,30 @@ def test_exact_dedup(spark, docs_with_dups):
     assert kept == {1, 3, 4}
 
 
+def test_connected_components_clusters_transitive_groups(spark):
+    """A~B, B~C must land in ONE component labeled min(doc_id) even
+    though A~C was never emitted as a pair; disjoint pairs stay
+    separate; docs absent from the pair table get no row (nothing to
+    cluster); a long chain still converges (diameter > 2)."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3),            # transitive group {1,2,3} -> comp 1
+         (10, 11),                  # separate group -> comp 10
+         (20, 21), (21, 22), (22, 23), (23, 24)],  # chain, diameter 4
+        "a long, b long",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup.connected_components(pairs, max_iter=0)
+
+
 def test_minhash_finds_near_dups(spark, docs_with_dups):
     tf = term_frequencies(docs_with_dups, text="text")
     pairs = {(r["a"], r["b"]) for r in dedup.minhash_candidates(tf).collect()}

@@ -204,3 +204,72 @@ def simhash(tf: DataFrame, *, doc_id: str = "doc_id", bits: int = SIMHASH_BITS) 
             ).alias("simhash")
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame, *, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over a pair table →
+    (doc_id, component_id) for every doc appearing in ``pairs``, where
+    component_id = the smallest doc_id reachable through the pair
+    graph.  This is the step between pair generation (MinHash/Jaccard,
+    embedding LSH) and canonical-document selection: keep
+    ``min(doc_id)`` per component, drop the rest — pairwise dedup
+    alone under-deletes (A~B, B~C but A!~C still means one keeper, not
+    two).
+
+    Algorithm: min-label propagation — each node starts labeled with
+    itself; each round every node takes the min of its own and its
+    neighbors' labels; converged when a round changes nothing.  Rounds
+    = O(graph diameter), and near-dup graphs are clique-ish (diameter
+    2-4), so the loop is short; ``max_iter`` bounds adversarial
+    chains.  Scale shape: the edge table is symmetrized ONCE and
+    localCheckpointed (released by the ContextCleaner, not pinned);
+    each round is one equi-join + partial-agg min + one label join —
+    all hash-partitioned on node id, no broadcast of anything
+    corpus-sized; labels are localCheckpointed per round so the plan
+    does not grow with iterations (the classic failure mode of
+    iterative DataFrame algorithms).  The per-round convergence count
+    is one scalar action.
+
+    Deterministic: min over int64 labels, no floats, no ordering
+    sensitivity — the DuckDB oracle re-derives it with a recursive
+    transitive closure."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "comp"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .select(F.col("src").alias("node"), "nbr_comp")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("old")), "node"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    ).orderBy("doc_id")
