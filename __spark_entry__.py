@@ -985,7 +985,7 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = dedup.jaccard_on_pairs(dedup.minhash_candidates(sh), sh).filter(
         F.col("jaccard") >= 0.5
     )
-    return dedup.connected_components(pairs)
+    return dedup.connected_components(pairs).orderBy("doc_id")
 
 
 def q_simhash(spark, sf_dir):

@@ -53,6 +53,13 @@ def test_connected_components_clusters_transitive_groups(spark):
     }
     with pytest.raises(ValueError, match="max_iter"):
         dedup.connected_components(pairs, max_iter=0)
+    # a diameter-4 chain cannot converge in 1 round — must raise, not
+    # silently return partially-propagated labels
+    chain = spark.createDataFrame(
+        [(20, 21), (21, 22), (22, 23), (23, 24)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=1)
 
 
 def test_minhash_finds_near_dups(spark, docs_with_dups):

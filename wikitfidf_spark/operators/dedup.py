@@ -243,6 +243,7 @@ def connected_components(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("comp")
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -252,24 +253,36 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .select(F.col("src").alias("node"), "nbr_comp")
         )
-        new_labels = (
+        # ONE join per round: the checkpointed merge answers both the
+        # new labels (projection) and the convergence count (labels
+        # only ever decrease, so changed = rows where the neighbor min
+        # beats the own label)
+        merged = (
             labels.join(nbr, "node", "left")
             .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                "node", "comp",
+                F.coalesce("nbr_comp", "comp").alias("nbr_comp"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("comp").alias("old")), "node"
-            )
-            .filter(F.col("comp") != F.col("old"))
-            .count()
+        changed = merged.filter(F.col("nbr_comp") < F.col("comp")).count()
+        labels = merged.select(
+            "node", F.least("comp", "nbr_comp").alias("comp")
         )
-        labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning partially-propagated labels would keep
+        # multiple "canonical" docs per true group — the exact
+        # under-deletion this operator exists to fix
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still moving); the pair graph has diameter "
+            f"> max_iter — raise max_iter"
+        )
+    # no orderBy: callers at corpus scale don't need a global sort
+    # (canonical selection is per-component; the oracle compare is
+    # order-insensitive) — the entry that wants cosmetic order adds it
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
-    ).orderBy("doc_id")
+    )
