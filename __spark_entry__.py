@@ -482,6 +482,14 @@ def q_index_rank_eval(spark, sf_dir):
     return idx.rank_eval([Query(0, list(BM25_OR_TERMS), "OR", TOPK)], qrels)
 
 
+def q_index_bucket_hits(spark, sf_dir):
+    """Top-hits-per-bucket (Elasticsearch top_hits-in-terms-agg): the
+    flagship OR query's top-5 topic buckets (ranked by their best hit)
+    each carrying its 2 best docs — the grouped result page."""
+    idx = _cached_index(spark, sf_dir)
+    return idx.bucket_top_hits(BM25_OR_TERMS, field="topic", n=2, k=5)
+
+
 def q_index_facet_stats(spark, sf_dir):
     """Stats aggregation (Elasticsearch stats-agg analogue): count /
     min / max / sum / avg of doc_len over the flagship OR query's
@@ -1278,6 +1286,7 @@ FOLDED_QUERIES = frozenset({
     "index_significant_terms", # lift-ranked variant of index_facet_counts' match set
     "index_rank_eval",         # metric view over index_wand_topk's ranking
     "dedup_clusters",          # closure over jaccard_pairs' verified graph
+    "index_bucket_hits",       # n-per-bucket generalization of index_collapse_topk
 })
 
 
@@ -1309,6 +1318,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_facet_stats": q_index_facet_stats,
         "index_significant_terms": q_index_significant_terms,
         "index_rank_eval": q_index_rank_eval,
+        "index_bucket_hits": q_index_bucket_hits,
         "index_hist_batch": q_index_hist_batch,
         "index_collapse_topk": q_index_collapse_topk,
         "index_collapse_batch": q_index_collapse_batch,
@@ -1693,6 +1703,31 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT bucket_start, bucket_end, count(*)::bigint AS n_docs
             FROM b JOIN buckets USING (bidx) GROUP BY 1, 2
             ORDER BY bucket_start ASC
+        """,
+        # top-hits-per-bucket: per-topic rank windows over the BM25
+        # sums; buckets ranked by their best hit, each keeps 2 docs
+        "index_bucket_hits": _BM25_CTE % {"terms": _OR_SQL} + """
+            , agg AS (SELECT doc_id, sum(score_q)::bigint AS score_q FROM sc GROUP BY 1),
+            j AS (
+              SELECT d.lang AS topic, a.doc_id, a.score_q
+              FROM agg a JOIN documents d USING (doc_id)
+            ),
+            hits AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY topic ORDER BY score_q DESC, doc_id ASC
+              )::int AS hit_rank
+              FROM j
+            ),
+            buckets AS (
+              SELECT topic, row_number() OVER (
+                ORDER BY score_q DESC, doc_id ASC
+              )::int AS bucket_rank
+              FROM hits WHERE hit_rank = 1
+            )
+            SELECT h.topic, b.bucket_rank, h.doc_id, h.score_q, h.hit_rank
+            FROM hits h JOIN buckets b USING (topic)
+            WHERE h.hit_rank <= 2 AND b.bucket_rank <= 5
+            ORDER BY b.bucket_rank, h.hit_rank
         """,
         # rank eval: P@k / R@k / MRR of the OR ranking vs AND-matching
         # docs as the relevance rule — single integer divisions only

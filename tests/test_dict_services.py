@@ -1257,6 +1257,35 @@ def test_synonym_topk_batch_equals_per_call(idx, py_stats):
         idx.synonym_topk_batch([(0, [[hot[0]]]), (0, [[hot[1]]])])
 
 
+def test_bucket_top_hits_n1_equals_collapse(idx):
+    """bucket_top_hits with n=1 is exactly collapse_topk: same
+    buckets, same representatives, same (score desc, doc asc) bucket
+    order — the generalization must degenerate cleanly."""
+    terms = ["arg_ctx77", "arg_cfg"]
+    col = [
+        (r["topic"], r["doc_id"], r["score_q"])
+        for r in idx.collapse_topk(terms, field="topic", k=5).collect()
+    ]
+    bt = [
+        (r["topic"], r["doc_id"], r["score_q"])
+        for r in idx.bucket_top_hits(terms, field="topic", n=1, k=5)
+        .orderBy("bucket_rank").collect()
+    ]
+    assert bt == col and len(bt) > 0
+    # n=3: hits within a bucket are (score desc, doc asc) and start at 1
+    multi = idx.bucket_top_hits(terms, field="topic", n=3, k=5).collect()
+    by_bucket: dict[str, list] = {}
+    for r in sorted(multi, key=lambda r: (r["bucket_rank"], r["hit_rank"])):
+        by_bucket.setdefault(r["topic"], []).append((r["hit_rank"], r["score_q"], r["doc_id"]))
+    for topic, rows in by_bucket.items():
+        assert [h for h, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert rows == sorted(rows, key=lambda t: (t[0],)), topic
+        scores = [(-s, d) for _, s, d in rows]
+        assert scores == sorted(scores), topic
+    with pytest.raises(ValueError, match="n and k"):
+        idx.bucket_top_hits(terms, n=0)
+
+
 def test_rank_eval_matches_hand_computation(idx, py_stats):
     """rank_eval == metrics re-derived from the served ranking and the
     labels: P@k = hits/k, R@k = hits/n_rel, RR = 1/first-relevant-rank

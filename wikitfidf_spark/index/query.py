@@ -2614,6 +2614,82 @@ class InvertedIndex:
             .orderBy(F.asc("query_id"), F.desc("score_q"), F.asc("doc_id"))
         )
 
+    def bucket_top_hits(
+        self,
+        terms: Sequence[str],
+        field: str = "topic",
+        n: int = 3,
+        k: int = 10,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """Top-hits-per-bucket aggregation (Elasticsearch ``top_hits``
+        inside a terms agg): the generalized-n sibling of
+        :meth:`collapse_topk` — for the top-k buckets of a docmeta
+        ``field`` (ranked by their best hit, (score desc, doc asc)
+        ties like collapse), return each bucket's n best matching docs
+        → (query-less) (field, bucket_rank, doc_id, score_q,
+        hit_rank).  Delegates to :meth:`bucket_top_hits_batch`."""
+        return (
+            self.bucket_top_hits_batch([(0, list(terms))], field=field, n=n,
+                                       k=k, mode=mode)
+            .drop("query_id")
+        )
+
+    def bucket_top_hits_batch(
+        self,
+        queries: Sequence[tuple[int, Sequence[str]]],
+        field: str = "topic",
+        n: int = 3,
+        k: int = 10,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """Top-hits-per-bucket panels for a batch of (query_id, terms)
+        in ONE job → (query_id, field, bucket_rank, doc_id, score_q,
+        hit_rank): the top-k buckets per panel (ranked by their best
+        hit), each carrying its n best docs.  The shared
+        :meth:`_panel_scored_aggs` front half scores every panel once;
+        one pruned docmeta join attaches the bucket field; a
+        per-(panel, bucket) rank window cuts to n hits and a
+        per-panel window ranks buckets by their representative.
+
+        Skew note: unlike the 1-per-bucket collapse (which uses an
+        associative min-struct to stay window-free), n-per-bucket
+        inherently needs per-bucket ORDER — the window partitions by
+        (panel, bucket) over the MATCH SET, so a hot bucket serializes
+        only its own matching rows, never the corpus."""
+        if n < 1 or k < 1:
+            raise ValueError(f"n and k must be >= 1, got n={n} k={k}")
+        _, agg = self._panel_scored_aggs(queries, mode)
+        j = agg.join(self.docmeta.select("doc_id", field), "doc_id")
+        wh = Window.partitionBy("query_id", field).orderBy(
+            F.desc("score_q"), F.asc("doc_id")
+        )
+        hits = (
+            j.withColumn("hit_rank", F.row_number().over(wh))
+            .filter(F.col("hit_rank") <= n)
+        )
+        wb = Window.partitionBy("query_id").orderBy(
+            F.desc("rep_score"), F.asc("rep_doc")
+        )
+        buckets = (
+            hits.filter(F.col("hit_rank") == 1)
+            .select(
+                "query_id", field,
+                F.col("score_q").alias("rep_score"),
+                F.col("doc_id").alias("rep_doc"),
+            )
+            .withColumn("bucket_rank", F.row_number().over(wb))
+            .filter(F.col("bucket_rank") <= k)
+            .select("query_id", field, "bucket_rank")
+        )
+        return (
+            hits.join(buckets, ["query_id", field])
+            .select(
+                "query_id", field, "bucket_rank", "doc_id", "score_q", "hit_rank"
+            )
+            .orderBy("query_id", "bucket_rank", "hit_rank")
+        )
+
     def tfidf_scores(self, terms: Sequence[str] | None = None) -> DataFrame:
         """Degenerate TF-IDF mode: reference formula (tfidf.go:100-103)
         over decoded postings — reproduces wikitfidf rankings.
