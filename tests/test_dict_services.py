@@ -1257,6 +1257,40 @@ def test_synonym_topk_batch_equals_per_call(idx, py_stats):
         idx.synonym_topk_batch([(0, [[hot[0]]]), (0, [[hot[1]]])])
 
 
+def test_simple_query_string_routes_each_production(idx, py_stats):
+    """The mini query language is pure routing over existing
+    primitives: plain terms == search(), -tok == Query.exclude,
+    wild* == wildcard_topk, a lone quoted phrase == search_phrase,
+    and ambiguous mixes raise."""
+    from wikitfidf_spark.index.query import Query
+
+    _, _, dfc, _ = py_stats
+    hot = sorted(dfc, key=lambda t: (-dfc[t], t))[:3]
+    key = lambda rows: [(r["doc_id"], r["score_q"]) for r in sorted(rows, key=lambda x: x["rank"])]
+    # plain terms == search()
+    got = idx.simple_query_string(f"{hot[0]} {hot[1]}", k=8).collect()
+    want = idx.search(f"{hot[0]} {hot[1]}", k=8).collect()
+    assert key(got) == key(want)
+    # -exclusion == Query.exclude (exclusion token analyzed too)
+    got = idx.simple_query_string(f"{hot[0]} -{hot[1]}", k=8).collect()
+    want = idx.topk_batch(
+        [Query(0, [hot[0]], "OR", 8, exclude=(hot[1],))]
+    ).collect()
+    assert key(got) == key(want)
+    # wildcard == wildcard_topk (same expansion cap and scorer)
+    pat = hot[0][:3] + "*"
+    got = idx.simple_query_string(pat, k=8).collect()
+    want = idx.wildcard_topk(pat, k=8).collect()
+    assert key(got) == key(want)
+    # scored+excluded overlap raises loudly instead of guessing
+    with pytest.raises(ValueError, match="scored and excluded"):
+        idx.simple_query_string(f"{hot[0]} -{hot[0]}")
+    # phrase mixing rejected; nothing-analyzable -> empty
+    with pytest.raises(ValueError, match="ONE quoted phrase"):
+        idx.simple_query_string(f'"{hot[0]} {hot[1]}" {hot[2]}')
+    assert idx.simple_query_string("of at", k=5).count() == 0
+
+
 def test_bucket_top_hits_n1_equals_collapse(idx):
     """bucket_top_hits with n=1 is exactly collapse_topk: same
     buckets, same representatives, same (score desc, doc asc) bucket

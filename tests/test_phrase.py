@@ -356,6 +356,12 @@ def test_search_phrase_analyzes_through_config(spark, tmp_path):
     # surface-form multi-word phrase stems term-by-term, order kept
     hits = {r["doc_id"] for r in idx.search_phrase("flickorna jakten").collect()}
     assert hits == {1, 2}
+    # simple_query_string's lone-quoted-phrase production routes here
+    via_qs = {
+        r["doc_id"]
+        for r in idx.simple_query_string('"flickorna jakten"').collect()
+    }
+    assert via_qs == {1, 2}
 
 
 def test_search_with_stemmer_none_config(spark, tmp_path):

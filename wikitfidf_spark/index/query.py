@@ -1702,6 +1702,79 @@ class InvertedIndex:
             .orderBy("query_id")
         )
 
+    def simple_query_string(
+        self,
+        text: str,
+        k: int = 10,
+        mode: str = "OR",
+        strategy: str = "taat",
+        max_expansions: int = 32,
+        slop: int = 0,
+    ) -> DataFrame:
+        """User-facing query language (the useful core of
+        Elasticsearch ``simple_query_string``), composed from the
+        engine's existing primitives — the parser adds NO new
+        semantics, only routing:
+
+        - ``\"quoted words\"`` — the whole query is ONE exact phrase
+          (ordered adjacency, ``slop``-relaxed) → :meth:`search_phrase`
+        - ``-token`` — must_not: matching docs are excluded, surviving
+          scores untouched (``Query.exclude``)
+        - ``tok*`` / ``t?k`` — wildcard: expanded against the
+          dictionary (df-ranked, ``max_expansions``-capped — Lucene's
+          top-terms rewrite) into ordinary scored terms
+        - anything else — analyzed through the index config and scored
+
+        Every token (including exclusions) runs through the index's own
+        analysis, so surface forms hit stemmed indexes correctly.
+        Mixing a quoted phrase with other tokens is rejected loudly
+        (the scoring semantics would be ambiguous) rather than guessed.
+        Text that analyzes to nothing → empty result, like
+        :meth:`search`."""
+        import shlex
+
+        lex = shlex.shlex(text, posix=False)
+        lex.whitespace_split = True
+        parts = list(lex)
+        phrases = [p for p in parts if p.startswith('"')]
+        rest = [p for p in parts if not p.startswith('"')]
+        if phrases:
+            if rest or len(phrases) > 1:
+                raise ValueError(
+                    "simple_query_string supports ONE quoted phrase as the whole"
+                    " query; mixing phrases with other tokens is ambiguous —"
+                    " run them as separate queries"
+                )
+            return self.search_phrase(phrases[0].strip('"'), k, slop=slop)
+        terms: list[str] = []
+        exclude: list[str] = []
+        for p in rest:
+            neg = p.startswith("-")
+            body = p[1:] if neg else p
+            if not body:
+                continue
+            if "*" in body or "?" in body:
+                expanded = [
+                    r["term"]
+                    for r in self.expand_wildcard(
+                        body.lower(), max_expansions=max_expansions
+                    ).collect()
+                ]
+            else:
+                expanded = self.analyze(body)
+            (exclude if neg else terms).extend(expanded)
+        terms = list(dict.fromkeys(terms))
+        # a term both scored and excluded (e.g. "merge -mer*") reaches
+        # topk_batch's overlap validation and raises LOUDLY — guessing
+        # which side the user meant would silently change the result
+        exclude = list(dict.fromkeys(exclude))
+        if not terms:
+            return self._empty_result().drop("query_id")
+        return self.topk_batch(
+            [Query(0, terms, mode, k, exclude=tuple(exclude))],
+            strategy=strategy,
+        ).drop("query_id")
+
     def did_you_mean(
         self, text: str, max_dist: int = 2
     ) -> tuple[list[str] | None, list[dict]]:
